@@ -1,0 +1,178 @@
+"""Verify stage — the GroupAndVerify analog, as pure DataFrame ops.
+
+The reference verifies each tree with a per-tree actor holding a
+bidirectional balance map: every parent→child edge must be seen both
+forward (parent's childIds) and backward (child's parentId) before the
+tree is verified (GroupAndVerify/groupandverify/groupandverify.go:
+555-671, holder 684-802). Re-expressed set-orientedly:
+
+    forward  = explode(child_ids)          → (conv, parent, child, fwd)
+    backward = rows with parent_id != ''   → (conv, parent, child, bwd)
+    balance  = full_outer join on (conv, parent, child)
+    node ok  = fwd AND bwd for every edge of the node
+    conv ok  = AND over all its edges               (one shuffle each)
+
+parentVerifySet exception (groupandverify.go:148-183,632-650, manual
+GroupAndVerify_User_Manual.md:142-149): node types whose children are
+known only by backward links — such a parent must have EMPTY child_ids
+(violation ⇒ reject) and verifies iff count(distinct backward children)
+== its configured expected_children (tiny broadcast-joined lookup).
+
+Dangling parent refs (child points at a parent that never arrived) are
+"placeholders": pruned from output, tree unverified
+(groupandverify.go:855-859,913-917).
+
+Duplicates (same conv+node id): first kept as canonical, later flagged
+(groupandverify.go:839-861); payload inequality surfaced as
+``dup_mismatch`` (the reference only logs it, :816-826).
+
+Batch-mode notes: the 2 s verification timeout (G5, :211,873-919), the
+early-exit (G6) and MaxTrees backpressure (G7) are streaming-only
+concerns — a batch partition is complete by construction; the streaming
+module documents the applyInPandasWithState analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def verify_trees(
+    nodes: DataFrame,
+    conv_col: str = "conv_id",
+    node_col: str = "node_id",
+    parent_col: str = "parent_id",
+    children_col: str = "child_ids",
+    parent_verify_types: DataFrame | None = None,
+    node_type_col: str = "node_type",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(per_conv, rejects)``:
+
+    per_conv: (conv_id, n_nodes, n_dup_nodes, dup_mismatch, verified)
+    rejects:  parentVerifySet violations (non-empty child_ids on a
+              backward-link-only node type).
+    """
+    # -- duplicates: canonical = first by node order within (conv,node)
+    w_dup = Window.partitionBy(conv_col, node_col).orderBy(F.col(node_col))
+    flagged = nodes.withColumn("_rn", F.row_number().over(w_dup))
+    canon = flagged.filter(F.col("_rn") == 1).drop("_rn")
+
+    dup_stats = (
+        flagged.groupBy(conv_col, node_col)
+        .agg(
+            F.count("*").alias("_n"),
+            F.count_distinct(F.struct(parent_col, children_col)).alias("_distinct"),
+        )
+        .groupBy(conv_col)
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_dup_nodes"),
+            F.max(F.col("_distinct") > 1).alias("dup_mismatch"),
+        )
+    )
+
+    # -- parentVerifySet handling
+    if parent_verify_types is not None:
+        canon = canon.join(
+            F.broadcast(parent_verify_types), on=node_type_col, how="left"
+        )
+        is_pvs = F.col("expected_children").isNotNull()
+        rejects = canon.filter(is_pvs & (F.size(F.coalesce(F.col(children_col), F.array())) > 0)).select(
+            conv_col, node_col, F.lit("parent_verify_set_nonempty_children").alias("reject_reason")
+        )
+    else:
+        canon = canon.withColumn("expected_children", F.lit(None).cast("int"))
+        is_pvs = F.lit(False)
+        rejects = canon.limit(0).select(
+            F.col(conv_col), F.col(node_col), F.lit("").alias("reject_reason")
+        )
+
+    # -- edge sets (canonical nodes only, like the reference's node map)
+    fwd = canon.select(
+        F.col(conv_col),
+        F.col(node_col).alias("parent"),
+        F.explode(children_col).alias("child"),
+    ).withColumn("fwd", F.lit(True))
+    bwd = canon.filter((F.col(parent_col).isNotNull()) & (F.col(parent_col) != "")).select(
+        F.col(conv_col),
+        F.col(parent_col).alias("parent"),
+        F.col(node_col).alias("child"),
+    ).withColumn("bwd", F.lit(True))
+
+    balance = fwd.join(bwd, [conv_col, "parent", "child"], "full_outer").select(
+        conv_col,
+        "parent",
+        "child",
+        F.coalesce("fwd", F.lit(False)).alias("fwd"),
+        F.coalesce("bwd", F.lit(False)).alias("bwd"),
+    )
+
+    # parentVerifySet parents: skip the fwd requirement, count backward kids
+    pvs_parents = canon.filter(is_pvs).select(
+        F.col(conv_col), F.col(node_col).alias("parent"), "expected_children"
+    )
+    balance = balance.join(F.broadcast(pvs_parents.select(conv_col, "parent").withColumn("_pvs", F.lit(True))),
+                           [conv_col, "parent"], "left")
+    edge_ok = F.when(F.col("_pvs"), F.col("bwd")).otherwise(F.col("fwd") & F.col("bwd"))
+
+    # dangling parents: backward edge whose parent is not a real node
+    real_parents = canon.select(F.col(conv_col), F.col(node_col).alias("parent")).withColumn(
+        "_real", F.lit(True)
+    )
+    balance = balance.join(real_parents, [conv_col, "parent"], "left")
+    edge_ok = edge_ok & F.coalesce(F.col("_real"), F.lit(False))
+
+    per_conv_edges = balance.groupBy(conv_col).agg(
+        F.min(edge_ok).alias("_edges_ok")
+    )
+
+    # parentVerifySet count rule
+    pvs_counts = (
+        balance.filter(F.col("_pvs") & F.col("bwd"))
+        .groupBy(conv_col, "parent")
+        .agg(F.count_distinct("child").alias("_nkids"))
+        .join(pvs_parents, [conv_col, "parent"])
+        .groupBy(conv_col)
+        .agg(F.min(F.col("_nkids") == F.col("expected_children")).alias("_pvs_ok"))
+    )
+
+    per_conv = (
+        dup_stats.join(per_conv_edges, conv_col, "left")
+        .join(pvs_counts, conv_col, "left")
+        .select(
+            conv_col,
+            "n_nodes",
+            "n_dup_nodes",
+            F.coalesce("dup_mismatch", F.lit(False)).alias("dup_mismatch"),
+            (
+                F.coalesce(F.col("_edges_ok"), F.lit(True))
+                & F.coalesce(F.col("_pvs_ok"), F.lit(True))
+            ).alias("verified"),
+        )
+    )
+    return per_conv, rejects
+
+
+def chain_verify(
+    parsed: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    id_col: str = "event_id",
+    parent_col: str = "parent_event_id",
+) -> DataFrame:
+    """Straight-line specialization over parsed transcripts: a
+    conversation is verified iff every parseable non-first turn's
+    parent id equals the previous parseable turn's id AND no turn
+    failed to parse (a garbled turn breaks the chain — the missing-node
+    case). One window over the same conv_id partitioning."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    prev_id = F.lag(id_col).over(w)
+    link_ok = F.when(F.row_number().over(w) == 1, F.col(parent_col) == "").otherwise(
+        F.col(parent_col) == prev_id
+    )
+    per_row = parsed.withColumn("_link_ok", link_ok & F.col("parse_ok"))
+    return per_row.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.min("_link_ok").alias("verified"),
+    )

@@ -1,0 +1,151 @@
+"""The full DAG: parse → enrich → verify → sequence → route → aggregate.
+
+One Catalyst plan end-to-end with exactly ONE data shuffle (on conv_id,
+shared by the verify window and the sequence window — same partitioning
+expression, so Exchange reuse keeps it to a single exchange) plus the
+tiny metric aggregations. Dims broadcast. The routed output is written
+once, dynamic-partitioned by sink (no per-sink re-scan).
+
+This is the lifecycle contrast documented in SURVEY §3.5; the stages
+correspond 1:1 to the reference's three services plus routing/metrics.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import datagen
+from ..operators import aggregate as agg_op
+from ..operators import enrich as enrich_op
+from ..operators import parse as parse_op
+from ..operators import route as route_op
+from ..operators import sequence as seq_op
+from ..operators import verify as verify_op
+from ..sources.catalog import Catalog
+from ..sources.manifest import RunManifest
+
+KNOWN_SINKS = [
+    "sink_search", "sink_code", "sink_db", "sink_misc",
+    "sink_user", "sink_assistant", "sink_tool",
+]
+
+OUTPUT_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "sink",
+    "event_id", "event_type", "parent_event_id",
+    "job_name", "application_name",
+    "previous_event_ids", "verified", "sequenceable", "is_duplicate",
+    "text",
+]
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the reference's AppConfig surface
+    (Server/setupServers.go:80-139; Sequencer config sequencer.go:182-251)."""
+
+    out_root: str = "/tmp/otel2pv_out"
+    use_pandas_parse: bool = False
+    seq_array_mode: bool = True            # outputAppSequenceFieldType, sequencer.go:251
+    seq_out_col: str = "previous_event_ids"
+    seq_id_map_col: str | None = None      # outputAppFieldSequenceIdMap
+    gap_reset: bool = True
+    group_applies: list[tuple[str, str, str]] = field(default_factory=list)
+    # (share_col, identifying_col, identifying_value) — sequencer.go:124-170
+    salt_partitions: int | None = None     # pre-shuffle salt for order-free stages
+    run_id: str | None = None
+
+
+def build_sequenced(
+    transcripts: DataFrame,
+    tool_meta: DataFrame,
+    role_meta: DataFrame,
+    cfg: PipelineConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """Pure (lazy) plan: returns (sequenced_routable, rejects)."""
+    parsed = parse_op.parse(transcripts, use_pandas=cfg.use_pandas_parse)
+    good, parse_rejects = parse_op.split_rejects(parsed)
+
+    enriched = enrich_op.enrich(good, tool_meta, role_meta)
+
+    # per-conv verification flag (straight-line chain form), joined back
+    # on the same conv_id partitioning
+    ver = verify_op.chain_verify(parsed).select("conv_id", "verified")
+    enriched = enriched.join(ver, "conv_id", "left")
+
+    seq = seq_op.sequence_window(
+        enriched,
+        seq_id_map_col=cfg.seq_id_map_col,
+        out_col=cfg.seq_out_col,
+        array_mode=cfg.seq_array_mode,
+        gap_reset=cfg.gap_reset,
+        dup_compare_cols=("role", "text", "tool"),
+    )
+    for share, ident, value in cfg.group_applies:
+        seq = seq_op.group_applies(seq, share, ident, value)
+
+    routable, route_rejects = route_op.route(seq, KNOWN_SINKS)
+    routable = routable.select(*OUTPUT_COLS)
+
+    rejects = parse_rejects.select(
+        "conv_id", "turn_idx", "text", "reject_reason"
+    ).unionByName(
+        route_rejects.select("conv_id", "turn_idx", "text", "reject_reason")
+    )
+    return routable, rejects
+
+
+def run(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+) -> dict:
+    """Execute + persist all outputs; resumable via the run manifest."""
+    run_id = cfg.run_id or uuid.uuid4().hex[:12]
+    cat = Catalog(spark, cfg.out_root)
+    man = RunManifest(cfg.out_root, run_id)
+    t0 = time.time()
+
+    tool_meta = datagen.tool_meta(spark)
+    role_meta = datagen.role_meta(spark)
+
+    routable, rejects = build_sequenced(transcripts, tool_meta, role_meta, cfg)
+
+    # Sequencing output feeds three writes (fanout, metrics, lineage) —
+    # materialize it once. On a cluster this would be an Iceberg staging
+    # table; locally persist() suffices.
+    routable = routable.persist()
+    try:
+        n_rows = 0
+        if not man.is_committed("fanout"):
+            route_op.write_fanout(routable, cat.path("sequenced_events"))
+            man.commit("fanout", {"path": cat.path("sequenced_events")})
+        if not man.is_committed("rejects"):
+            cat.write(rejects, "rejects")
+            man.commit("rejects")
+        if not man.is_committed("metrics"):
+            cat.write(agg_op.metrics(routable, run_id), "_metrics")
+            man.commit("metrics")
+        if not man.is_committed("lineage"):
+            cat.write(agg_op.lineage(routable, run_id, "sequence"), "_lineage")
+            man.commit("lineage")
+        n_rows = routable.count()
+    finally:
+        routable.unpersist()
+
+    wall = time.time() - t0
+    return {
+        "run_id": run_id,
+        "rows": n_rows,
+        "wall_sec": wall,
+        "turns_per_sec": n_rows / wall if wall > 0 else 0.0,
+        "committed": man.committed_steps(),
+    }
+
+
+def run_from_events(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -> dict:
+    return run(spark, datagen.transcripts_from_events(spark, sf_dir), cfg)

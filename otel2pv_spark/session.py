@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode stands in for the multi-executor cluster: the same configs
+(AQE, shuffle partitions ~ cores, Arrow batches) are what we would pass
+to spark-submit on a 1000-executor cluster, with shuffle.partitions
+sized to total cores × 2-3 there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "otel2pv_spark",
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this pipeline.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else 32).
+    ``shuffle_partitions`` defaults to the local core count — for a real
+    cluster pass cores×2-3 instead (AQE coalesces the excess).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
+        shuffle_partitions = 32 if inner == "*" else max(8, int(inner))
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # wide text rows: keep scan partitions modest so executors don't OOM
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

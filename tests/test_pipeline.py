@@ -1,0 +1,98 @@
+"""End-to-end pipeline tests on the driver's sf0.001 events table and
+the synthetic generator, including a DuckDB cross-check of the portable
+transcripts derivation (the foundation the oracle queries stand on)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from otel2pv_spark import datagen
+from otel2pv_spark.plans import pipeline
+from otel2pv_spark.portable_sql import with_transcripts
+
+
+def test_transcripts_derivation_matches_duckdb(spark, sf_dir):
+    """Spark and DuckDB must produce the identical transcripts table
+    from the same events parquet + the same portable SQL."""
+    sdf = datagen.transcripts_from_events(spark, sf_dir)
+    srows = sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, str(r.ts))
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    drows = sorted(
+        (r[0], r[1], r[2], r[3], r[4], str(r[5]))
+        for r in con.execute(with_transcripts("SELECT * FROM transcripts")).fetchall()
+    )
+    assert len(srows) == len(drows) and srows == drows
+
+
+def test_transcripts_shape(spark, sf_dir):
+    df = datagen.transcripts_from_events(spark, sf_dir)
+    assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    n = df.count()
+    assert n == 1000  # one row per event at sf0.001
+    # dense unique turn_idx per conv
+    dup = df.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    cfg = pipeline.PipelineConfig(out_root=str(tmp_path / "out"))
+    res = pipeline.run_from_events(spark, sf_dir, cfg)
+    assert res["rows"] > 0
+    out = spark.read.parquet(str(tmp_path / "out" / "sequenced_events"))
+    # every routable row landed in exactly one sink partition
+    assert out.count() == res["rows"]
+    assert set(r.sink for r in out.select("sink").distinct().collect()) <= set(
+        pipeline.KNOWN_SINKS
+    )
+    # metrics match the fanout
+    met = spark.read.parquet(str(tmp_path / "out" / "_metrics"))
+    agg = {r.sink: r.rows for r in met.collect()}
+    actual = {r.sink: r["count"] for r in out.groupBy("sink").count().collect()}
+    assert agg == actual
+    # rejects hold the malformed rows
+    rej = spark.read.parquet(str(tmp_path / "out" / "rejects"))
+    assert rej.filter("reject_reason = 'invalid_parse'").count() > 0
+    # parse + rejects partition the input
+    assert res["rows"] + rej.count() == 1000
+
+
+def test_prev_links_straightline(spark, sf_dir, tmp_path):
+    """Turn k's previous_event_ids == [id of turn k-1] within clean
+    conversations; turn 0 has null; turn after a garbled turn has null
+    (gap reset, sequencer.go:519-529,761-763 analog)."""
+    cfg = pipeline.PipelineConfig(out_root=str(tmp_path / "out"))
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    tm, rm = datagen.tool_meta(spark), datagen.role_meta(spark)
+    routable, _ = pipeline.build_sequenced(tr, tm, rm, cfg)
+    rows = routable.filter(F.col("sequenceable")).collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, {})[r.turn_idx] = r
+    checked = 0
+    for conv, turns in by_conv.items():
+        for k, r in turns.items():
+            prev = r.previous_event_ids
+            if k == 0 or (k - 1) not in turns:
+                assert prev is None, (conv, k, prev)
+            else:
+                assert prev == [f"{conv}:{k-1}"], (conv, k, prev)
+                checked += 1
+    assert checked > 100
+
+
+def test_synth_generator_deterministic(spark):
+    a = datagen.synth_transcripts(spark, n_convs=50, avg_turns=8).collect()
+    b = datagen.synth_transcripts(spark, n_convs=50, avg_turns=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # hot conversation skew fixture present
+    df = datagen.synth_transcripts(spark, n_convs=50, avg_turns=8, hot_convs=1)
+    sizes = {r.conv_id: r["count"] for r in df.groupBy("conv_id").count().collect()}
+    assert max(sizes.values()) == 800  # 100× avg
