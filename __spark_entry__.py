@@ -1,38 +1,272 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every pipeline operator from SURVEY.md §2 gets a queries() entry whose
+input is the ``transcripts`` table derived deterministically from the
+driver's ``events`` parquet via the dialect-portable SQL in
+``otel2pv_spark.portable_sql`` — so the DuckDB oracle reproduces the
+exact same input and the comparison checks the OPERATOR, not the data.
+
+Spark side = DataFrame operators (otel2pv_spark.operators.*);
+oracle side = independently-written DuckDB SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from otel2pv_spark import datagen  # noqa: E402
+from otel2pv_spark.operators import enrich as enrich_op  # noqa: E402
+from otel2pv_spark.operators import parse as parse_op  # noqa: E402
+from otel2pv_spark.operators import sequence as seq_op  # noqa: E402
+from otel2pv_spark.operators import verify as verify_op  # noqa: E402
+from otel2pv_spark.plans import pipeline  # noqa: E402
+from otel2pv_spark.portable_sql import (  # noqa: E402
+    PARSED_CTE,
+    ROLE_META_CTE,
+    TOOL_META_CTE,
+    with_transcripts,
+)
+
+PARSE_COLS = [
+    "conv_id", "turn_idx", "event_type", "event_id", "parent_event_id",
+    "job_name", "application_name", "body",
+]
 
 
+# ---------------------------------------------------------------- helpers
+def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datagen.transcripts_from_events(spark, sf_dir)
+
+
+def _parsed_good(spark: SparkSession, sf_dir: str) -> DataFrame:
+    good, _ = parse_op.split_rejects(parse_op.parse(_tr(spark, sf_dir)))
+    return good
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_op.enrich(
+        _parsed_good(spark, sf_dir), datagen.tool_meta(spark), datagen.role_meta(spark)
+    )
+
+
+# ---------------------------------------------------------------- queries
+def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P5: fused multi-rule grok extraction (native path)."""
+    return _parsed_good(spark, sf_dir).select(*PARSE_COLS)
+
+
+def q_parse_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 via the vectorized pandas-UDF grok path — must agree with the
+    native path AND the oracle."""
+    df = parse_op.parse(_tr(spark, sf_dir), use_pandas=True)
+    return df.filter(F.col("parse_ok")).select(*PARSE_COLS)
+
+
+def q_parse_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/P4: invalid rows → rejects (DLQ analog)."""
+    _, bad = parse_op.split_rejects(parse_op.parse(_tr(spark, sf_dir)))
+    return bad.select("conv_id", "turn_idx", "text", "reject_reason")
+
+
+def q_enrich_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + K4 routing column via broadcast joins."""
+    return _enriched(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool",
+        "tool_category", "owner", "role_kind", "sink",
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-sink aggregate counts — the primary correctness anchor."""
+    return (
+        _enriched(spark, sf_dir)
+        .groupBy("sink")
+        .agg(F.count("*").alias("rows"), F.count_distinct("conv_id").alias("convs"))
+    )
+
+
+def q_sequence_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7(a)/Q9/Q10/Q8: window sequencer, string mode, gap reset."""
+    df = seq_op.sequence_window(
+        _parsed_good(spark, sf_dir), out_col="prev_event_id", array_mode=False
+    )
+    return df.select("conv_id", "turn_idx", "event_id", "prev_event_id", "sequenceable")
+
+
+def q_sequence_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/Q1/Q11: equal duplicates — canonical chain preserved, dup rows
+    flagged and inheriting the same prev."""
+    tr = _tr(spark, sf_dir)
+    tr = tr.unionByName(tr.filter(F.col("turn_idx") == 5))
+    good, _ = parse_op.split_rejects(parse_op.parse(tr))
+    df = seq_op.sequence_window(
+        good, out_col="prev_event_id", array_mode=False,
+        dup_compare_cols=("role", "text", "tool"),
+    )
+    return df.select(
+        "conv_id", "turn_idx", "event_id", "prev_event_id", "is_duplicate", "sequenceable"
+    )
+
+
+def q_chain_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G3 straight-line specialization: per-conversation verified flag."""
+    return verify_op.chain_verify(parse_op.parse(_tr(spark, sf_dir)))
+
+
+def q_group_applies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 groupApplies: first 'error'-typed turn donates job_name to the
+    whole conversation."""
+    df = seq_op.group_applies(
+        _parsed_good(spark, sf_dir), "job_name", "event_type", "error"
+    )
+    return df.select("conv_id", "turn_idx", "event_id", "job_name")
+
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-DAG end-to-end: per-sink counts of the routed+sequenced
+    output (what _metrics materializes)."""
+    routable, _ = pipeline.build_sequenced(
+        _tr(spark, sf_dir), datagen.tool_meta(spark), datagen.role_meta(spark),
+        pipeline.PipelineConfig(),
+    )
+    return routable.groupBy("sink").agg(F.count("*").alias("rows"))
+
+
+# ------------------------------------------------------------- oracle SQL
+_W = "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["parse_extract"] = with_transcripts(
+    f"SELECT {', '.join(PARSE_COLS)} FROM parsed WHERE parse_ok",
+    [PARSED_CTE],
+)
+ORACLES["parse_extract_pandas"] = ORACLES["parse_extract"]
+
+ORACLES["parse_rejects"] = with_transcripts(
+    "SELECT conv_id, turn_idx, text, 'invalid_parse' AS reject_reason "
+    "FROM parsed WHERE NOT parse_ok",
+    [PARSED_CTE],
+)
+
+_ENRICHED_CTE = f"""enriched AS (
+  SELECT p.*, t.tool_category, t.owner, t.tool_sink, r.role_kind, r.default_sink,
+         CASE WHEN p.tool <> '' AND t.tool_sink IS NOT NULL THEN t.tool_sink
+              ELSE r.default_sink END AS sink
+  FROM parsed p
+  LEFT JOIN tool_meta t ON p.tool = t.tool
+  LEFT JOIN role_meta r ON p.role = r.role
+  WHERE p.parse_ok
+)"""
+
+ORACLES["enrich_route"] = with_transcripts(
+    "SELECT conv_id, turn_idx, role, tool, tool_category, owner, role_kind, sink "
+    "FROM enriched",
+    [PARSED_CTE, TOOL_META_CTE, ROLE_META_CTE, _ENRICHED_CTE],
+)
+
+ORACLES["route_counts"] = with_transcripts(
+    "SELECT sink, count(*) AS rows, count(DISTINCT conv_id) AS convs "
+    "FROM enriched GROUP BY sink",
+    [PARSED_CTE, TOOL_META_CTE, ROLE_META_CTE, _ENRICHED_CTE],
+)
+
+ORACLES["sequence_prev"] = with_transcripts(
+    f"""SELECT conv_id, turn_idx, event_id,
+       CASE WHEN turn_idx - lag(turn_idx) OVER w = 1 THEN lag(event_id) OVER w END
+         AS prev_event_id,
+       TRUE AS sequenceable
+FROM parsed WHERE parse_ok {_W}""",
+    [PARSED_CTE],
+)
+
+ORACLES["sequence_dups"] = with_transcripts(
+    """SELECT b.conv_id, b.turn_idx, b.event_id, c.prev_event_id,
+       row_number() OVER (PARTITION BY b.conv_id, b.event_id ORDER BY b.turn_idx) > 1
+         AS is_duplicate,
+       TRUE AS sequenceable
+FROM base b
+JOIN chain c ON b.conv_id = c.conv_id AND b.turn_idx = c.turn_idx""",
+    [
+        PARSED_CTE,
+        """base AS (
+  SELECT * FROM parsed WHERE parse_ok
+  UNION ALL SELECT * FROM parsed WHERE parse_ok AND turn_idx = 5
+)""",
+        """canon AS (SELECT DISTINCT conv_id, turn_idx, event_id FROM base)""",
+        """chain AS (
+  SELECT conv_id, turn_idx, event_id,
+         CASE WHEN turn_idx - lag(turn_idx) OVER w = 1 THEN lag(event_id) OVER w END
+           AS prev_event_id
+  FROM canon WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)""",
+    ],
+)
+
+ORACLES["chain_verify"] = with_transcripts(
+    """SELECT conv_id, count(*) AS n_turns,
+       min(CASE WHEN rn = 1 THEN parent_event_id = ''
+                ELSE parent_event_id = prev_id END AND parse_ok) AS verified
+FROM (
+  SELECT conv_id, parse_ok, parent_event_id,
+         row_number() OVER w AS rn, lag(event_id) OVER w AS prev_id
+  FROM parsed WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+GROUP BY conv_id""",
+    [PARSED_CTE],
+)
+
+ORACLES["group_applies"] = with_transcripts(
+    """SELECT conv_id, turn_idx, event_id,
+       coalesce(
+         first_value(CASE WHEN event_type = 'error' AND job_name <> ''
+                          THEN job_name END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         job_name) AS job_name
+FROM parsed WHERE parse_ok""",
+    [PARSED_CTE],
+)
+
+ORACLES["pipeline_sink_counts"] = with_transcripts(
+    "SELECT sink, count(*) AS rows FROM enriched GROUP BY sink",
+    [PARSED_CTE, TOOL_META_CTE, ROLE_META_CTE, _ENRICHED_CTE],
+)
+
+
+# ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline plan at sf0.001, routed+sequenced rows."""
+    routable, _ = pipeline.build_sequenced(
+        _tr(spark, "/root/testdata/sf0.001"),
+        datagen.tool_meta(spark),
+        datagen.role_meta(spark),
+        pipeline.PipelineConfig(),
+    )
+    return routable
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_extract": q_parse_extract,
+        "parse_extract_pandas": q_parse_extract_pandas,
+        "parse_rejects": q_parse_rejects,
+        "enrich_route": q_enrich_route,
+        "route_counts": q_route_counts,
+        "sequence_prev": q_sequence_prev,
+        "sequence_dups": q_sequence_dups,
+        "chain_verify": q_chain_verify,
+        "group_applies": q_group_applies,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

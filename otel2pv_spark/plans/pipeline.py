@@ -110,6 +110,19 @@ def run(
     man = RunManifest(cfg.out_root, run_id)
     t0 = time.time()
 
+    steps = ("fanout", "rejects", "metrics", "lineage")
+    if all(man.is_committed(s) for s in steps):
+        # fully-resumed run: nothing to recompute — answer from _metrics
+        n_rows = sum(r.rows for r in cat.read("_metrics").collect())
+        return {
+            "run_id": run_id,
+            "rows": n_rows,
+            "wall_sec": time.time() - t0,
+            "turns_per_sec": 0.0,
+            "committed": man.committed_steps(),
+            "resumed": True,
+        }
+
     tool_meta = datagen.tool_meta(spark)
     role_meta = datagen.role_meta(spark)
 
