@@ -254,7 +254,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from otel2pv_spark import entry_queries
+
+    out = {
         "parse_extract": q_parse_extract,
         "parse_extract_pandas": q_parse_extract_pandas,
         "parse_rejects": q_parse_rejects,
@@ -266,7 +268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_applies": q_group_applies,
         "pipeline_sink_counts": q_pipeline_sink_counts,
     }
+    out.update(entry_queries.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    from otel2pv_spark import entry_queries
+
+    out = dict(ORACLES)
+    out.update(entry_queries.ORACLES)
+    return out

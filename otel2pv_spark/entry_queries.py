@@ -1,0 +1,334 @@
+"""Training-data-op queries + DuckDB oracles for the driver contract.
+
+Each Spark query is built from the DataFrame operators in
+``functions/``; each oracle is an independently-written DuckDB SQL
+program over the same parquet views. Deduplication queries run over a
+deterministic duplicate fixture derived from ``documents`` (the driver
+corpus has no native dups): exact copies for doc_id%7==0 (+100000) and
+near-copies with an appended tail for doc_id%11==0 (+200000).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dedup as dd
+from .functions import multimodal as mm
+from .functions import similarity as sim
+from .functions import textstats as ts
+
+NEAR_TAIL = " near duplicate tail marker tokens"
+
+
+def docs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- queries
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(docs_fixture(spark, sf_dir))
+
+
+def q_dedup_exact_flags(spark, sf_dir):
+    return dd.exact_dedup_keep_first(docs_fixture(spark, sf_dir)).select(
+        "doc_id", "is_duplicate"
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_candidates(docs_fixture(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash(docs_fixture(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(docs_fixture(spark, sf_dir), threshold=0.5)
+
+
+def q_text_token_count(spark, sf_dir):
+    return ts.token_count(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return ts.quality_score(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    return ts.lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return ts.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.lsh_buckets(emb, sim.make_anchors(emb, 4))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), sim.make_anchors(emb, 4), k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.embedding_neardup_pairs(emb, sim.make_anchors(emb, 4), threshold=0.9)
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    return mm.media_metadata(mm.attach_fake_media(_docs(spark, sf_dir)))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction — no SQL oracle (rows-only check);
+    determinism asserted in pytest."""
+    return mm.extract_features(mm.attach_fake_media(_docs(spark, sf_dir)))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_flags": q_dedup_exact_flags,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+# ------------------------------------------------------------- oracles
+_DOCS_CTE = f"""docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 200000, text || '{NEAR_TAIL}' FROM documents WHERE doc_id % 11 = 0
+)"""
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_SHINGLES3 = (
+    "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
+)
+
+_HASH = "(('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 8)))::BIGINT"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["dedup_exact"] = f"""WITH {_DOCS_CTE}
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM docs GROUP BY md5(text)"""
+
+ORACLES["dedup_exact_flags"] = f"""WITH {_DOCS_CTE}
+SELECT doc_id,
+       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
+FROM docs"""
+
+_SHINGLE_CTE = f"""tok AS (
+  SELECT doc_id, {_TOKS} AS w FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM tok)
+)"""
+
+ORACLES["dedup_minhash_lsh"] = f"""WITH {_DOCS_CTE},
+{_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, i, min({_HASH}) AS minhash
+  FROM sh, range(0, 12) r(i)
+  GROUP BY doc_id, i
+),
+banded AS (
+  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))), ',')) AS band_key
+  FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id"""
+
+ORACLES["dedup_simhash"] = f"""WITH {_DOCS_CTE},
+tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS shingle FROM docs
+),
+hashed AS (
+  SELECT doc_id, (('0x' || substr(md5(shingle || '#0'), 1, 8)))::BIGINT AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, range(0, 32) r(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id"""
+
+ORACLES["dedup_ngram_jaccard"] = f"""WITH {_DOCS_CTE},
+{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.5"""
+
+ORACLES["text_token_count"] = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+       len(list_distinct({_TOKS})) AS n_unique_tokens
+FROM documents"""
+
+_EN = "['the','and','of','to','in','is','that','with']"
+_DE = "['der','die','das','und','ist','nicht','mit','ein']"
+_ES = "['el','la','los','las','que','es','con','una']"
+_FR = "['le','la','les','et','est','que','des','une']"
+
+ORACLES["text_quality"] = f"""WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS w,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, n_punct,
+         len(w) AS n_tokens,
+         len(list_filter(w, x -> list_contains({_EN}, x))) AS stop,
+         len(list_distinct(w)) AS uniq
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
+       round(uniq / greatest(n_tokens, 1), 4) AS unique_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (stop / greatest(n_tokens, 1)) * 0.3
+             + (uniq / greatest(n_tokens, 1)) * 0.3, 4) AS quality
+FROM m"""
+
+ORACLES["text_langid"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), c AS (
+  SELECT doc_id,
+         len(list_filter(w, x -> list_contains({_EN}, x))) AS n_en,
+         len(list_filter(w, x -> list_contains({_DE}, x))) AS n_de,
+         len(list_filter(w, x -> list_contains({_ES}, x))) AS n_es,
+         len(list_filter(w, x -> list_contains({_FR}, x))) AS n_fr
+  FROM t
+)
+SELECT doc_id, n_en, n_de, n_es, n_fr,
+       CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+            WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+            WHEN n_es >= n_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM c"""
+
+ORACLES["text_fingerprint"] = f"""
+SELECT doc_id,
+       md5(text) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS token_set_hash
+FROM documents"""
+
+_V = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+_COS = (
+    "list_dot_product(v.e, q.qe) / "
+    "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))"
+)
+
+ORACLES["ann_cosine_topk"] = f"""WITH {_V},
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+p AS (
+  SELECT q.qid, v.vec_id AS vid, {_COS} AS s
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+)
+SELECT qid AS query_id, vid AS neighbor_id, round(s, 4) AS cosine, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM p)
+WHERE rank <= 5"""
+
+_BUCKETS_CTE = f"""{_V},
+anch AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS anchor_rank, e AS ae
+  FROM v ORDER BY vec_id LIMIT 4
+),
+buckets AS (
+  SELECT v.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(v.e, anch.ae) > 0
+                       THEN (1 << anchor_rank) ELSE 0 END) AS INT) AS bucket
+  FROM v CROSS JOIN anch GROUP BY v.vec_id
+)"""
+
+ORACLES["ann_lsh_buckets"] = f"""WITH {_BUCKETS_CTE}
+SELECT vec_id, bucket FROM buckets"""
+
+ORACLES["ann_lsh_topk"] = f"""WITH {_BUCKETS_CTE},
+corpus AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN buckets b USING (vec_id)),
+q AS (SELECT vec_id AS qid, e AS qe, bucket FROM corpus WHERE vec_id < 8),
+p AS (
+  SELECT q.qid, v.vec_id AS vid,
+         list_dot_product(v.e, q.qe) /
+         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS s
+  FROM corpus v JOIN q ON v.bucket = q.bucket AND v.vec_id <> q.qid
+)
+SELECT qid AS query_id, vid AS neighbor_id, round(s, 4) AS cosine, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM p)
+WHERE rank <= 5"""
+
+ORACLES["embedding_neardup"] = f"""WITH {_BUCKETS_CTE},
+corpus AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN buckets b USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS s
+  FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(s, 4) AS cosine FROM p WHERE s >= 0.9"""
+
+ORACLES["multimodal_metadata"] = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS media_format,
+       CAST(doc_id % 16 + 16 AS INT) AS media_width,
+       CAST(doc_id % 9 + 9 AS INT) AS media_height,
+       CAST(octet_length(unhex(md5(text))) AS INT) AS media_n_bytes
+FROM documents"""
+
+# multimodal_features: intentionally NO oracle (mapInPandas kernel) —
+# the driver records the weaker rows-only check; pytest asserts
+# determinism and batch shape.

@@ -1,0 +1,185 @@
+"""Deduplication operators for a training-data pipeline over `documents`.
+
+All pure DataFrame ops (JVM-side, whole-stage codegen); the only hash
+primitive is md5 (available identically in DuckDB for the oracle).
+
+Scale shapes:
+- exact: one shuffle on the content hash; map-side partial agg.
+- minhash-LSH: explode-shingles → per-(doc,hash-index) min (one
+  shuffle) → band keys → self-join on band bucket (shuffle on band
+  key, bounded by bucket sizes — the whole point of LSH is that
+  buckets are small; a hot bucket = genuinely duplicate-heavy content
+  and AQE skew-join splits it).
+- simhash: shingle→bit explode is a flatMap (no shuffle) + one agg.
+- ngram-jaccard: exact verification for candidate pairs; quadratic in
+  bucket size, so at 100 TB it runs AFTER LSH candidate generation,
+  never all-pairs (all-pairs mode is for tests/small corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(col="text"):
+    return F.filter(F.split(F.lower(F.col(col)), TOKEN_SPLIT), lambda w: w != "")
+
+
+def shingles(tok_col, n: int):
+    """Overlapping word n-grams, space-joined."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact content dedup via md5 hash-groupBy: one row per distinct
+    content with group size and canonical (min) id."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Row-level form: flag non-canonical copies."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("is_duplicate", F.row_number().over(w) > 1)
+
+
+def _hash_shingle(shingle_col, i_col):
+    """Deterministic 32-bit hash family: int(md5(shingle '#' i)[:8], 16).
+    Identical in DuckDB as ('0x'||substr(md5(s||'#'||i),1,8))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", shingle_col, i_col.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(id, hash_index, minhash) — long form, one shuffle."""
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
+    exploded = sh.select(id_col, "shingle", idx)
+    return (
+        exploded.withColumn("h", _hash_shingle(F.col("shingle"), F.col("i")))
+        .groupBy(id_col, "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+    Band key = md5 of the band's minhash values."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = (
+        sig.withColumn("band", F.floor(F.col("i") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("i").cast("string"), F.col("minhash").cast("string"))
+        )))).alias("band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash fingerprint over token occurrences (frequency-
+    weighted): bit b set iff sum over tokens of ±1 (by token-hash bit b)
+    is positive."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("h", _hash_shingle(F.col("tok"), F.lit(0)))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    contrib = tok.select(id_col, "h", bit).withColumn(
+        "w", F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+    )
+    return (
+        contrib.groupBy(id_col, "b")
+        .agg(F.sum("w").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    With ``candidates`` (e.g. from LSH) the join is restricted to those
+    pairs — the scale path. Without, all-pairs via shared-shingle join
+    (test/small-corpus mode only)."""
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and an LSH
+(random-hyperplane, data-derived anchors) bucketed variant as the scale
+path. All math in doubles via built-in higher-order functions
+(F.zip_with / F.aggregate) — JVM-side, no Python in the loop.
+
+Scale shapes:
+- brute force: broadcast the (small) query set, one pass over the
+  corpus, per-partition top-k via window. Fine for |Q| small; at
+  100 TB the corpus scan is embarrassingly parallel and shuffle is
+  only the final top-k per query (tiny).
+- LSH buckets: anchors broadcast; bucket assignment is a projection
+  (no shuffle); candidate join co-partitions on bucket id. An IVF
+  variant would replace sign-buckets with nearest-centroid buckets —
+  same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding self).
+
+    ``queries``: (query_id, query_vec) — broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (_norm(F.col(vec_col)) * _norm(F.col("qvec")))
+    scored = pairs.withColumn("sim", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("sim", round_to).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH with DATA-DERIVED anchors (first H corpus
+    vectors) so the transform is deterministic with no RNG: bucket =
+    sum over anchors of sign-bit << anchor_rank."""
+    a = anchors.select(
+        F.col("anchor_rank"), F.col(vec_col).alias("avec")
+    )
+    j = df.select(id_col, vec_col).crossJoin(F.broadcast(a))
+    bit = F.when(_dot(F.col(vec_col), F.col("avec")) > 0, F.lit(1)).otherwise(F.lit(0))
+    contrib = j.select(
+        id_col,
+        (bit * F.expr("shiftleft(1, anchor_rank)")).alias("bitval"),
+    )
+    return contrib.groupBy(id_col).agg(F.sum("bitval").cast("int").alias("bucket"))
+
+
+def make_anchors(df: DataFrame, h: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """First h vectors by id as hyperplane anchors (deterministic)."""
+    w = Window.orderBy(id_col)
+    return (
+        df.select(id_col, vec_col)
+        .withColumn("anchor_rank", F.row_number().over(w) - 1)
+        .filter(F.col("anchor_rank") < h)
+        .select("anchor_rank", vec_col)
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket,
+    then exact cosine within the bucket."""
+    buckets = lsh_buckets(df, anchors, id_col, vec_col)
+    corpus = df.join(buckets, id_col)
+    qb = queries.join(buckets, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "bucket",
+    )
+    cand = corpus.join(F.broadcast(qb), "bucket").filter(F.col(id_col) != F.col("query_id"))
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (_norm(F.col(vec_col)) * _norm(F.col("qvec")))
+    scored = cand.withColumn("sim", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("sim", round_to).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    anchors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs
+    sharing a bucket are compared (the scale path for near-dup removal
+    over a corpus of embeddings)."""
+    buckets = lsh_buckets(df, anchors, id_col, vec_col)
+    v = df.join(buckets, id_col)
+    a = v.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = v.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("vec_a"), F.col("vec_b")) / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", round_to).alias("cosine"))
+    )

@@ -1,0 +1,110 @@
+"""Operator-level tests for the training-data functions (dedup /
+similarity / textstats / multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel2pv_spark.entry_queries import docs_fixture
+from otel2pv_spark.functions import dedup as dd
+from otel2pv_spark.functions import multimodal as mm
+from otel2pv_spark.functions import similarity as sim
+
+
+def test_exact_dedup_finds_planted_dups(spark, sf_dir):
+    d = docs_fixture(spark, sf_dir)
+    groups = dd.exact_dedup(d)
+    n_dup_groups = groups.filter("n_docs > 1").count()
+    planted = d.filter("doc_id >= 100000 and doc_id < 200000").count()
+    assert n_dup_groups == planted  # every exact copy forms a 2-group
+
+
+def test_minhash_lsh_recall_on_exact_dups(spark, sf_dir):
+    """Exact duplicates share every shingle → identical signatures →
+    must ALWAYS be candidates (LSH recall 1.0 on identical docs)."""
+    d = docs_fixture(spark, sf_dir)
+    cand = set(
+        (r.doc_a, r.doc_b) for r in dd.minhash_lsh_candidates(d).collect()
+    )
+    exact_pairs = set(
+        (r.doc_id, r.doc_id + 100000)
+        for r in d.filter("doc_id % 7 = 0 and doc_id < 100000").collect()
+    )
+    assert exact_pairs <= cand
+
+
+def test_jaccard_restricted_by_candidates(spark, sf_dir):
+    d = docs_fixture(spark, sf_dir)
+    cand = dd.minhash_lsh_candidates(d)
+    verified = dd.ngram_jaccard_pairs(d, threshold=0.5, candidates=cand)
+    allpairs = dd.ngram_jaccard_pairs(d, threshold=0.5)
+    v = set((r.doc_a, r.doc_b) for r in verified.collect())
+    a = set((r.doc_a, r.doc_b) for r in allpairs.collect())
+    assert v <= a and len(v) > 0
+    # exact dups have jaccard 1.0 and land in both
+    assert all(
+        r.jaccard == 1.0
+        for r in verified.filter(
+            "doc_a < 100000 and doc_a % 7 = 0 and doc_b = doc_a + 100000"
+        ).collect()
+    )
+
+
+def test_simhash_close_for_neardups(spark, sf_dir):
+    d = docs_fixture(spark, sf_dir)
+    sh = {r.doc_id: r.simhash for r in dd.simhash(d).collect()}
+    # exact dup → identical fingerprint
+    base = [k for k in sh if k < 100000 and k % 7 == 0 and k + 100000 in sh]
+    assert base and all(sh[k] == sh[k + 100000] for k in base)
+    # near dup → small hamming distance
+    near = [k for k in sh if k < 100000 and k % 11 == 0 and k + 200000 in sh]
+    hams = [bin(sh[k] ^ sh[k + 200000]).count("1") for k in near]
+    assert near and sum(hams) / len(hams) < 8
+
+
+def test_cosine_topk_self_similarity_excluded(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4]
+        sims = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = sim.make_anchors(emb, 4)
+    buckets = {r.vec_id: r.bucket for r in sim.lsh_buckets(emb, anchors).collect()}
+    out = sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), anchors, k=3).collect()
+    assert out
+    for r in out:
+        assert buckets[r.neighbor_id] == buckets[r.query_id]
+
+
+def test_multimodal_features_deterministic_and_batched(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.attach_fake_media(docs)
+    f1 = {r.doc_id: r.features for r in mm.extract_features(media).collect()}
+    f2 = {r.doc_id: r.features for r in mm.extract_features(media.repartition(7)).collect()}
+    assert f1 == f2  # partitioning-invariant
+    assert all(len(v) == mm.FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= v[0] <= 1.0 for v in f1.values())
+
+
+def test_multimodal_real_decode_is_gated(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"xx", "png")
+
+
+def test_media_column_pruned_for_metadata(spark, sf_dir):
+    """Column pruning: the metadata projection must not carry the
+    binary column through the plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    meta = mm.media_metadata(mm.attach_fake_media(docs))
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    assert "media#" not in plan.split("Project")[0]
