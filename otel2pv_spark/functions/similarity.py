@@ -89,13 +89,17 @@ def lsh_buckets(
 
 
 def make_anchors(df: DataFrame, h: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """First h vectors by id as hyperplane anchors (deterministic)."""
-    w = Window.orderBy(id_col)
-    return (
-        df.select(id_col, vec_col)
-        .withColumn("anchor_rank", F.row_number().over(w) - 1)
-        .filter(F.col("anchor_rank") < h)
-        .select("anchor_rank", vec_col)
+    """First h vectors by id as hyperplane anchors (deterministic).
+
+    Scale note: ``orderBy().limit(h)`` plans as TakeOrderedAndProject —
+    a distributed per-partition top-h merged on the driver, NOT a global
+    single-partition sort. The h vectors are then driver-side constants
+    (the broadcast-variable pattern): anchors are configuration, not
+    data, so collecting h≈4 rows is the correct cluster-scale shape."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(h).collect()
+    data = [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+    return df.sparkSession.createDataFrame(
+        data, f"anchor_rank int, {vec_col} array<double>"
     )
 
 

@@ -60,13 +60,18 @@ class PipelineConfig:
     run_id: str | None = None
 
 
-def build_sequenced(
+def build_stages(
     transcripts: DataFrame,
     tool_meta: DataFrame,
     role_meta: DataFrame,
     cfg: PipelineConfig,
-) -> tuple[DataFrame, DataFrame]:
-    """Pure (lazy) plan: returns (sequenced_routable, rejects)."""
+) -> dict[str, DataFrame]:
+    """Lazy stage plans, exposed individually so the executor can
+    persist the two reused intermediates (``parsed`` feeds the good
+    path, the rejects path AND the verify branch; ``seq`` feeds the
+    fanout write, route-rejects, metrics and lineage — Catalyst does
+    not dedupe shared DataFrame subplans, so without persisting these
+    each consumer would recompute the whole upstream DAG)."""
     parsed = parse_op.parse(transcripts, use_pandas=cfg.use_pandas_parse)
     good, parse_rejects = parse_op.split_rejects(parsed)
 
@@ -88,10 +93,21 @@ def build_sequenced(
     for share, ident, value in cfg.group_applies:
         seq = seq_op.group_applies(seq, share, ident, value)
 
-    routable, route_rejects = route_op.route(seq, KNOWN_SINKS)
+    return {"parsed": parsed, "parse_rejects": parse_rejects, "seq": seq}
+
+
+def build_sequenced(
+    transcripts: DataFrame,
+    tool_meta: DataFrame,
+    role_meta: DataFrame,
+    cfg: PipelineConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """Pure (lazy) plan: returns (sequenced_routable, rejects)."""
+    st = build_stages(transcripts, tool_meta, role_meta, cfg)
+    routable, route_rejects = route_op.route(st["seq"], KNOWN_SINKS)
     routable = routable.select(*OUTPUT_COLS)
 
-    rejects = parse_rejects.select(
+    rejects = st["parse_rejects"].select(
         "conv_id", "turn_idx", "text", "reject_reason"
     ).unionByName(
         route_rejects.select("conv_id", "turn_idx", "text", "reject_reason")
@@ -126,13 +142,39 @@ def run(
     tool_meta = datagen.tool_meta(spark)
     role_meta = datagen.role_meta(spark)
 
-    routable, rejects = build_sequenced(transcripts, tool_meta, role_meta, cfg)
+    st = build_stages(transcripts, tool_meta, role_meta, cfg)
 
-    # Sequencing output feeds three writes (fanout, metrics, lineage) —
-    # materialize it once. On a cluster this would be an Iceberg staging
-    # table; locally persist() suffices.
-    routable = routable.persist()
+    # Two persists, each reused by ≥2 consumers (see build_stages doc):
+    # on a cluster these would be Iceberg staging tables; locally
+    # MEMORY_AND_DISK persist() suffices.
+    parsed = st["parsed"].persist()
+    seq = seq_from = None
     try:
+        # rebuild the downstream plan on TOP of the persisted parsed
+        good, parse_rejects = parse_op.split_rejects(parsed)
+        enriched = enrich_op.enrich(good, tool_meta, role_meta)
+        ver = verify_op.chain_verify(parsed).select("conv_id", "verified")
+        enriched = enriched.join(ver, "conv_id", "left")
+        seq_from = seq_op.sequence_window(
+            enriched,
+            seq_id_map_col=cfg.seq_id_map_col,
+            out_col=cfg.seq_out_col,
+            array_mode=cfg.seq_array_mode,
+            gap_reset=cfg.gap_reset,
+            dup_compare_cols=("role", "text", "tool"),
+        )
+        for share, ident, value in cfg.group_applies:
+            seq_from = seq_op.group_applies(seq_from, share, ident, value)
+        seq = seq_from.persist()
+
+        routable, route_rejects = route_op.route(seq, KNOWN_SINKS)
+        routable = routable.select(*OUTPUT_COLS)
+        rejects = parse_rejects.select(
+            "conv_id", "turn_idx", "text", "reject_reason"
+        ).unionByName(
+            route_rejects.select("conv_id", "turn_idx", "text", "reject_reason")
+        )
+
         n_rows = 0
         if not man.is_committed("fanout"):
             route_op.write_fanout(routable, cat.path("sequenced_events"))
@@ -148,7 +190,9 @@ def run(
             man.commit("lineage")
         n_rows = routable.count()
     finally:
-        routable.unpersist()
+        parsed.unpersist()
+        if seq is not None:
+            seq.unpersist()
 
     wall = time.time() - t0
     return {
