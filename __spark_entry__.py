@@ -254,7 +254,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from otel2pv_spark import entry_queries
+    from otel2pv_spark import entry_queries, tree_queries
 
     out = {
         "parse_extract": q_parse_extract,
@@ -269,12 +269,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_counts": q_pipeline_sink_counts,
     }
     out.update(entry_queries.QUERIES)
+    out.update(tree_queries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from otel2pv_spark import entry_queries
+    from otel2pv_spark import entry_queries, tree_queries
 
     out = dict(ORACLES)
     out.update(entry_queries.ORACLES)
+    out.update(tree_queries.ORACLES)
     return out

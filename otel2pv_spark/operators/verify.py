@@ -46,15 +46,23 @@ def verify_trees(
     children_col: str = "child_ids",
     parent_verify_types: DataFrame | None = None,
     node_type_col: str = "node_type",
+    arrival_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(per_conv, rejects)``:
 
     per_conv: (conv_id, n_nodes, n_dup_nodes, dup_mismatch, verified)
     rejects:  parentVerifySet violations (non-empty child_ids on a
               backward-link-only node type).
+
+    ``arrival_col``: message-arrival order; when given, the canonical
+    copy of a duplicated node is the FIRST arrival, exactly like the
+    reference (groupandverify.go:839-861). Without it the choice among
+    duplicates is arbitrary (fine when payloads are equal).
     """
-    # -- duplicates: canonical = first by node order within (conv,node)
-    w_dup = Window.partitionBy(conv_col, node_col).orderBy(F.col(node_col))
+    # -- duplicates: canonical = first arrival within (conv,node)
+    w_dup = Window.partitionBy(conv_col, node_col).orderBy(
+        F.col(arrival_col) if arrival_col else F.col(node_col)
+    )
     flagged = nodes.withColumn("_rn", F.row_number().over(w_dup))
     canon = flagged.filter(F.col("_rn") == 1).drop("_rn")
 

@@ -139,9 +139,70 @@ PARSE_SELECT = """
 PARSED_CTE = f"parsed AS (\n  SELECT {PARSE_SELECT} FROM transcripts\n)"
 
 
-def with_transcripts(body_sql: str, extra_ctes: list[str] | None = None) -> str:
+def with_transcripts(
+    body_sql: str, extra_ctes: list[str] | None = None, recursive: bool = False
+) -> str:
     """Wrap ``body_sql`` with the transcripts (+optional dims/parse) CTEs."""
     ctes = [TRANSCRIPTS_CTE.strip().rstrip()]
     for c in extra_ctes or []:
         ctes.append(c.strip())
-    return "WITH " + ",\n".join(ctes) + "\n" + body_sql
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    return kw + ",\n".join(ctes) + "\n" + body_sql
+
+
+# ---------------------------------------------------------------------------
+# Tree-node fixture: a deterministic binary tree per conversation over the
+# parsed turns (node at position i has children 2i+1 / 2i+2 below the turn
+# count), with seeded corruptions exercising the GroupAndVerify/Sequencer
+# tree paths (file:line into /root/reference):
+#   - user % 5 == 0  → node at position 3 dropped: its parent's forward
+#     reference dangles and its children become extra roots
+#     (placeholder pruning, groupandverify.go:855-859,913-917; missing-
+#     child dummy, sequencer.go:519-529)
+#   - user % 7 == 1  → node 5's parent_id points at node 0 instead of 2:
+#     forward/backward balance broken both ways (groupandverify.go:555-671)
+#   - user % 11 == 2 → exact duplicate of node 1 (dup kept, equal,
+#     groupandverify.go:839-861 / sequencer.go:874-880)
+#   - user % 11 == 3 → conflicting duplicate of node 1 (parent differs):
+#     dup_mismatch / whole conversation unsequenceable (sequencer.go:572-587)
+# Pure column arithmetic — Spark and DuckDB reproduce it bit-identically.
+TREE_BASE_CTE = """tree_base AS (
+  SELECT p.conv_id, p.turn_idx,
+         count(*) OVER (PARTITION BY p.conv_id) AS n_turns,
+         CAST(substr(p.conv_id, 6, 4) AS INT) AS user_num,
+         p.conv_id || ':' || CAST(p.turn_idx AS STRING) AS node_id,
+         p.role AS node_type,
+         CAST(p.turn_idx + 1 AS BIGINT) AS ts_long
+  FROM parsed p WHERE p.parse_ok
+)"""
+
+TREE_NODES_CTE = """tree_nodes AS (
+  SELECT conv_id, node_id, node_type, ts_long,
+    CASE WHEN turn_idx = 0 THEN ''
+         WHEN user_num % 7 = 1 AND turn_idx = 5 THEN conv_id || ':0'
+         ELSE conv_id || ':' || CAST(CAST(floor((turn_idx - 1) / 2.0) AS INT) AS STRING)
+    END AS parent_id,
+    CASE WHEN 2 * turn_idx + 1 < n_turns
+         THEN conv_id || ':' || CAST(2 * turn_idx + 1 AS STRING) ELSE '' END AS child1,
+    CASE WHEN 2 * turn_idx + 2 < n_turns
+         THEN conv_id || ':' || CAST(2 * turn_idx + 2 AS STRING) ELSE '' END AS child2,
+    CAST(turn_idx * 2 AS BIGINT) AS arrival_pos
+  FROM tree_base
+  WHERE NOT (user_num % 5 = 0 AND turn_idx = 3)
+  UNION ALL
+  SELECT conv_id, node_id, node_type, ts_long,
+    conv_id || ':0' AS parent_id,
+    CASE WHEN 3 < n_turns THEN conv_id || ':3' ELSE '' END AS child1,
+    CASE WHEN 4 < n_turns THEN conv_id || ':4' ELSE '' END AS child2,
+    CAST(turn_idx * 2 + 1 AS BIGINT) AS arrival_pos
+  FROM tree_base WHERE user_num % 11 = 2 AND turn_idx = 1
+  UNION ALL
+  SELECT conv_id, node_id, node_type, ts_long,
+    '' AS parent_id,
+    CASE WHEN 3 < n_turns THEN conv_id || ':3' ELSE '' END AS child1,
+    CASE WHEN 4 < n_turns THEN conv_id || ':4' ELSE '' END AS child2,
+    CAST(turn_idx * 2 + 1 AS BIGINT) AS arrival_pos
+  FROM tree_base WHERE user_num % 11 = 3 AND turn_idx = 1
+)"""
+
+TREE_CTES = [PARSED_CTE, TREE_BASE_CTE, TREE_NODES_CTE]
