@@ -1,0 +1,14 @@
+"""Structured Streaming analogs of the reference's live-queue mode.
+
+The reference is a streaming system (AMQP consumers → pipe → producers);
+our v1 north rule is batch-with-resume, so these modules are the
+documented streaming path (SURVEY §2.11): the micro-batch pipeline for
+incremental ingest, and the stateful per-conversation accumulator that
+mirrors GroupAndVerify's actor-per-tree with timeout.
+"""
+
+from .stream_pipeline import (  # noqa: F401
+    read_transcripts_stream,
+    run_stream_pipeline,
+    stateful_group_verify,
+)

@@ -1,0 +1,230 @@
+"""Streaming pipeline — the live-queue analog of the batch DAG.
+
+Two modes, mirroring the reference's architecture (file:line into
+/root/reference):
+
+1. **Micro-batch incremental pipeline** (``run_stream_pipeline``):
+   ``readStream`` over a growing transcript directory →
+   ``foreachBatch`` applying the SAME batch operators (parse → enrich →
+   verify → sequence → route) → per-sink append. This is the analog of
+   the consumer → pipe → producer chain (Server/server.go:74-105) with
+   the micro-batch replacing the AMQP delivery: source offsets +
+   checkpointLocation give the ack-after-downstream-success semantics
+   (Server/consumers.go:638-651) — a batch is only committed to the
+   offset log after its foreachBatch writes return.
+   Assumption (documented): a conversation's turns arrive within one
+   micro-batch (file = bundle of whole conversations), the analog of
+   the Sequencer receiving the whole tree as one message
+   (sequencer.go:812-832). Cross-batch conversations need mode 2.
+
+2. **Stateful group-and-verify** (``stateful_group_verify``):
+   ``applyInPandasWithState`` keyed by conv_id — the actor-per-tree
+   demultiplex (groupandverify.go:424-506) with Spark's state store
+   replacing the per-tree goroutine + map. Turns accumulate in state;
+   a conversation emits when its chain is complete (every turn's
+   parent link matches the previous turn — the bidirectional-balance
+   specialization, groupandverify.go:555-671) or when the
+   processing-time timeout expires, in which case it emits unverified —
+   exactly the 2 s verification-timeout semantics
+   (groupandverify.go:873-919, default :211). Late turns for an
+   already-emitted conversation start a NEW state instance, matching
+   the mop-up re-enqueue (groupandverify.go:456-474).
+
+Scale shape: state is hash-partitioned by conv_id across executors
+(same as the batch shuffle); per-conv state is bounded by conversation
+length; RocksDB state store + changelog checkpointing are the
+production knobs (config, not code).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators import enrich as enrich_op
+from ..operators import parse as parse_op
+from ..operators import route as route_op
+from ..operators import sequence as seq_op
+from ..operators import verify as verify_op
+from ..plans.pipeline import KNOWN_SINKS, OUTPUT_COLS
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def read_transcripts_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a transcript directory (S1/S2 analog:
+    new files are the arriving messages; source offsets are the acks)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def run_stream_pipeline(
+    stream: DataFrame,
+    tool_meta: DataFrame,
+    role_meta: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """foreachBatch micro-batch pipeline: same operators as the batch
+    DAG, once per micro-batch; sink fan-out + rejects per batch."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        parsed = parse_op.parse(batch).persist()
+        try:
+            good, parse_rejects = parse_op.split_rejects(parsed)
+            enriched = enrich_op.enrich(good, tool_meta, role_meta)
+            ver = verify_op.chain_verify(parsed).select("conv_id", "verified")
+            enriched = enriched.join(ver, "conv_id", "left")
+            seq = seq_op.sequence_window(
+                enriched, dup_compare_cols=("role", "text", "tool")
+            )
+            routable, route_rejects = route_op.route(seq, KNOWN_SINKS)
+            routable.select(*OUTPUT_COLS).write.mode("append").partitionBy(
+                "sink"
+            ).parquet(f"{out_root}/sequenced_events")
+            parse_rejects.select(
+                "conv_id", "turn_idx", "text", "reject_reason"
+            ).unionByName(
+                route_rejects.select("conv_id", "turn_idx", "text", "reject_reason")
+            ).write.mode("append").parquet(f"{out_root}/rejects")
+        finally:
+            parsed.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ------------------------------------------------------- stateful mode
+STATE_SCHEMA = (
+    "turn_idxs array<int>, event_ids array<string>, parents array<string>, "
+    "n_expected int"
+)
+EMIT_SCHEMA = (
+    "conv_id string, n_turns int, verified boolean, timed_out boolean, "
+    "event_ids array<string>"
+)
+
+
+def _chain_complete(turns: list[int], parents: dict[int, str], ids: dict[int, str]) -> bool:
+    """Straight-line bidirectional balance: contiguous turn_idx from 0
+    and each turn's parent == previous turn's event id."""
+    s = sorted(turns)
+    if not s or s[0] != 0 or s != list(range(s[0], s[0] + len(s))):
+        return False
+    for k in s:
+        want = "" if k == 0 else ids[k - 1]
+        if parents.get(k, "") != want:
+            return False
+    return True
+
+
+def _make_verify_group(timeout_ms: int):
+    def _verify_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+
+        if state.hasTimedOut:
+            # G5: emit whatever was collected, flagged unverified
+            turn_idxs, event_ids, parents, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [len(turn_idxs)],
+                    "verified": [False],
+                    "timed_out": [True],
+                    "event_ids": [[i for _, i in sorted(zip(turn_idxs, event_ids))]],
+                }
+            )
+            return
+
+        turn_idxs, event_ids, parents, n_expected = (
+            state.get if state.exists else ([], [], [], None)
+        )
+        turn_idxs, event_ids, parents = list(turn_idxs), list(event_ids), list(parents)
+        for pdf in pdfs:
+            for t in pdf.itertuples(index=False):
+                turn_idxs.append(int(t.turn_idx))
+                event_ids.append(t.event_id or "")
+                parents.append(t.parent_event_id or "")
+                if t.n_expected is not None and not pd.isna(t.n_expected):
+                    n_expected = int(t.n_expected)
+
+        ids = dict(zip(turn_idxs, event_ids))
+        pmap = dict(zip(turn_idxs, parents))
+        complete = (
+            n_expected is not None
+            and len(set(turn_idxs)) >= n_expected
+            and _chain_complete(list(set(turn_idxs)), pmap, ids)
+        )
+        if complete:
+            # verified tree → emit once, drop state (early-exit, G6)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [len(set(turn_idxs))],
+                    "verified": [True],
+                    "timed_out": [False],
+                    "event_ids": [[ids[k] for k in sorted(ids)]],
+                }
+            )
+        else:
+            state.update((turn_idxs, event_ids, parents, n_expected))
+            state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "n_turns": pd.Series([], dtype="int64"),
+                    "verified": pd.Series([], dtype="bool"),
+                    "timed_out": pd.Series([], dtype="bool"),
+                    "event_ids": pd.Series([], dtype="object"),
+                }
+            )
+
+    return _verify_group
+
+
+def stateful_group_verify(parsed_stream: DataFrame, timeout_ms: int = 2000) -> DataFrame:
+    """GroupAndVerify's actor-per-tree with timeout, as
+    applyInPandasWithState keyed by conv_id.
+
+    Input: parsed streaming rows with (conv_id, turn_idx, event_id,
+    parent_event_id, n_expected) where n_expected is the conversation's
+    expected turn count (the parentVerifySet expected-children analog,
+    groupandverify.go:148-183 — in a transcript stream the 'end' turn
+    carries the total). Emits one row per completed/timed-out
+    conversation."""
+    return parsed_stream.groupBy("conv_id").applyInPandasWithState(
+        _make_verify_group(timeout_ms),
+        outputStructType=EMIT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
