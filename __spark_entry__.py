@@ -100,6 +100,16 @@ def q_sequence_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("conv_id", "turn_idx", "event_id", "prev_event_id", "sequenceable")
 
 
+def q_sequence_prev_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7(a) via the hot-conversation skew path (block-salted window +
+    carry-in join) — must agree with the same oracle as sequence_prev."""
+    df = seq_op.sequence_window_salted(
+        _parsed_good(spark, sf_dir), block_size=5,
+        out_col="prev_event_id", array_mode=False,
+    )
+    return df.select("conv_id", "turn_idx", "event_id", "prev_event_id", "sequenceable")
+
+
 def q_sequence_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2/Q1/Q11: equal duplicates — canonical chain preserved, dup rows
     flagged and inheriting the same prev."""
@@ -187,6 +197,8 @@ FROM parsed WHERE parse_ok {_W}""",
     [PARSED_CTE],
 )
 
+ORACLES["sequence_prev_salted"] = ORACLES["sequence_prev"]
+
 ORACLES["sequence_dups"] = with_transcripts(
     """SELECT b.conv_id, b.turn_idx, b.event_id, c.prev_event_id,
        row_number() OVER (PARTITION BY b.conv_id, b.event_id ORDER BY b.turn_idx) > 1
@@ -263,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_route": q_enrich_route,
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,
+        "sequence_prev_salted": q_sequence_prev_salted,
         "sequence_dups": q_sequence_dups,
         "chain_verify": q_chain_verify,
         "group_applies": q_group_applies,

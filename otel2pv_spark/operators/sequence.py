@@ -109,6 +109,123 @@ def sequence_window(
     return df.withColumn(out_col, out)
 
 
+def sequence_window_salted(
+    df: DataFrame,
+    block_size: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    id_col: str = "event_id",
+    parent_col: str = "parent_event_id",
+    seq_id_map_col: str | None = None,
+    out_col: str = "previous_event_ids",
+    array_mode: bool = True,
+    gap_reset: bool = True,
+    dup_compare_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``sequence_window`` with per-task work bounded by ``block_size``
+    instead of conversation length — the explicit skew path for hot
+    conversations (the reference's actor-per-tree saturates the same
+    way a single window partition does; SURVEY §4.1/§7.4).
+
+    Identical output to ``sequence_window``; the mechanics differ:
+
+    - rows are windowed over ``(conv_id, block)`` where
+      ``block = floor(turn_idx / block_size)`` — a RANGE-contiguous
+      salt, so the in-block prev link is exact;
+    - each block's carry-in (the last canonical id/turn of any PRIOR
+      block) comes from a per-(conv, block) aggregate — thousands of
+      rows per conversation at most — cumulated with a tiny window and
+      joined back on the skew-free (conv, block) key, so no task ever
+      sees a whole hot conversation;
+    - the per-conversation ``sequenceable`` flag becomes a groupBy
+      aggregate + shuffle join (AQE skew-join splits the hot key)
+      instead of an unbounded window.
+
+    The (conv, event_id) duplicate windows are unchanged: their group
+    cardinality is per-event, already skew-free.
+    """
+    idv = F.coalesce(
+        F.nullif(F.col(seq_id_map_col), F.lit("")) if seq_id_map_col else F.lit(None),
+        F.col(id_col),
+    )
+
+    w_dup = Window.partitionBy(conv_col, id_col).orderBy(order_col)
+    df = df.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
+
+    if dup_compare_cols:
+        payload = F.struct(*[F.col(c) for c in dup_compare_cols])
+        w_id = Window.partitionBy(conv_col, id_col)
+        df = df.withColumn(
+            "_dup_conflict", F.size(F.collect_set(payload).over(w_id)) > 1
+        )
+    else:
+        df = df.withColumn("_dup_conflict", F.lit(False))
+    self_ref = F.col(parent_col) == F.col(id_col)
+
+    # plain shuffle join, NOT broadcast: conv_flags has one row per
+    # conversation (billions at full scale). The join key is the skewed
+    # conv_id, but unlike a window AQE's skew-join can split a hot key's
+    # partition for a join, so this stays balanced.
+    conv_flags = (
+        df.groupBy(conv_col)
+        .agg((~F.max(F.col("_dup_conflict") | self_ref)).alias("sequenceable"))
+    )
+    df = df.join(conv_flags, conv_col, "left").drop("_dup_conflict")
+
+    blk = F.floor(F.col(order_col) / block_size)
+    df = df.withColumn("_blk", blk)
+
+    canon_id = F.when(~F.col("is_duplicate"), idv)
+    canon_order = F.when(~F.col("is_duplicate"), F.col(order_col))
+
+    # carry-in per block: last canonical (id, turn) over all prior blocks
+    blk_last = (
+        df.filter(~F.col("is_duplicate"))
+        .groupBy(conv_col, "_blk")
+        .agg(
+            F.max_by(idv, F.col(order_col)).alias("_blk_last_id"),
+            F.max(order_col).alias("_blk_last_ord"),
+        )
+    )
+    w_carry = (
+        Window.partitionBy(conv_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = blk_last.select(
+        conv_col,
+        "_blk",
+        F.last("_blk_last_id", ignorenulls=True).over(w_carry).alias("_carry_id"),
+        F.last("_blk_last_ord", ignorenulls=True).over(w_carry).alias("_carry_ord"),
+    )
+    # block-grained key: a hot conversation's rows spread across its
+    # blocks, so this join is skew-free by construction
+    df = df.join(carry, [conv_col, "_blk"], "left")
+
+    w_range = (
+        Window.partitionBy(conv_col, "_blk")
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(
+        F.last(canon_id, ignorenulls=True).over(w_range), F.col("_carry_id")
+    )
+    if gap_reset:
+        prev_order = F.coalesce(
+            F.last(canon_order, ignorenulls=True).over(w_range), F.col("_carry_ord")
+        )
+        prev = F.when(F.col(order_col) - prev_order <= 1, prev)
+    prev = F.when(F.col("sequenceable"), prev)
+
+    if array_mode:
+        out = F.when(prev.isNotNull(), F.array(prev))
+    else:
+        out = prev
+    return df.withColumn(out_col, out).drop(
+        "_blk", "_carry_id", "_carry_ord"
+    )
+
+
 def group_applies(
     df: DataFrame,
     share_col: str,

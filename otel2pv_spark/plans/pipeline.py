@@ -56,8 +56,29 @@ class PipelineConfig:
     gap_reset: bool = True
     group_applies: list[tuple[str, str, str]] = field(default_factory=list)
     # (share_col, identifying_col, identifying_value) — sequencer.go:124-170
-    salt_partitions: int | None = None     # pre-shuffle salt for order-free stages
+    # hot-conversation skew path: when set, the sequence stage windows
+    # over (conv_id, floor(turn_idx / hot_block_size)) blocks with a
+    # carry-in join instead of whole-conversation partitions — bounds
+    # per-task work by block size (sequence_window_salted)
+    hot_block_size: int | None = None
     run_id: str | None = None
+
+
+def _apply_sequence(enriched: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    kwargs = dict(
+        seq_id_map_col=cfg.seq_id_map_col,
+        out_col=cfg.seq_out_col,
+        array_mode=cfg.seq_array_mode,
+        gap_reset=cfg.gap_reset,
+        dup_compare_cols=("role", "text", "tool"),
+    )
+    if cfg.hot_block_size:
+        seq = seq_op.sequence_window_salted(enriched, cfg.hot_block_size, **kwargs)
+    else:
+        seq = seq_op.sequence_window(enriched, **kwargs)
+    for share, ident, value in cfg.group_applies:
+        seq = seq_op.group_applies(seq, share, ident, value)
+    return seq
 
 
 def build_stages(
@@ -82,16 +103,7 @@ def build_stages(
     ver = verify_op.chain_verify(parsed).select("conv_id", "verified")
     enriched = enriched.join(ver, "conv_id", "left")
 
-    seq = seq_op.sequence_window(
-        enriched,
-        seq_id_map_col=cfg.seq_id_map_col,
-        out_col=cfg.seq_out_col,
-        array_mode=cfg.seq_array_mode,
-        gap_reset=cfg.gap_reset,
-        dup_compare_cols=("role", "text", "tool"),
-    )
-    for share, ident, value in cfg.group_applies:
-        seq = seq_op.group_applies(seq, share, ident, value)
+    seq = _apply_sequence(enriched, cfg)
 
     return {"parsed": parsed, "parse_rejects": parse_rejects, "seq": seq}
 
@@ -148,24 +160,14 @@ def run(
     # on a cluster these would be Iceberg staging tables; locally
     # MEMORY_AND_DISK persist() suffices.
     parsed = st["parsed"].persist()
-    seq = seq_from = None
+    seq = None
     try:
         # rebuild the downstream plan on TOP of the persisted parsed
         good, parse_rejects = parse_op.split_rejects(parsed)
         enriched = enrich_op.enrich(good, tool_meta, role_meta)
         ver = verify_op.chain_verify(parsed).select("conv_id", "verified")
         enriched = enriched.join(ver, "conv_id", "left")
-        seq_from = seq_op.sequence_window(
-            enriched,
-            seq_id_map_col=cfg.seq_id_map_col,
-            out_col=cfg.seq_out_col,
-            array_mode=cfg.seq_array_mode,
-            gap_reset=cfg.gap_reset,
-            dup_compare_cols=("role", "text", "tool"),
-        )
-        for share, ident, value in cfg.group_applies:
-            seq_from = seq_op.group_applies(seq_from, share, ident, value)
-        seq = seq_from.persist()
+        seq = _apply_sequence(enriched, cfg).persist()
 
         routable, route_rejects = route_op.route(seq, KNOWN_SINKS)
         routable = routable.select(*OUTPUT_COLS)
