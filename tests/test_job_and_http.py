@@ -1,0 +1,119 @@
+"""Job-config entrypoint (RunApp --config analog) and HTTP sink (K3):
+config validation errors, end-to-end run from a JSON config, delivery
+of every row over HTTP, and retry-after-failure behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from otel2pv_spark import job
+from otel2pv_spark.sources.http_sink import HTTPSendError, write_http
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------- job config
+def _write_cfg(tmp_path, **over):
+    cfg = {
+        "input": {"events_dir": SF},
+        "out_root": str(tmp_path / "out"),
+        "run_id": "jobtest",
+        "sequence": {"hot_block_size": 64},
+        "group_applies": [["job_name", "event_type", "error"]],
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }
+    cfg.update(over)
+    p = tmp_path / "job.json"
+    p.write_text(json.dumps(cfg))
+    return str(p)
+
+
+def test_job_end_to_end(spark, tmp_path):
+    res = job.main(["--config", _write_cfg(tmp_path)])
+    assert res["rows"] == 989
+    assert sorted(res["committed"]) == ["fanout", "lineage", "metrics", "rejects"]
+    out = spark.read.parquet(str(tmp_path / "out" / "sequenced_events"))
+    assert out.count() == 989
+
+
+def test_job_config_validation(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"out_root": "/tmp/x"}))
+    with pytest.raises(job.ConfigError, match="input"):
+        job.load_config(str(bad))
+    bad.write_text(json.dumps({"input": {"events_dir": SF}}))
+    with pytest.raises(job.ConfigError, match="out_root"):
+        job.load_config(str(bad))
+    bad.write_text(json.dumps({
+        "input": {"events_dir": SF}, "out_root": "/tmp/x",
+        "group_applies": [["only_two", "fields"]],
+    }))
+    with pytest.raises(job.ConfigError, match="group_applies"):
+        job.load_config(str(bad))
+
+
+# ------------------------------------------------------------ http sink
+class _Collector(BaseHTTPRequestHandler):
+    bodies: list[bytes] = []
+    fail_first = 0
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        cls = type(self)
+        if cls.fail_first > 0:
+            cls.fail_first -= 1
+            self.send_response(503)
+            self.end_headers()
+            return
+        cls.bodies.append(body)
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def http_server():
+    _Collector.bodies = []
+    _Collector.fail_first = 0
+    srv = HTTPServer(("127.0.0.1", 0), _Collector)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}/sink", _Collector
+    srv.shutdown()
+
+
+def test_http_sink_delivers_all_rows(spark, http_server):
+    url, coll = http_server
+    df = spark.range(0, 123).selectExpr("id", "concat('v', id) AS val").coalesce(2)
+    write_http(df, url, batch_size=50)
+    rows = []
+    for b in coll.bodies:
+        rows.extend(json.loads(b))
+    assert sorted(r["id"] for r in rows) == list(range(123))
+    # batching respected: no request carried more than batch_size rows
+    assert max(len(json.loads(b)) for b in coll.bodies) <= 50
+
+
+def test_http_sink_retries_then_succeeds(spark, http_server):
+    url, coll = http_server
+    coll.fail_first = 2  # first two attempts 503, then accept
+    df = spark.range(0, 5).coalesce(1)
+    write_http(df, url, batch_size=10, backoff_s=0.05)
+    rows = [r for b in coll.bodies for r in json.loads(b)]
+    assert sorted(r["id"] for r in rows) == list(range(5))
+
+
+def test_http_sink_raises_after_exhausted_retries(spark):
+    df = spark.range(0, 3).coalesce(1)
+    with pytest.raises(Exception) as ei:
+        # unroutable port, 0 retries, tiny timeout
+        write_http(df, "http://127.0.0.1:1/sink", retries=0,
+                   timeout_s=0.2, backoff_s=0.01)
+    assert "HTTPSendError" in str(ei.value) or isinstance(ei.value, HTTPSendError)
