@@ -162,6 +162,55 @@ def verify_trees(
     return per_conv, rejects
 
 
+def chain_verify_salted(
+    parsed: DataFrame,
+    block_size: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    id_col: str = "event_id",
+    parent_col: str = "parent_event_id",
+) -> DataFrame:
+    """``chain_verify`` with per-task work bounded by ``block_size`` —
+    the hot-conversation skew path (same block+carry technique as
+    ``sequence_window_salted``): link checks window over
+    (conv, floor(turn/B)) blocks; each block's first row checks against
+    the prior block's last id, delivered by a tiny per-block aggregate;
+    the per-conversation verdict is a plain groupBy aggregate."""
+    blk = F.floor(F.col(order_col) / block_size)
+    df = parsed.withColumn("_blk", blk)
+
+    blk_last = df.groupBy(conv_col, "_blk").agg(
+        F.max_by(id_col, F.col(order_col)).alias("_blk_last_id")
+    )
+    w_carry = (
+        Window.partitionBy(conv_col).orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = blk_last.select(
+        conv_col, "_blk",
+        F.last("_blk_last_id", ignorenulls=True).over(w_carry).alias("_carry_id"),
+    )
+    # block-grained key: skew-free by construction
+    df = df.join(carry, [conv_col, "_blk"], "left")
+
+    w = Window.partitionBy(conv_col, "_blk").orderBy(order_col)
+    prev_id = F.lag(id_col).over(w)
+    first_in_blk = F.row_number().over(w) == 1
+    link_ok = (
+        F.when(
+            first_in_blk,
+            F.when(F.col("_carry_id").isNull(), F.col(parent_col) == "")
+            .otherwise(F.col(parent_col) == F.col("_carry_id")),
+        )
+        .otherwise(F.col(parent_col) == prev_id)
+    )
+    per_row = df.withColumn("_link_ok", link_ok & F.col("parse_ok"))
+    return per_row.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.min("_link_ok").alias("verified"),
+    )
+
+
 def chain_verify(
     parsed: DataFrame,
     conv_col: str = "conv_id",

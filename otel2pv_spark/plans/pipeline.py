@@ -64,6 +64,14 @@ class PipelineConfig:
     run_id: str | None = None
 
 
+def _apply_verify(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    if cfg.hot_block_size:
+        ver = verify_op.chain_verify_salted(parsed, cfg.hot_block_size)
+    else:
+        ver = verify_op.chain_verify(parsed)
+    return ver.select("conv_id", "verified")
+
+
 def _apply_sequence(enriched: DataFrame, cfg: PipelineConfig) -> DataFrame:
     kwargs = dict(
         seq_id_map_col=cfg.seq_id_map_col,
@@ -100,7 +108,7 @@ def build_stages(
 
     # per-conv verification flag (straight-line chain form), joined back
     # on the same conv_id partitioning
-    ver = verify_op.chain_verify(parsed).select("conv_id", "verified")
+    ver = _apply_verify(parsed, cfg)
     enriched = enriched.join(ver, "conv_id", "left")
 
     seq = _apply_sequence(enriched, cfg)
@@ -165,7 +173,7 @@ def run(
         # rebuild the downstream plan on TOP of the persisted parsed
         good, parse_rejects = parse_op.split_rejects(parsed)
         enriched = enrich_op.enrich(good, tool_meta, role_meta)
-        ver = verify_op.chain_verify(parsed).select("conv_id", "verified")
+        ver = _apply_verify(parsed, cfg)
         enriched = enriched.join(ver, "conv_id", "left")
         seq = _apply_sequence(enriched, cfg).persist()
 

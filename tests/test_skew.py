@@ -103,3 +103,19 @@ def test_conflicting_dup_gates_whole_conv(hot_parsed):
         .count()
         == 0
     )
+
+
+def test_chain_verify_salted_matches(spark):
+    from otel2pv_spark.operators import verify as verify_op
+
+    tr = datagen.synth_transcripts(spark, n_convs=40, avg_turns=12, hot_convs=1)
+    parsed = parse_op.parse(tr)
+    plain = verify_op.chain_verify(parsed)
+    for block in (5, 64):
+        salted = verify_op.chain_verify_salted(parsed, block)
+        assert _rows(plain, ["conv_id", "n_turns", "verified"]) == _rows(
+            salted, ["conv_id", "n_turns", "verified"]
+        )
+    # fixture exercises both verdicts
+    verdicts = {r["verified"] for r in plain.collect()}
+    assert verdicts == {True, False}
