@@ -106,8 +106,9 @@ def main_bench() -> None:
     spark.stop()
 
 
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "250000"))
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "2000000"))
 SCALE_PARTS = 64  # fixed input partitioning so both levels see identical splits
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
 
 
 def main_e2e_once() -> None:
@@ -156,19 +157,26 @@ SCALE_LEVELS = tuple(
 
 
 def main_scaling() -> None:
-    levels = {}
-    for cpus in SCALE_LEVELS:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--e2e-once"],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        line = next(
-            (ln for ln in p.stdout.splitlines() if ln.startswith("E2E_RESULT ")), None)
-        if line is None:
-            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
-            raise RuntimeError(f"scaling run at local[{cpus}] failed")
-        levels[cpus] = json.loads(line[len("E2E_RESULT "):])
+    # Interleave the two levels across SCALE_ROUNDS subprocess rounds
+    # (N, 4N, N, 4N, ...) and keep each level's best round: hypervisor
+    # noise bursts last minutes, so back-to-back single measurements
+    # can bias one level arbitrarily; interleaving + min rejects that.
+    levels: dict[int, dict] = {}
+    for _ in range(SCALE_ROUNDS):
+        for cpus in SCALE_LEVELS:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--e2e-once"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = next(
+                (ln for ln in p.stdout.splitlines() if ln.startswith("E2E_RESULT ")), None)
+            if line is None:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+                raise RuntimeError(f"scaling run at local[{cpus}] failed")
+            res = json.loads(line[len("E2E_RESULT "):])
+            if cpus not in levels or res["wall_sec"] < levels[cpus]["wall_sec"]:
+                levels[cpus] = res
 
     n1, n4 = SCALE_LEVELS
     tp1, tp4 = levels[n1]["turns_per_sec"], levels[n4]["turns_per_sec"]
@@ -188,11 +196,12 @@ pure-CPU probe shows this guest's 32 vCPUs are 16 physical cores +
 SMT (thread scaling flattens past 16), so running the 4N level on
 hyperthreads would measure SMT, not the pipeline. Each level does a
 warmup run first (whole-stage-codegen + JIT compile ≈ 10x the
-steady-state cost) then reports the min of 2 timed runs (this
-Firecracker guest sees multi-x throughput swings from hypervisor
-neighbors; min rejects that noise). Input sized so parallel work
-dominates driver fixed overheads, as on a real cluster partition of
-the full table.
+steady-state cost) then reports the min of 2 timed runs per
+subprocess, best of {SCALE_ROUNDS} interleaved (N, 4N, N, 4N)
+subprocess rounds (this Firecracker guest sees multi-x throughput
+swings from hypervisor neighbors lasting minutes; interleaving + min
+rejects that noise). Input sized so parallel work dominates driver
+fixed overheads, as on a real cluster partition of the full table.
 
 | parallelism | rows (turns) | wall sec | turns/sec |
 |---|---|---|---|

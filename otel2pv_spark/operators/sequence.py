@@ -51,6 +51,7 @@ def sequence_window(
     array_mode: bool = True,
     gap_reset: bool = True,
     dup_compare_cols: tuple[str, ...] = (),
+    ok_col: str | None = None,
 ) -> DataFrame:
     """Assign previous-event linkage per conversation.
 
@@ -59,7 +60,14 @@ def sequence_window(
     ``id_col``.
     ``dup_compare_cols``: payload columns deep-compared to decide
     duplicate equality (sequencer.go:373-398).
+    ``ok_col``: optional boolean column gating row validity (the
+    single-pass pipeline runs the sequencer BEFORE splitting off parse
+    rejects, so one plan makes one pass — invalid rows neither donate
+    prev ids nor trip the conflict/self-reference flags, exactly as if
+    they had been filtered out first; their own output values are
+    meaningless and they route to the rejects sink downstream).
     """
+    ok = F.col(ok_col) if ok_col else F.lit(True)
     idv = F.coalesce(
         F.nullif(F.col(seq_id_map_col), F.lit("")) if seq_id_map_col else F.lit(None),
         F.col(id_col),
@@ -70,15 +78,16 @@ def sequence_window(
 
     wc = Window.partitionBy(conv_col)
     # conflicting duplicates: same id, >1 distinct payload struct
+    # (collect_set skips nulls, so non-ok rows never contribute)
     if dup_compare_cols:
-        payload = F.struct(*[F.col(c) for c in dup_compare_cols])
+        payload = F.when(ok, F.struct(*[F.col(c) for c in dup_compare_cols]))
         w_id = Window.partitionBy(conv_col, id_col)
         df = df.withColumn(
             "_dup_conflict", F.size(F.collect_set(payload).over(w_id)) > 1
         )
     else:
         df = df.withColumn("_dup_conflict", F.lit(False))
-    self_ref = F.col(parent_col) == F.col(id_col)
+    self_ref = ok & (F.col(parent_col) == F.col(id_col))
     df = df.withColumn(
         "sequenceable",
         ~F.max(F.col("_dup_conflict") | self_ref).over(wc),
@@ -93,8 +102,8 @@ def sequence_window(
         .orderBy(order_col)
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    canon_id = F.when(~F.col("is_duplicate"), idv)
-    canon_order = F.when(~F.col("is_duplicate"), F.col(order_col))
+    canon_id = F.when(~F.col("is_duplicate") & ok, idv)
+    canon_order = F.when(~F.col("is_duplicate") & ok, F.col(order_col))
     prev = F.last(canon_id, ignorenulls=True).over(w_range)
     if gap_reset:
         prev_order = F.last(canon_order, ignorenulls=True).over(w_range)

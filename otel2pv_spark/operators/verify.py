@@ -211,6 +211,32 @@ def chain_verify_salted(
     )
 
 
+def chain_verify_flags(
+    parsed: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    id_col: str = "event_id",
+    parent_col: str = "parent_event_id",
+    out_col: str = "verified",
+) -> DataFrame:
+    """``chain_verify`` as a pure window: the per-conversation verdict
+    is attached to every row as ``out_col`` instead of being aggregated
+    and joined back. Both windows share the one conv_id partitioning,
+    so in the single-pass pipeline plan this adds NO branch, NO join
+    and NO extra shuffle — the verdict rides the same exchange the
+    sequencer uses (the reference computes it in the same per-tree
+    actor, groupandverify.go:657-671)."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    wc = Window.partitionBy(conv_col)
+    prev_id = F.lag(id_col).over(w)
+    link_ok = F.when(F.row_number().over(w) == 1, F.col(parent_col) == "").otherwise(
+        F.col(parent_col) == prev_id
+    )
+    return parsed.withColumn(
+        out_col, F.min(link_ok & F.col("parse_ok")).over(wc)
+    )
+
+
 def chain_verify(
     parsed: DataFrame,
     conv_col: str = "conv_id",

@@ -1,10 +1,29 @@
 """The full DAG: parse → enrich → verify → sequence → route → aggregate.
 
-One Catalyst plan end-to-end with exactly ONE data shuffle (on conv_id,
-shared by the verify window and the sequence window — same partitioning
-expression, so Exchange reuse keeps it to a single exchange) plus the
-tiny metric aggregations. Dims broadcast. The routed output is written
-once, dynamic-partitioned by sink (no per-sink re-scan).
+Default execution is SINGLE-PASS: the whole pipeline is ONE linear
+Catalyst plan — scan → parse (codegen regex) → chain-verify window →
+broadcast enrich → sequence windows → reject-sink routing → one
+dynamic-partition write — with exactly ONE data shuffle (on conv_id,
+shared by every window via the hash-partitioning subset rule) and NO
+cached/persisted intermediates. Parse rejects and unroutable rows are
+ROUTED (reserved ``__reject_*`` sink partitions) instead of forked into
+a second plan branch, then split out of the written output with
+metadata-only directory renames; metrics/lineage/row-count derive from
+cheap column-pruned scans of the written (column-compressed,
+partition-pruned) output rather than extra passes over cached data.
+
+Why this shape at 100 TB: you cannot cache the working set, so every
+``persist()`` becomes a second full materialization, and every extra
+action re-pays job fixed costs. One pass over the input + O(metadata)
+post-processing is the scalable form — and it is exactly the reference's
+shape too: each message flows consumer → transform → producer once
+(Server/server.go:74-105), with rejects peeled off to the DLQ in-line
+(Server/consumers.go:776-827).
+
+The hot-conversation skew mode (``hot_block_size``) keeps the previous
+persisted two-branch executor: its block/carry-in operators read the
+parsed input twice, which with no cache would re-parse, so there the
+persist is the lesser cost.
 
 This is the lifecycle contrast documented in SURVEY §3.5; the stages
 correspond 1:1 to the reference's three services plus routing/metrics.
@@ -12,6 +31,7 @@ correspond 1:1 to the reference's three services plus routing/metrics.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -41,6 +61,9 @@ OUTPUT_COLS = [
     "previous_event_ids", "verified", "sequenceable", "is_duplicate",
     "text",
 ]
+
+REJECT_COLS = ["conv_id", "turn_idx", "text", "reject_reason"]
+_REJECTS_SCHEMA = "conv_id string, turn_idx int, text string, reject_reason string"
 
 
 @dataclass
@@ -72,7 +95,9 @@ def _apply_verify(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return ver.select("conv_id", "verified")
 
 
-def _apply_sequence(enriched: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def _apply_sequence(
+    enriched: DataFrame, cfg: PipelineConfig, ok_col: str | None = None
+) -> DataFrame:
     kwargs = dict(
         seq_id_map_col=cfg.seq_id_map_col,
         out_col=cfg.seq_out_col,
@@ -83,10 +108,38 @@ def _apply_sequence(enriched: DataFrame, cfg: PipelineConfig) -> DataFrame:
     if cfg.hot_block_size:
         seq = seq_op.sequence_window_salted(enriched, cfg.hot_block_size, **kwargs)
     else:
-        seq = seq_op.sequence_window(enriched, **kwargs)
+        seq = seq_op.sequence_window(enriched, ok_col=ok_col, **kwargs)
     for share, ident, value in cfg.group_applies:
         seq = seq_op.group_applies(seq, share, ident, value)
     return seq
+
+
+def build_single_pass(
+    transcripts: DataFrame,
+    tool_meta: DataFrame,
+    role_meta: DataFrame,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """The whole DAG as ONE linear lazy plan over every input row
+    (routable AND reject), no branches, no joins except the two
+    broadcast dims. ``src_partition_id`` is stamped at scan time for
+    per-input-partition lineage; invalid rows carry ``reject_reason``
+    and a reserved reject sink."""
+    df = transcripts.withColumn("src_partition_id", F.spark_partition_id())
+    parsed = parse_op.parse(df, use_pandas=cfg.use_pandas_parse)
+    # Stage order minimizes in-partition sorts: the (conv, event_id)
+    # duplicate windows run first (sort #1), then every (conv, turn)
+    # window — prev-link range, verify chain — shares sort #2; the
+    # broadcast enrich joins preserve order and come last. The explicit
+    # conv_id repartition pins the ONE exchange to the key every window
+    # can reuse via the hash-partitioning subset rule (without it,
+    # Catalyst partitions the first window on (conv, event_id) and must
+    # re-exchange for the conv-level windows); AQE still coalesces it.
+    seq = _apply_sequence(parsed.repartition("conv_id"), cfg, ok_col="parse_ok")
+    ver = verify_op.chain_verify_flags(seq)
+    enriched = enrich_op.enrich(ver, tool_meta, role_meta)
+    routed = route_op.assign_reject_sinks(enriched, KNOWN_SINKS)
+    return routed.select(*OUTPUT_COLS, "src_partition_id", "reject_reason")
 
 
 def build_stages(
@@ -95,12 +148,10 @@ def build_stages(
     role_meta: DataFrame,
     cfg: PipelineConfig,
 ) -> dict[str, DataFrame]:
-    """Lazy stage plans, exposed individually so the executor can
-    persist the two reused intermediates (``parsed`` feeds the good
-    path, the rejects path AND the verify branch; ``seq`` feeds the
-    fanout write, route-rejects, metrics and lineage — Catalyst does
-    not dedupe shared DataFrame subplans, so without persisting these
-    each consumer would recompute the whole upstream DAG)."""
+    """Two-branch stage plans for the persisted executor (hot-skew
+    mode): ``parsed`` feeds the good path, the rejects path AND the
+    verify branch; the executor persists it because Catalyst does not
+    dedupe shared DataFrame subplans."""
     parsed = parse_op.parse(transcripts, use_pandas=cfg.use_pandas_parse)
     good, parse_rejects = parse_op.split_rejects(parsed)
 
@@ -122,17 +173,30 @@ def build_sequenced(
     role_meta: DataFrame,
     cfg: PipelineConfig,
 ) -> tuple[DataFrame, DataFrame]:
-    """Pure (lazy) plan: returns (sequenced_routable, rejects)."""
-    st = build_stages(transcripts, tool_meta, role_meta, cfg)
-    routable, route_rejects = route_op.route(st["seq"], KNOWN_SINKS)
-    routable = routable.select(*OUTPUT_COLS)
+    """Pure (lazy) plan: returns (sequenced_routable, rejects) — thin
+    filters over the single-pass plan (hot-skew mode falls back to the
+    two-branch stage plans)."""
+    if cfg.hot_block_size:
+        st = build_stages(transcripts, tool_meta, role_meta, cfg)
+        routable, route_rejects = route_op.route(st["seq"], KNOWN_SINKS)
+        rejects = st["parse_rejects"].select(*REJECT_COLS[:3]).withColumn(
+            "reject_reason", F.lit("invalid_parse")
+        ).unionByName(route_rejects.select(*REJECT_COLS))
+        return routable.select(*OUTPUT_COLS), rejects
 
-    rejects = st["parse_rejects"].select(
-        "conv_id", "turn_idx", "text", "reject_reason"
-    ).unionByName(
-        route_rejects.select("conv_id", "turn_idx", "text", "reject_reason")
-    )
+    sp = build_single_pass(transcripts, tool_meta, role_meta, cfg)
+    is_reject = F.col("reject_reason").isNotNull()
+    routable = sp.filter(~is_reject).select(*OUTPUT_COLS)
+    rejects = sp.filter(is_reject).select(*REJECT_COLS)
     return routable, rejects
+
+
+def _read_rejects_raw(spark: SparkSession, path: str) -> DataFrame:
+    """The reject partitions moved out of the fan-out write (empty-safe:
+    a clean run has no reject directories at all)."""
+    if not (os.path.isdir(path) and any(d.startswith("sink=") for d in os.listdir(path))):
+        return spark.createDataFrame([], _REJECTS_SCHEMA)
+    return spark.read.parquet(path).select(*REJECT_COLS)
 
 
 def run(
@@ -140,7 +204,15 @@ def run(
     transcripts: DataFrame,
     cfg: PipelineConfig,
 ) -> dict:
-    """Execute + persist all outputs; resumable via the run manifest."""
+    """Execute + persist all outputs; resumable via the run manifest.
+
+    Default (single-pass) execution does exactly ONE heavy job — the
+    fan-out write of every row — then derives rejects (partition-pruned
+    read of the moved reject dirs), per-sink metrics (count over the
+    sink partition column of the written output), per-input-partition
+    lineage (two-column pruned scan) and the row count (sum of metrics,
+    driver-side over ≤ #sinks rows) WITHOUT touching the input again.
+    """
     run_id = cfg.run_id or uuid.uuid4().hex[:12]
     cat = Catalog(spark, cfg.out_root)
     man = RunManifest(cfg.out_root, run_id)
@@ -162,11 +234,104 @@ def run(
     tool_meta = datagen.tool_meta(spark)
     role_meta = datagen.role_meta(spark)
 
+    if cfg.hot_block_size:
+        return _run_persisted(
+            spark, transcripts, cfg, run_id, cat, man, t0, tool_meta, role_meta
+        )
+
+    routed_all = build_single_pass(transcripts, tool_meta, role_meta, cfg)
+
+    if not man.is_committed("fanout"):
+        # ONE job writes every row; the reject partitions are then
+        # renamed out to become the rejects table (metadata-only), so
+        # "rejects" is committed by the same atomic write.
+        route_op.write_fanout_split(
+            routed_all, cat.path("sequenced_events"), cat.path("rejects")
+        )
+        man.commit("fanout", {"path": cat.path("sequenced_events")})
+    if not man.is_committed("rejects"):
+        man.commit("rejects", {"path": cat.path("rejects")})
+
+    if man.is_committed("metrics") and man.is_committed("lineage"):
+        n_rows = sum(r.rows for r in cat.read("_metrics").collect())
+    else:
+        # metrics + lineage from ONE column-pruned readback aggregation
+        # of the written output: ≤ #sinks × #input-partitions groups,
+        # finalized driver-side (the reference's per-message success
+        # log, producers.go:882-884, batched into tables).
+        per = (
+            cat.read("sequenced_events")
+            .groupBy("sink", "src_partition_id")
+            .agg(
+                F.count("*").alias("rows"),
+                F.min("conv_id").alias("min_conv_id"),
+                F.max("conv_id").alias("max_conv_id"),
+            )
+        ).collect()
+        if not man.is_committed("metrics"):
+            by_sink: dict[str, int] = {}
+            for r in per:
+                by_sink[r.sink] = by_sink.get(r.sink, 0) + r.rows
+            cat.write(
+                spark.createDataFrame(
+                    [(run_id, s, n) for s, n in sorted(by_sink.items())],
+                    "run_id string, sink string, rows bigint",
+                ),
+                "_metrics",
+            )
+            man.commit("metrics")
+        if not man.is_committed("lineage"):
+            by_pid: dict[int, list] = {}
+            for r in per:
+                cur = by_pid.get(r.src_partition_id)
+                if cur is None:
+                    by_pid[r.src_partition_id] = [
+                        r.rows, r.min_conv_id, r.max_conv_id
+                    ]
+                else:
+                    cur[0] += r.rows
+                    cur[1] = min(cur[1], r.min_conv_id)
+                    cur[2] = max(cur[2], r.max_conv_id)
+            cat.write(
+                spark.createDataFrame(
+                    [
+                        (run_id, "sequence", pid, n, lo, hi)
+                        for pid, (n, lo, hi) in sorted(by_pid.items())
+                    ],
+                    "run_id string, stage string, partition_id int, "
+                    "rows bigint, min_conv_id string, max_conv_id string",
+                ),
+                "_lineage",
+            )
+            man.commit("lineage")
+        n_rows = sum(r.rows for r in per)
+
+    wall = time.time() - t0
+    return {
+        "run_id": run_id,
+        "rows": n_rows,
+        "wall_sec": wall,
+        "turns_per_sec": n_rows / wall if wall > 0 else 0.0,
+        "committed": man.committed_steps(),
+    }
+
+
+def _run_persisted(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    run_id: str,
+    cat: Catalog,
+    man: RunManifest,
+    t0: float,
+    tool_meta: DataFrame,
+    role_meta: DataFrame,
+) -> dict:
+    """Hot-skew executor: the salted operators consume the parsed input
+    twice (rows + block aggregates), so the two reused intermediates
+    are persisted (on a cluster: Iceberg staging tables)."""
     st = build_stages(transcripts, tool_meta, role_meta, cfg)
 
-    # Two persists, each reused by ≥2 consumers (see build_stages doc):
-    # on a cluster these would be Iceberg staging tables; locally
-    # MEMORY_AND_DISK persist() suffices.
     parsed = st["parsed"].persist()
     seq = None
     try:
@@ -181,9 +346,7 @@ def run(
         routable = routable.select(*OUTPUT_COLS)
         rejects = parse_rejects.select(
             "conv_id", "turn_idx", "text", "reject_reason"
-        ).unionByName(
-            route_rejects.select("conv_id", "turn_idx", "text", "reject_reason")
-        )
+        ).unionByName(route_rejects.select(*REJECT_COLS))
 
         n_rows = 0
         if not man.is_committed("fanout"):
