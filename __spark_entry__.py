@@ -25,6 +25,7 @@ from otel2pv_spark import datagen  # noqa: E402
 from otel2pv_spark.operators import enrich as enrich_op  # noqa: E402
 from otel2pv_spark.operators import parse as parse_op  # noqa: E402
 from otel2pv_spark.operators import sequence as seq_op  # noqa: E402
+from otel2pv_spark.operators import validate as validate_op  # noqa: E402
 from otel2pv_spark.operators import verify as verify_op  # noqa: E402
 from otel2pv_spark.plans import pipeline  # noqa: E402
 from otel2pv_spark.portable_sql import (  # noqa: E402
@@ -139,6 +140,15 @@ def q_group_applies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("conv_id", "turn_idx", "event_id", "job_name")
 
 
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: config-driven column constraints (the JSON-Schema-per-key
+    analog) over the parsed fields — first failing rule per row."""
+    df = validate_op.validate(
+        parse_op.parse(_tr(spark, sf_dir)), validate_op.default_event_rules()
+    )
+    return df.select("conv_id", "turn_idx", "validation_error")
+
+
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-DAG end-to-end: per-sink counts of the routed+sequenced
     output (what _metrics materializes)."""
@@ -247,6 +257,26 @@ FROM parsed WHERE parse_ok""",
     [PARSED_CTE],
 )
 
+ORACLES["validate_events"] = with_transcripts(
+    r"""SELECT conv_id, turn_idx,
+       CASE
+         WHEN event_id IS NULL OR event_id = ''
+              OR NOT regexp_full_match(event_id, '[A-Za-z0-9:_\-]+')
+           THEN 'invalid_event_id'
+         WHEN event_type IS NULL OR event_type = ''
+              OR event_type NOT IN ('view','click','purchase','error')
+           THEN 'invalid_event_type'
+         WHEN parent_event_id IS NOT NULL AND parent_event_id <> ''
+              AND NOT regexp_full_match(parent_event_id, '[A-Za-z0-9:_\-]+')
+           THEN 'invalid_parent_event_id'
+         WHEN job_name IS NOT NULL AND job_name <> '' AND length(job_name) > 64
+           THEN 'invalid_job_name'
+         WHEN turn_idx IS NULL THEN 'invalid_turn_idx'
+       END AS validation_error
+FROM parsed""",
+    [PARSED_CTE],
+)
+
 ORACLES["pipeline_sink_counts"] = with_transcripts(
     "SELECT sink, count(*) AS rows FROM enriched GROUP BY sink",
     [PARSED_CTE, TOOL_META_CTE, ROLE_META_CTE, _ENRICHED_CTE],
@@ -279,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_dups": q_sequence_dups,
         "chain_verify": q_chain_verify,
         "group_applies": q_group_applies,
+        "validate_events": q_validate_events,
         "pipeline_sink_counts": q_pipeline_sink_counts,
     }
     out.update(entry_queries.QUERIES)

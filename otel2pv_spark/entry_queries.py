@@ -95,6 +95,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), sim.make_anchors(emb, 4), k=5)
 
 
+def q_ann_ivf_assign(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.ivf_assign(emb, sim.make_anchors(emb, 4))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), sim.make_anchors(emb, 4), k=5, nprobe=2
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return sim.embedding_neardup_pairs(emb, sim.make_anchors(emb, 4), threshold=0.9)
@@ -123,6 +135,8 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
@@ -306,6 +320,47 @@ p AS (
          list_dot_product(v.e, q.qe) /
          (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS s
   FROM corpus v JOIN q ON v.bucket = q.bucket AND v.vec_id <> q.qid
+)
+SELECT qid AS query_id, vid AS neighbor_id, round(s, 4) AS cosine, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM p)
+WHERE rank <= 5"""
+
+_IVF_CTE = f"""{_V},
+anch AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS ce
+  FROM v ORDER BY vec_id LIMIT 4
+),
+csim AS (
+  SELECT v.vec_id, anch.cid,
+         list_dot_product(v.e, anch.ce) /
+         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(anch.ce, anch.ce))) AS s
+  FROM v CROSS JOIN anch
+),
+assign AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM csim)
+  WHERE rn = 1
+)"""
+
+ORACLES["ann_ivf_assign"] = f"""WITH {_IVF_CTE}
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM assign"""
+
+ORACLES["ann_ivf_topk"] = f"""WITH {_IVF_CTE},
+probes AS (
+  SELECT vec_id AS qid, cid AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM csim WHERE vec_id < 8)
+  WHERE rn <= 2
+),
+corpus AS (SELECT v.vec_id, v.e, a.cluster FROM v JOIN assign a USING (vec_id)),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+p AS (
+  SELECT DISTINCT pr.qid, c.vec_id AS vid,
+         list_dot_product(c.e, q.qe) /
+         (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS s
+  FROM corpus c JOIN probes pr ON c.cluster = pr.cluster
+  JOIN q ON q.qid = pr.qid
+  WHERE c.vec_id <> pr.qid
 )
 SELECT qid AS query_id, vid AS neighbor_id, round(s, 4) AS cosine, rank
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM p)

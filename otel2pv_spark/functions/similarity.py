@@ -137,6 +137,91 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (ties → lowest centroid id). ``centroids`` is a
+    tiny (anchor_rank, vec) table — broadcast, so assignment is a
+    map-side projection + a per-vector argmax (map-side partial agg);
+    the inverted lists ARE the partitions of a later repartition on
+    ``cluster``. Centroids here are data-derived (``make_anchors``) for
+    determinism; a production pipeline would plug k-means centroids
+    into the same shape."""
+    c = centroids.select(
+        F.col("anchor_rank").alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    j = df.select(id_col, vec_col).crossJoin(F.broadcast(c))
+    csim = _dot(F.col(vec_col), F.col("cvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cvec"))
+    )
+    scored = j.select(F.col(id_col), F.col("cid"), csim.alias("csim"))
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("b"))
+        .select(F.col(id_col), (-F.col("b.ncid")).cast("int").alias("cluster"))
+    )
+    return best
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    centroids' inverted lists and scores exact cosine only there — the
+    centroid-bucket counterpart of ``lsh_topk`` (same join shape, finer
+    recall control via nprobe). Probe-list computation is |Q|×|C| (tiny,
+    broadcast); the corpus-side work is one assignment pass + a
+    co-partitioned candidate join."""
+    assigned = df.join(ivf_assign(df, centroids, id_col, vec_col), id_col)
+
+    c = centroids.select(
+        F.col("anchor_rank").alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    qc = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).crossJoin(F.broadcast(c))
+    qsim = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.col("cid"))
+    probes = (
+        qc.withColumn("qsim", qsim)
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qvec", F.col("cid").alias("cluster"))
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    scored = cand.withColumn("sim", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("sim", round_to).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     anchors: DataFrame,

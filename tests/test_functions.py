@@ -108,3 +108,35 @@ def test_media_column_pruned_for_metadata(spark, sf_dir):
     meta = mm.media_metadata(mm.attach_fake_media(docs))
     plan = meta._jdf.queryExecution().executedPlan().toString()
     assert "media#" not in plan.split("Project")[0]
+
+
+def test_ivf_assign_partitions_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sim.make_anchors(emb, 4)
+    assigned = sim.ivf_assign(emb, cents).collect()
+    # every vector gets exactly one cluster in [0, 4)
+    assert len(assigned) == emb.count()
+    assert all(0 <= r.cluster < 4 for r in assigned)
+    # a centroid vector's nearest centroid is itself (cosine 1.0)
+    by_id = {r.vec_id: r.cluster for r in assigned}
+    for rank, r in enumerate(
+        emb.orderBy("vec_id").limit(4).collect()
+    ):
+        assert by_id[r.vec_id] == rank
+
+
+def test_ivf_topk_candidates_come_from_probed_clusters(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sim.make_anchors(emb, 4)
+    clusters = {r.vec_id: r.cluster for r in sim.ivf_assign(emb, cents).collect()}
+    out = sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), cents, k=3, nprobe=2
+    ).collect()
+    assert out
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert clusters[r.neighbor_id] in set(clusters.values())
+    # nprobe=C recovers the brute-force answer
+    full = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), cents, k=3, nprobe=4)
+    brute = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
