@@ -140,6 +140,28 @@ def q_group_applies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("conv_id", "turn_idx", "event_id", "job_name")
 
 
+_FANOUT_KEYS = [
+    "event_type", "event_id", "parent_event_id",
+    "job_name", "application_name", "body",
+]
+
+
+def q_extract_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 + P2: one output row per extracted (key, value) — the
+    reference emits each JQ key's each value as its own message with
+    routingKey=key (jqTransformer.go:241-265); empty extractions emit
+    nothing (//empty, :314). explode(map) is the UDTF-like one-to-many."""
+    good = _parsed_good(spark, sf_dir)
+    kv = F.create_map(
+        *[x for k in _FANOUT_KEYS for x in (F.lit(k), F.col(k))]
+    )
+    return good.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.map_filter(kv, lambda k, v: v != "")).alias("key", "value"),
+    ).withColumn("sink", F.col("key"))
+
+
 def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: config-driven column constraints (the JSON-Schema-per-key
     analog) over the parsed fields — first failing rule per row."""
@@ -257,6 +279,15 @@ FROM parsed WHERE parse_ok""",
     [PARSED_CTE],
 )
 
+ORACLES["extract_fanout"] = with_transcripts(
+    "\nUNION ALL\n".join(
+        f"SELECT conv_id, turn_idx, '{k}' AS key, {k} AS value, '{k}' AS sink "
+        f"FROM parsed WHERE parse_ok AND {k} <> ''"
+        for k in _FANOUT_KEYS
+    ),
+    [PARSED_CTE],
+)
+
 ORACLES["validate_events"] = with_transcripts(
     r"""SELECT conv_id, turn_idx,
        CASE
@@ -310,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_verify": q_chain_verify,
         "group_applies": q_group_applies,
         "validate_events": q_validate_events,
+        "extract_fanout": q_extract_fanout,
         "pipeline_sink_counts": q_pipeline_sink_counts,
     }
     out.update(entry_queries.QUERIES)

@@ -30,6 +30,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Representative spread: pipeline stages + training-data ops.
 HEADLINE = [
     "parse_extract",
+    "extract_fanout",
+    "validate_events",
     "enrich_route",
     "route_counts",
     "sequence_prev",
@@ -43,6 +45,7 @@ HEADLINE = [
     "text_token_count",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
