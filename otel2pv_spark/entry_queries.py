@@ -179,14 +179,18 @@ sh AS (
 
 ORACLES["dedup_minhash_lsh"] = f"""WITH {_DOCS_CTE},
 {_SHINGLE_CTE},
+base AS (
+  SELECT doc_id, (('0x' || substr(md5(shingle || '#0'), 1, 8)))::BIGINT AS h0 FROM sh
+),
 sig AS (
-  SELECT doc_id, i, min({_HASH}) AS minhash
-  FROM sh, range(0, 12) r(i)
+  SELECT doc_id, i,
+         min((h0 * (2*i + 3) + i * 2654435761) % 2147483647) AS minhash
+  FROM base, range(0, 12) r(i)
   GROUP BY doc_id, i
 ),
 banded AS (
   SELECT doc_id, CAST(i // 4 AS INT) AS band,
-         md5(array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))), ',')) AS band_key
+         md5(array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',')) AS band_key
   FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

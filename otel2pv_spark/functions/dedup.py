@@ -64,6 +64,37 @@ def _hash_shingle(shingle_col, i_col):
     ).cast("bigint")
 
 
+# Universal hash family over ONE base hash per shingle (standard
+# minhash construction h_i(x) = (a_i·x + b_i) mod p): one md5 per
+# distinct (doc, shingle) instead of num_hashes of them, and the
+# signature is num_hashes MIN aggregates in a single groupBy — no
+# hash-index row explosion at all. p = 2^31-1 (Mersenne prime);
+# products stay far below 2^63.
+MINHASH_P = (1 << 31) - 1
+
+
+def _family(h, i: int):
+    return (h * (2 * i + 3) + i * 2654435761) % MINHASH_P
+
+
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(id, mh_0 .. mh_{H-1}) — one md5 per distinct shingle occurrence,
+    one shuffle (the groupBy on id)."""
+    # per-doc shingle dedup BEFORE the explode (array_distinct) — the
+    # (doc, shingle) pairs are then already distinct, so no shuffle
+    # happens until the tiny map-side-combined min aggregation
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
+    )
+    base = sh.withColumn("h0", _hash_shingle(F.col("shingle"), F.lit(0)))
+    return base.groupBy(id_col).agg(
+        *[F.min(_family(F.col("h0"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -71,17 +102,16 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """(id, hash_index, minhash) — long form, one shuffle."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
-        .distinct()
+    """(id, hash_index, minhash) — long form of the wide signature."""
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"mh_{i}").alias("minhash"))
+            for i in range(num_hashes)
+        ]
     )
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    exploded = sh.select(id_col, "shingle", idx)
-    return (
-        exploded.withColumn("h", _hash_shingle(F.col("shingle"), F.col("i")))
-        .groupBy(id_col, "i")
-        .agg(F.min("h").alias("minhash"))
+    return wide.select(id_col, F.explode(pairs).alias("s")).select(
+        id_col, "s.i", "s.minhash"
     )
 
 
@@ -94,15 +124,28 @@ def minhash_lsh_candidates(
     bands: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
-    Band key = md5 of the band's minhash values."""
+    Band key = md5 of the band's minhash values (in hash-index order)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = (
-        sig.withColumn("band", F.floor(F.col("i") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("i").cast("string"), F.col("minhash").cast("string"))
-        )))).alias("band_key"))
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = wide.select(id_col, F.explode(bands_arr).alias("s")).select(
+        id_col, "s.band", "s.band_key"
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -157,9 +200,9 @@ def ngram_jaccard_pairs(
     With ``candidates`` (e.g. from LSH) the join is restricted to those
     pairs — the scale path. Without, all-pairs via shared-shingle join
     (test/small-corpus mode only)."""
-    sh = (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
-        .distinct()
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
