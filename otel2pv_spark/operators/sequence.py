@@ -130,6 +130,7 @@ def sequence_window_salted(
     array_mode: bool = True,
     gap_reset: bool = True,
     dup_compare_cols: tuple[str, ...] = (),
+    ok_col: str | None = None,
 ) -> DataFrame:
     """``sequence_window`` with per-task work bounded by ``block_size``
     instead of conversation length — the explicit skew path for hot
@@ -152,7 +153,11 @@ def sequence_window_salted(
 
     The (conv, event_id) duplicate windows are unchanged: their group
     cardinality is per-event, already skew-free.
+
+    ``ok_col`` gates row validity exactly as in ``sequence_window`` (the
+    single-pass pipeline sequences before splitting off rejects).
     """
+    ok = F.col(ok_col) if ok_col else F.lit(True)
     idv = F.coalesce(
         F.nullif(F.col(seq_id_map_col), F.lit("")) if seq_id_map_col else F.lit(None),
         F.col(id_col),
@@ -162,14 +167,14 @@ def sequence_window_salted(
     df = df.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
 
     if dup_compare_cols:
-        payload = F.struct(*[F.col(c) for c in dup_compare_cols])
+        payload = F.when(ok, F.struct(*[F.col(c) for c in dup_compare_cols]))
         w_id = Window.partitionBy(conv_col, id_col)
         df = df.withColumn(
             "_dup_conflict", F.size(F.collect_set(payload).over(w_id)) > 1
         )
     else:
         df = df.withColumn("_dup_conflict", F.lit(False))
-    self_ref = F.col(parent_col) == F.col(id_col)
+    self_ref = ok & (F.col(parent_col) == F.col(id_col))
 
     # plain shuffle join, NOT broadcast: conv_flags has one row per
     # conversation (billions at full scale). The join key is the skewed
@@ -184,12 +189,12 @@ def sequence_window_salted(
     blk = F.floor(F.col(order_col) / block_size)
     df = df.withColumn("_blk", blk)
 
-    canon_id = F.when(~F.col("is_duplicate"), idv)
-    canon_order = F.when(~F.col("is_duplicate"), F.col(order_col))
+    canon_id = F.when(~F.col("is_duplicate") & ok, idv)
+    canon_order = F.when(~F.col("is_duplicate") & ok, F.col(order_col))
 
     # carry-in per block: last canonical (id, turn) over all prior blocks
     blk_last = (
-        df.filter(~F.col("is_duplicate"))
+        df.filter(~F.col("is_duplicate") & ok)
         .groupBy(conv_col, "_blk")
         .agg(
             F.max_by(idv, F.col(order_col)).alias("_blk_last_id"),

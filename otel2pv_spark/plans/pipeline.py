@@ -20,10 +20,14 @@ shape too: each message flows consumer → transform → producer once
 (Server/server.go:74-105), with rejects peeled off to the DLQ in-line
 (Server/consumers.go:776-827).
 
-The hot-conversation skew mode (``hot_block_size``) keeps the previous
-persisted two-branch executor: its block/carry-in operators read the
-parsed input twice, which with no cache would re-parse, so there the
-persist is the lesser cost.
+The hot-conversation skew mode (``hot_block_size``) runs through the
+same single-pass executor with the block-salted operators: per-task
+work is bounded by block size instead of conversation length, and the
+small carry/flag side-branches re-derive narrow columns (reused
+exchanges + column-pruned re-parse) instead of persisting anything.
+Measured guidance: the default window path is FASTER until individual
+conversations reach ~10^7 turns (a 300k-turn conversation sorts in-task
+without trouble); reserve hot mode for genuinely pathological tails.
 
 This is the lifecycle contrast documented in SURVEY §3.5; the stages
 correspond 1:1 to the reference's three services plus routing/metrics.
@@ -87,14 +91,6 @@ class PipelineConfig:
     run_id: str | None = None
 
 
-def _apply_verify(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    if cfg.hot_block_size:
-        ver = verify_op.chain_verify_salted(parsed, cfg.hot_block_size)
-    else:
-        ver = verify_op.chain_verify(parsed)
-    return ver.select("conv_id", "verified")
-
-
 def _apply_sequence(
     enriched: DataFrame, cfg: PipelineConfig, ok_col: str | None = None
 ) -> DataFrame:
@@ -106,7 +102,9 @@ def _apply_sequence(
         dup_compare_cols=("role", "text", "tool"),
     )
     if cfg.hot_block_size:
-        seq = seq_op.sequence_window_salted(enriched, cfg.hot_block_size, **kwargs)
+        seq = seq_op.sequence_window_salted(
+            enriched, cfg.hot_block_size, ok_col=ok_col, **kwargs
+        )
     else:
         seq = seq_op.sequence_window(enriched, ok_col=ok_col, **kwargs)
     for share, ident, value in cfg.group_applies:
@@ -127,44 +125,39 @@ def build_single_pass(
     and a reserved reject sink."""
     df = transcripts.withColumn("src_partition_id", F.spark_partition_id())
     parsed = parse_op.parse(df, use_pandas=cfg.use_pandas_parse)
-    # Stage order minimizes in-partition sorts: the (conv, event_id)
-    # duplicate windows run first (sort #1), then every (conv, turn)
-    # window — prev-link range, verify chain — shares sort #2; the
-    # broadcast enrich joins preserve order and come last. The explicit
-    # conv_id repartition pins the ONE exchange to the key every window
-    # can reuse via the hash-partitioning subset rule (without it,
-    # Catalyst partitions the first window on (conv, event_id) and must
-    # re-exchange for the conv-level windows); AQE still coalesces it.
-    seq = _apply_sequence(parsed.repartition("conv_id"), cfg, ok_col="parse_ok")
-    ver = verify_op.chain_verify_flags(seq)
-    enriched = enrich_op.enrich(ver, tool_meta, role_meta)
+
+    if cfg.hot_block_size:
+        # Hot-skew plan: the salted sequence/verify operators bound
+        # per-task work by block, not conversation length. No conv_id
+        # repartition pin here — pinning would let the block windows
+        # reuse the conv-only exchange via the subset rule and keep a
+        # hot conversation in ONE task, defeating the salt; each
+        # operator requests its own (conv, block) distribution instead.
+        # The carry/flag side-branches re-derive their narrow inputs
+        # (column-pruned re-parse / reused exchanges) rather than
+        # persisting the full parsed table — recompute of a few codegen
+        # columns beats materializing text twice at any scale.
+        seq = _apply_sequence(parsed, cfg, ok_col="parse_ok")
+        ver = verify_op.chain_verify_salted(parsed, cfg.hot_block_size).select(
+            "conv_id", "verified"
+        )
+        seq = seq.join(ver, "conv_id", "left")
+    else:
+        # Stage order minimizes in-partition sorts: the (conv, event_id)
+        # duplicate windows run first (sort #1), then every (conv, turn)
+        # window — prev-link range, verify chain — shares sort #2; the
+        # broadcast enrich joins preserve order and come last. The
+        # explicit conv_id repartition pins the ONE exchange to the key
+        # every window can reuse via the hash-partitioning subset rule
+        # (without it, Catalyst partitions the first window on
+        # (conv, event_id) and must re-exchange for the conv-level
+        # windows); AQE still coalesces it.
+        seq = _apply_sequence(parsed.repartition("conv_id"), cfg, ok_col="parse_ok")
+        seq = verify_op.chain_verify_flags(seq)
+
+    enriched = enrich_op.enrich(seq, tool_meta, role_meta)
     routed = route_op.assign_reject_sinks(enriched, KNOWN_SINKS)
     return routed.select(*OUTPUT_COLS, "src_partition_id", "reject_reason")
-
-
-def build_stages(
-    transcripts: DataFrame,
-    tool_meta: DataFrame,
-    role_meta: DataFrame,
-    cfg: PipelineConfig,
-) -> dict[str, DataFrame]:
-    """Two-branch stage plans for the persisted executor (hot-skew
-    mode): ``parsed`` feeds the good path, the rejects path AND the
-    verify branch; the executor persists it because Catalyst does not
-    dedupe shared DataFrame subplans."""
-    parsed = parse_op.parse(transcripts, use_pandas=cfg.use_pandas_parse)
-    good, parse_rejects = parse_op.split_rejects(parsed)
-
-    enriched = enrich_op.enrich(good, tool_meta, role_meta)
-
-    # per-conv verification flag (straight-line chain form), joined back
-    # on the same conv_id partitioning
-    ver = _apply_verify(parsed, cfg)
-    enriched = enriched.join(ver, "conv_id", "left")
-
-    seq = _apply_sequence(enriched, cfg)
-
-    return {"parsed": parsed, "parse_rejects": parse_rejects, "seq": seq}
 
 
 def build_sequenced(
@@ -174,16 +167,7 @@ def build_sequenced(
     cfg: PipelineConfig,
 ) -> tuple[DataFrame, DataFrame]:
     """Pure (lazy) plan: returns (sequenced_routable, rejects) — thin
-    filters over the single-pass plan (hot-skew mode falls back to the
-    two-branch stage plans)."""
-    if cfg.hot_block_size:
-        st = build_stages(transcripts, tool_meta, role_meta, cfg)
-        routable, route_rejects = route_op.route(st["seq"], KNOWN_SINKS)
-        rejects = st["parse_rejects"].select(*REJECT_COLS[:3]).withColumn(
-            "reject_reason", F.lit("invalid_parse")
-        ).unionByName(route_rejects.select(*REJECT_COLS))
-        return routable.select(*OUTPUT_COLS), rejects
-
+    filters over the single-pass plan (both modes)."""
     sp = build_single_pass(transcripts, tool_meta, role_meta, cfg)
     is_reject = F.col("reject_reason").isNotNull()
     routable = sp.filter(~is_reject).select(*OUTPUT_COLS)
@@ -233,11 +217,6 @@ def run(
 
     tool_meta = datagen.tool_meta(spark)
     role_meta = datagen.role_meta(spark)
-
-    if cfg.hot_block_size:
-        return _run_persisted(
-            spark, transcripts, cfg, run_id, cat, man, t0, tool_meta, role_meta
-        )
 
     routed_all = build_single_pass(transcripts, tool_meta, role_meta, cfg)
 
@@ -305,67 +284,6 @@ def run(
             )
             man.commit("lineage")
         n_rows = sum(r.rows for r in per)
-
-    wall = time.time() - t0
-    return {
-        "run_id": run_id,
-        "rows": n_rows,
-        "wall_sec": wall,
-        "turns_per_sec": n_rows / wall if wall > 0 else 0.0,
-        "committed": man.committed_steps(),
-    }
-
-
-def _run_persisted(
-    spark: SparkSession,
-    transcripts: DataFrame,
-    cfg: PipelineConfig,
-    run_id: str,
-    cat: Catalog,
-    man: RunManifest,
-    t0: float,
-    tool_meta: DataFrame,
-    role_meta: DataFrame,
-) -> dict:
-    """Hot-skew executor: the salted operators consume the parsed input
-    twice (rows + block aggregates), so the two reused intermediates
-    are persisted (on a cluster: Iceberg staging tables)."""
-    st = build_stages(transcripts, tool_meta, role_meta, cfg)
-
-    parsed = st["parsed"].persist()
-    seq = None
-    try:
-        # rebuild the downstream plan on TOP of the persisted parsed
-        good, parse_rejects = parse_op.split_rejects(parsed)
-        enriched = enrich_op.enrich(good, tool_meta, role_meta)
-        ver = _apply_verify(parsed, cfg)
-        enriched = enriched.join(ver, "conv_id", "left")
-        seq = _apply_sequence(enriched, cfg).persist()
-
-        routable, route_rejects = route_op.route(seq, KNOWN_SINKS)
-        routable = routable.select(*OUTPUT_COLS)
-        rejects = parse_rejects.select(
-            "conv_id", "turn_idx", "text", "reject_reason"
-        ).unionByName(route_rejects.select(*REJECT_COLS))
-
-        n_rows = 0
-        if not man.is_committed("fanout"):
-            route_op.write_fanout(routable, cat.path("sequenced_events"))
-            man.commit("fanout", {"path": cat.path("sequenced_events")})
-        if not man.is_committed("rejects"):
-            cat.write(rejects, "rejects")
-            man.commit("rejects")
-        if not man.is_committed("metrics"):
-            cat.write(agg_op.metrics(routable, run_id), "_metrics")
-            man.commit("metrics")
-        if not man.is_committed("lineage"):
-            cat.write(agg_op.lineage(routable, run_id, "sequence"), "_lineage")
-            man.commit("lineage")
-        n_rows = routable.count()
-    finally:
-        parsed.unpersist()
-        if seq is not None:
-            seq.unpersist()
 
     wall = time.time() - t0
     return {
