@@ -100,6 +100,79 @@ def extract_features(df: DataFrame, id_col="doc_id", fake: bool = True) -> DataF
     return df.select(*cols).mapInPandas(kernel, schema=out_schema)
 
 
+def resize_media(
+    df: DataFrame, target_w: int, target_h: int, id_col="doc_id", fake: bool = True
+) -> DataFrame:
+    """mapInPandas resize: same row count, new media bytes + updated
+    dims. The fake kernel derives output bytes deterministically from
+    (input bytes, target dims) — same signature, Arrow batch shape and
+    schema as a real PIL/libvips resize, which plugs in at the marked
+    point."""
+    out_schema = (
+        f"{id_col} long, media binary, media_format string, "
+        "media_width int, media_height int, media_n_bytes int"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                resized = [
+                    hashlib.md5(
+                        bytes(m) + f"{target_w}x{target_h}".encode()
+                    ).digest()
+                    for m in pdf["media"]
+                ]
+            else:
+                resized = [decode_image(m, f) for m, f in zip(pdf["media"], pdf["media_format"])]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": resized,
+                    "media_format": pdf["media_format"],
+                    "media_width": target_w,
+                    "media_height": target_h,
+                    "media_n_bytes": [len(b) for b in resized],
+                }
+            )
+
+    cols = [id_col, "media", "media_format"]
+    return df.select(*cols).mapInPandas(kernel, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int, id_col="doc_id", fake: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling — the one-to-many media op (a video
+    row fans out to ``n_frames`` frame rows, each with its own bytes).
+    The fake kernel derives frame bytes from (video bytes, frame index);
+    a real ffmpeg/torchvision sampler plugs in at the marked point.
+    Output rows stay inside the input's partition (no shuffle)."""
+    out_schema = f"{id_col} long, frame_idx int, frame binary, frame_n_bytes int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, m in zip(pdf[id_col], pdf["media"]):
+                for i in range(n_frames):
+                    if fake:
+                        fb = hashlib.md5(bytes(m) + f"frame{i}".encode()).digest()
+                    else:
+                        fb = decode_image(m, f"frame{i}")
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(fb)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_n_bytes": [len(b) for b in frames],
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(kernel, schema=out_schema)
+
+
 def media_metadata(df: DataFrame, id_col="doc_id") -> DataFrame:
     """Metadata-only projection — verifies column pruning keeps the
     binary column out of the scan when not needed."""

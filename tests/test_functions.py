@@ -140,3 +140,28 @@ def test_ivf_topk_candidates_come_from_probed_clusters(spark, sf_dir):
     full = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), cents, k=3, nprobe=4)
     brute = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_resize_media_shape_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.attach_fake_media(docs)
+    out = mm.resize_media(media, 32, 24)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r.media_width == 32 and r.media_height == 24 for r in rows)
+    assert all(r.media_n_bytes == len(r.media) for r in rows)
+    again = {r.doc_id: bytes(r.media) for r in mm.resize_media(media.repartition(5), 32, 24).collect()}
+    assert {r.doc_id: bytes(r.media) for r in rows} == again
+
+
+def test_sample_frames_one_to_many(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.attach_fake_media(docs)
+    n_docs = docs.count()
+    out = mm.sample_frames(media, 3)
+    assert out.count() == 3 * n_docs
+    per = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per)
+    # distinct bytes per frame index, deterministic across partitionings
+    one = out.filter(F.col("doc_id") == per[0].doc_id).collect()
+    assert len({bytes(r.frame) for r in one}) == 3
