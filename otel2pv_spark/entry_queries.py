@@ -41,6 +41,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def emb_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded near-duplicate vectors (the driver corpus has no native
+    near-dups, which made the near-dup query vacuously green): scaled
+    copies (+100000, ×1.01 — cosine exactly 1.0) and shifted copies
+    (+200000, each element +0.05 — high-but-<1 cosine). All arithmetic
+    in double AFTER the float→double cast, matching the oracle's
+    CAST(embedding AS DOUBLE[]) order of operations."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", as_double.alias("embedding"))
+    scaled = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.01).alias("embedding"),
+    )
+    shifted = e.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.05).alias("embedding"),
+    )
+    return base.unionByName(scaled).unionByName(shifted)
+
+
 # ------------------------------------------------------------- queries
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup(docs_fixture(spark, sf_dir))
@@ -61,7 +82,13 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return dd.ngram_jaccard_pairs(docs_fixture(spark, sf_dir), threshold=0.5)
+    """Exact Jaccard verification restricted to MinHash-LSH candidate
+    pairs — the scale path (all-pairs mode is test-only); the oracle
+    applies the identical candidate restriction."""
+    fix = docs_fixture(spark, sf_dir)
+    return dd.ngram_jaccard_pairs(
+        fix, threshold=0.5, candidates=dd.minhash_lsh_candidates(fix)
+    )
 
 
 def q_text_token_count(spark, sf_dir):
@@ -108,7 +135,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
+    emb = emb_fixture(spark, sf_dir)
     return sim.embedding_neardup_pairs(emb, sim.make_anchors(emb, 4), threshold=0.9)
 
 
@@ -117,9 +144,20 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction — no SQL oracle (rows-only check);
-    determinism asserted in pytest."""
-    return mm.extract_features(mm.attach_fake_media(_docs(spark, sf_dir)))
+    """mapInPandas feature extraction, scalarized for the driver's
+    canonicalizer (raw array<double> columns are unhashable there) —
+    the rounded per-feature columns also enable a real DuckDB oracle
+    over the deterministic fake kernel (md5-arithmetic both engines
+    reproduce)."""
+    feats = mm.extract_features(mm.attach_fake_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        "media_format",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(mm.FEATURE_DIM)
+        ],
+    )
 
 
 QUERIES = {
@@ -177,9 +215,7 @@ sh AS (
   FROM (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM tok)
 )"""
 
-ORACLES["dedup_minhash_lsh"] = f"""WITH {_DOCS_CTE},
-{_SHINGLE_CTE},
-base AS (
+_LSH_CTES = """base AS (
   SELECT doc_id, (('0x' || substr(md5(shingle || '#0'), 1, 8)))::BIGINT AS h0 FROM sh
 ),
 sig AS (
@@ -192,10 +228,17 @@ banded AS (
   SELECT doc_id, CAST(i // 4 AS INT) AS band,
          md5(array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',')) AS band_key
   FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-WHERE a.doc_id < b.doc_id"""
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)"""
+
+ORACLES["dedup_minhash_lsh"] = f"""WITH {_DOCS_CTE},
+{_SHINGLE_CTE},
+{_LSH_CTES}
+SELECT doc_a, doc_b FROM cand"""
 
 ORACLES["dedup_simhash"] = f"""WITH {_DOCS_CTE},
 tok AS (
@@ -210,11 +253,14 @@ bits AS (
   FROM hashed, range(0, 32) r(b)
   GROUP BY doc_id, b
 )
-SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+SELECT doc_id,
+       -- CAST: untyped DuckDB sum() yields HUGEINT; Spark emits BIGINT
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id"""
 
 ORACLES["dedup_ngram_jaccard"] = f"""WITH {_DOCS_CTE},
 {_SHINGLE_CTE},
+{_LSH_CTES},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -222,11 +268,12 @@ inter AS (
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b,
+SELECT inter.doc_a, inter.doc_b,
        round(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
+JOIN cand ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
 WHERE i / (sa.sz + sb.sz - i) >= 0.5"""
 
 ORACLES["text_token_count"] = f"""
@@ -370,7 +417,21 @@ SELECT qid AS query_id, vid AS neighbor_id, round(s, 4) AS cosine, rank
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM p)
 WHERE rank <= 5"""
 
-ORACLES["embedding_neardup"] = f"""WITH {_BUCKETS_CTE},
+# near-dup runs over the seeded fixture (scaled/shifted copies), not
+# the raw corpus — see emb_fixture.
+_VFIX = """v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
+  FROM embeddings WHERE vec_id % 9 = 0
+  UNION ALL
+  SELECT vec_id + 200000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+  FROM embeddings WHERE vec_id % 13 = 0
+)"""
+
+_BUCKETS_FIX_CTE = _BUCKETS_CTE.replace(_V, _VFIX)
+
+ORACLES["embedding_neardup"] = f"""WITH {_BUCKETS_FIX_CTE},
 corpus AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN buckets b USING (vec_id)),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -388,6 +449,14 @@ SELECT doc_id,
        CAST(octet_length(unhex(md5(text))) AS INT) AS media_n_bytes
 FROM documents"""
 
-# multimodal_features: intentionally NO oracle (mapInPandas kernel) —
-# the driver records the weaker rows-only check; pytest asserts
-# determinism and batch shape.
+# multimodal_features: the fake kernel hashes hex(media) where
+# media = unhex(md5(text)), so hex(media) == md5(text) and the feature
+# hash is md5(md5(text)) — fully reproducible in SQL.
+ORACLES["multimodal_features"] = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS media_format,
+       round((('0x' || substr(md5(md5(text)), 1, 8))::BIGINT) / 4294967296.0, 6) AS f0,
+       round((('0x' || substr(md5(md5(text)), 9, 8))::BIGINT) / 4294967296.0, 6) AS f1,
+       round((doc_id % 16 + 16) / 64.0, 6) AS f2,
+       round((doc_id % 9 + 9) / 32.0, 6) AS f3
+FROM documents"""

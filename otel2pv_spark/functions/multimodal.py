@@ -59,8 +59,12 @@ def decode_image(media_bytes: bytes, media_format: str):
 def _fake_features(media: bytes, width: int, height: int) -> list[float]:
     """Deterministic stand-in for a decoded-image feature vector:
     4 floats derived from the byte content + dims. Same signature and
-    batch shape as a real extractor."""
-    h = hashlib.md5(media).digest()
+    batch shape as a real extractor.
+
+    The hash is taken over the HEX of the bytes (not the raw bytes) so
+    an independent SQL oracle can reproduce it — DuckDB's md5() only
+    accepts VARCHAR. The kernel still consumes the binary column."""
+    h = hashlib.md5(bytes(media).hex().encode()).digest()
     return [
         int.from_bytes(h[0:4], "big") / 2**32,
         int.from_bytes(h[4:8], "big") / 2**32,

@@ -73,7 +73,12 @@ def sequence_window(
         F.col(id_col),
     )
 
-    w_dup = Window.partitionBy(conv_col, id_col).orderBy(order_col)
+    # Duplicate ranking partitions on the ok-GATED id: a reject row whose
+    # id regex happened to match must not outrank (and wrongly flag) a
+    # valid row sharing its event_id — rejects fall into the null group,
+    # exactly as if they had been filtered out before sequencing.
+    gated_id = F.when(ok, F.col(id_col))
+    w_dup = Window.partitionBy(conv_col, gated_id).orderBy(order_col)
     df = df.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
 
     wc = Window.partitionBy(conv_col)
@@ -81,7 +86,7 @@ def sequence_window(
     # (collect_set skips nulls, so non-ok rows never contribute)
     if dup_compare_cols:
         payload = F.when(ok, F.struct(*[F.col(c) for c in dup_compare_cols]))
-        w_id = Window.partitionBy(conv_col, id_col)
+        w_id = Window.partitionBy(conv_col, gated_id)
         df = df.withColumn(
             "_dup_conflict", F.size(F.collect_set(payload).over(w_id)) > 1
         )
@@ -163,12 +168,14 @@ def sequence_window_salted(
         F.col(id_col),
     )
 
-    w_dup = Window.partitionBy(conv_col, id_col).orderBy(order_col)
+    # ok-gated id partitioning, same contract as sequence_window
+    gated_id = F.when(ok, F.col(id_col))
+    w_dup = Window.partitionBy(conv_col, gated_id).orderBy(order_col)
     df = df.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
 
     if dup_compare_cols:
         payload = F.when(ok, F.struct(*[F.col(c) for c in dup_compare_cols]))
-        w_id = Window.partitionBy(conv_col, id_col)
+        w_id = Window.partitionBy(conv_col, gated_id)
         df = df.withColumn(
             "_dup_conflict", F.size(F.collect_set(payload).over(w_id)) > 1
         )
@@ -247,12 +254,20 @@ def group_applies(
     identifying_value: str,
     conv_col: str = "conv_id",
     order_col: str = "turn_idx",
+    ok_col: str | None = None,
 ) -> DataFrame:
     """groupApplies (sequencer.go:124-170,863-887): the FIRST row in
     emission order whose ``identifying_col == identifying_value`` and
     whose ``share_col`` is non-null donates its ``share_col`` value to
     EVERY row of the conversation. One unbounded window, no extra
-    shuffle (same conv_id partitioning as sequencing)."""
+    shuffle (same conv_id partitioning as sequencing).
+
+    ``ok_col`` gates donor eligibility: in the single-pass plan this
+    operator sees parse-reject rows too, and a reject whose extracted
+    fields happen to match the identifying predicate must not donate —
+    the reference only ever sees valid rows (rejects died at the
+    consumer, Server/consumers.go:776-827)."""
+    ok = F.col(ok_col) if ok_col else F.lit(True)
     w = (
         Window.partitionBy(conv_col)
         .orderBy(order_col)
@@ -260,7 +275,9 @@ def group_applies(
     )
     donor = F.first(
         F.when(
-            (F.col(identifying_col) == identifying_value) & F.col(share_col).isNotNull()
+            ok
+            & (F.col(identifying_col) == identifying_value)
+            & F.col(share_col).isNotNull()
             & (F.col(share_col) != ""),
             F.col(share_col),
         ),

@@ -108,7 +108,7 @@ def _apply_sequence(
     else:
         seq = seq_op.sequence_window(enriched, ok_col=ok_col, **kwargs)
     for share, ident, value in cfg.group_applies:
-        seq = seq_op.group_applies(seq, share, ident, value)
+        seq = seq_op.group_applies(seq, share, ident, value, ok_col=ok_col)
     return seq
 
 

@@ -76,7 +76,8 @@ FROM dupstats d LEFT JOIN edges e ON d.conv_id = e.conv_id""",
         _CANON_CTE,
         """dupstats AS (
   SELECT conv_id, count(*) AS n_nodes,
-         sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_nodes,
+         -- CAST: untyped DuckDB sum() yields HUGEINT; Spark emits BIGINT
+         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_nodes,
          bool_or(ndist > 1) AS dup_mismatch
   FROM (
     SELECT conv_id, node_id, count(*) AS cnt,
