@@ -70,6 +70,27 @@ def q_parse_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("parse_ok")).select(*PARSE_COLS)
 
 
+def _json_rules() -> list:
+    return parse_op.default_rules() + [
+        parse_op.ExtractionRule("body_k", "$.k", kind="json", source="body")
+    ]
+
+
+def q_parse_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 json-kind rule: JSON-path navigation out of the regex-extracted
+    ``body`` field — the JQ-navigation core (jqTransformer.go:304-327),
+    fused into the same single projection (native get_json_object)."""
+    df = parse_op.parse(_tr(spark, sf_dir), rules=_json_rules())
+    return df.filter(F.col("parse_ok")).select("conv_id", "turn_idx", "body", "body_k")
+
+
+def q_parse_extract_json_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rule set through the pandas grok path (source chaining inside
+    the one UDF) — must agree with the native path AND the oracle."""
+    df = parse_op.parse(_tr(spark, sf_dir), rules=_json_rules(), use_pandas=True)
+    return df.filter(F.col("parse_ok")).select("conv_id", "turn_idx", "body", "body_k")
+
+
 def q_parse_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/P4: invalid rows → rejects (DLQ analog)."""
     _, bad = parse_op.split_rejects(parse_op.parse(_tr(spark, sf_dir)))
@@ -191,6 +212,16 @@ ORACLES["parse_extract"] = with_transcripts(
     [PARSED_CTE],
 )
 ORACLES["parse_extract_pandas"] = ORACLES["parse_extract"]
+
+ORACLES["parse_extract_json"] = with_transcripts(
+    """SELECT conv_id, turn_idx, body,
+       CASE WHEN json_valid(body)
+            THEN coalesce(json_extract_string(body, '$.k'), '')
+            ELSE '' END AS body_k
+FROM parsed WHERE parse_ok""",
+    [PARSED_CTE],
+)
+ORACLES["parse_extract_json_pandas"] = ORACLES["parse_extract_json"]
 
 ORACLES["parse_rejects"] = with_transcripts(
     "SELECT conv_id, turn_idx, text, 'invalid_parse' AS reject_reason "
@@ -332,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "parse_extract": q_parse_extract,
         "parse_extract_pandas": q_parse_extract_pandas,
+        "parse_extract_json": q_parse_extract_json,
+        "parse_extract_json_pandas": q_parse_extract_json_pandas,
         "parse_rejects": q_parse_rejects,
         "enrich_route": q_enrich_route,
         "route_counts": q_route_counts,

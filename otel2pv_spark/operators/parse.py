@@ -39,13 +39,25 @@ from ..portable_sql import GROK_PATTERNS
 @dataclass(frozen=True)
 class ExtractionRule:
     """One named extraction — analog of one JQ query key
-    (jqTransformer.go:116-143)."""
+    (jqTransformer.go:116-143).
+
+    ``kind="regex"``: ``pattern`` is a regex with ONE capture group.
+    ``kind="json"``: ``pattern`` is a JSON path (``$.a.b``) — the core
+    of the reference's JQ navigation (jqTransformer.go:304-327), backed
+    by ``get_json_object`` so it stays inside whole-stage codegen.
+    ``source``: the column the rule reads; defaults to the parse text
+    column. May name an EARLIER rule's output (rules are applied in
+    order), e.g. a json rule over the regex-extracted ``body`` field —
+    the fused-program composition the reference gets from one JQ script.
+    """
 
     name: str
-    pattern: str  # regex with ONE capture group
+    pattern: str  # regex with ONE capture group, or JSON path for kind="json"
     required: bool = False
     # value rewrites applied post-extraction (e.g. '-' sentinel → '')
     null_sentinels: tuple[str, ...] = field(default_factory=tuple)
+    kind: str = "regex"
+    source: str | None = None
 
 
 def default_rules() -> list[ExtractionRule]:
@@ -61,30 +73,73 @@ def default_rules() -> list[ExtractionRule]:
 
 
 def _native_col(rule: ExtractionRule, text_col: str) -> Column:
-    c = F.regexp_extract(F.col(text_col), rule.pattern, 1)
+    src = F.col(rule.source or text_col)
+    if rule.kind == "json":
+        # '' on miss/invalid-JSON, matching regexp_extract's no-match
+        c = F.coalesce(F.get_json_object(src, rule.pattern), F.lit(""))
+    else:
+        c = F.regexp_extract(src, rule.pattern, 1)
     for s in rule.null_sentinels:
         c = F.when(c == s, F.lit("")).otherwise(c)
     return c.alias(rule.name)
 
 
+def _json_path_series(s: pd.Series, path: str) -> pd.Series:
+    """Pandas analog of ``get_json_object`` for the ``$.a.b`` subset:
+    '' on miss/invalid JSON; scalars rendered like Spark (numbers and
+    strings unquoted, booleans lowercase, containers compact JSON)."""
+    import json as _json
+
+    keys = [k for k in path.lstrip("$").lstrip(".").split(".") if k]
+
+    def one(v):
+        try:
+            obj = _json.loads(v)
+        except (TypeError, ValueError):
+            return ""
+        for k in keys:
+            if isinstance(obj, dict) and k in obj:
+                obj = obj[k]
+            else:
+                return ""
+        if obj is None:
+            return ""
+        if isinstance(obj, bool):
+            return "true" if obj else "false"
+        if isinstance(obj, (dict, list)):
+            return _json.dumps(obj, separators=(",", ":"))
+        return str(obj)
+
+    return s.map(one)
+
+
 def _pandas_extractor(rules: list[ExtractionRule]):
     """Compile all rules into one Arrow-batched pandas UDF returning a
     struct — the vectorized grok path. ``pd.Series.str.extract`` is
-    vectorized C under the hood; one UDF invocation per Arrow batch."""
+    vectorized C under the hood; one UDF invocation per Arrow batch.
+    A rule's ``source`` may name an earlier rule's output (computed
+    series are chained inside the one UDF, preserving the fused-program
+    property); json-kind rules fall back to per-value ``json.loads``
+    inside the batch (still one Arrow roundtrip)."""
     import re
 
-    compiled = [(r.name, re.compile(r.pattern), r.null_sentinels) for r in rules]
+    compiled = {
+        r.name: re.compile(r.pattern) for r in rules if r.kind != "json"
+    }
     schema = T.StructType([T.StructField(r.name, T.StringType()) for r in rules])
 
     @F.pandas_udf(schema)
     def grok(text: pd.Series) -> pd.DataFrame:
-        out = {}
-        for name, rx, sentinels in compiled:
-            col = text.str.extract(rx, expand=False)
-            col = col.fillna("")
-            for s in sentinels:
+        out: dict[str, pd.Series] = {}
+        for r in rules:
+            src = out[r.source] if (r.source and r.source in out) else text
+            if r.kind == "json":
+                col = _json_path_series(src, r.pattern)
+            else:
+                col = src.str.extract(compiled[r.name], expand=False).fillna("")
+            for s in r.null_sentinels:
                 col = col.mask(col == s, "")
-            out[name] = col
+            out[r.name] = col
         return pd.DataFrame(out)
 
     return grok

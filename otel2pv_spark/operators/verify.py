@@ -47,6 +47,7 @@ def verify_trees(
     parent_verify_types: DataFrame | None = None,
     node_type_col: str = "node_type",
     arrival_col: str | None = None,
+    payload_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(per_conv, rejects)``:
 
@@ -58,6 +59,13 @@ def verify_trees(
     copy of a duplicated node is the FIRST arrival, exactly like the
     reference (groupandverify.go:839-861). Without it the choice among
     duplicates is arbitrary (fine when payloads are equal).
+
+    ``payload_cols``: extra columns deep-compared for ``dup_mismatch``
+    beyond the link fields — the reference's duplicate inequality check
+    compares the FULL node incl. nodeType/timestamp/appJSON
+    (groupandverify.go:816-826). Map-typed payloads should be passed
+    pre-serialized (e.g. to_json of sorted entries) since distinct-agg
+    over maps is unsupported.
     """
     # -- duplicates: canonical = first arrival within (conv,node)
     w_dup = Window.partitionBy(conv_col, node_col).orderBy(
@@ -66,11 +74,14 @@ def verify_trees(
     flagged = nodes.withColumn("_rn", F.row_number().over(w_dup))
     canon = flagged.filter(F.col("_rn") == 1).drop("_rn")
 
+    dup_struct = F.struct(
+        parent_col, children_col, *[F.col(c) for c in payload_cols]
+    )
     dup_stats = (
         flagged.groupBy(conv_col, node_col)
         .agg(
             F.count("*").alias("_n"),
-            F.count_distinct(F.struct(parent_col, children_col)).alias("_distinct"),
+            F.count_distinct(dup_struct).alias("_distinct"),
         )
         .groupBy(conv_col)
         .agg(
@@ -135,14 +146,24 @@ def verify_trees(
         F.min(edge_ok).alias("_edges_ok")
     )
 
-    # parentVerifySet count rule
-    pvs_counts = (
+    # parentVerifySet count rule. Starts from pvs_parents (NOT the
+    # observed-edge groups) so a pvs node with ZERO backward children
+    # still fails its count check — the reference only verifies such a
+    # node once exactly expectedChildren distinct children have
+    # referenced it (groupandverify.go:657-664).
+    bwd_counts = (
         balance.filter(F.col("_pvs") & F.col("bwd"))
         .groupBy(conv_col, "parent")
         .agg(F.count_distinct("child").alias("_nkids"))
-        .join(pvs_parents, [conv_col, "parent"])
+    )
+    pvs_counts = (
+        pvs_parents.join(bwd_counts, [conv_col, "parent"], "left")
         .groupBy(conv_col)
-        .agg(F.min(F.col("_nkids") == F.col("expected_children")).alias("_pvs_ok"))
+        .agg(
+            F.min(
+                F.coalesce(F.col("_nkids"), F.lit(0)) == F.col("expected_children")
+            ).alias("_pvs_ok")
+        )
     )
 
     per_conv = (
@@ -160,6 +181,50 @@ def verify_trees(
         )
     )
     return per_conv, rejects
+
+
+def parent_verify_counts(
+    nodes: DataFrame,
+    parent_verify_types: DataFrame,
+    conv_col: str = "conv_id",
+    node_col: str = "node_id",
+    parent_col: str = "parent_id",
+    node_type_col: str = "node_type",
+    arrival_col: str | None = None,
+) -> DataFrame:
+    """Per-parentVerifySet-parent backward-children accounting (G4):
+    (conv_id, parent, n_bwd_children, expected_children, pvs_ok) — the
+    observable the reference's CheckVerified gates on
+    (groupandverify.go:632-664): a pvs parent verifies iff the count of
+    DISTINCT canonical children referencing it backward equals its
+    configured expectedChildren. ``parent_verify_types`` is the tiny
+    (node_type, expected_children) config — broadcast."""
+    w_dup = Window.partitionBy(conv_col, node_col).orderBy(
+        F.col(arrival_col) if arrival_col else F.col(node_col)
+    )
+    canon = (
+        nodes.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pvs = canon.join(F.broadcast(parent_verify_types), on=node_type_col).select(
+        F.col(conv_col), F.col(node_col).alias("parent"), "expected_children"
+    )
+    bwd = canon.filter(
+        F.col(parent_col).isNotNull() & (F.col(parent_col) != "")
+    ).select(F.col(conv_col), F.col(parent_col).alias("parent"), F.col(node_col).alias("child"))
+    counts = bwd.groupBy(conv_col, "parent").agg(
+        F.count_distinct("child").alias("n_bwd_children")
+    )
+    return pvs.join(counts, [conv_col, "parent"], "left").select(
+        conv_col,
+        "parent",
+        F.coalesce("n_bwd_children", F.lit(0)).alias("n_bwd_children"),
+        "expected_children",
+        (
+            F.coalesce("n_bwd_children", F.lit(0)) == F.col("expected_children")
+        ).alias("pvs_ok"),
+    )
 
 
 def chain_verify_salted(

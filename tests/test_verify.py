@@ -111,6 +111,42 @@ def test_duplicates_counted_and_mismatch_flagged(spark):
     assert r.n_dup_nodes == 1 and r.dup_mismatch
 
 
+def test_parent_verify_set_zero_children_fails_count(spark):
+    """a pvs parent with NO backward children must NOT verify — the
+    reference only verifies it once exactly expectedChildren distinct
+    children referenced it (groupandverify.go:657-664)."""
+    rows = [{"id": "1", "type": "T"}]
+    per_conv, _ = verify_trees(
+        mk(spark, rows), parent_verify_types=pvs(spark, [("T", 2)])
+    )
+    assert not one(per_conv).verified
+
+
+def test_dup_mismatch_payload_only(spark):
+    """duplicates identical on links but differing ONLY in payload trip
+    dup_mismatch when payload_cols are compared — the reference's
+    inequality is a FULL deep-equal incl. appJSON
+    (groupandverify.go:816-826)."""
+    from pyspark.sql import functions as F
+
+    base = [
+        {"id": "1", "children": ["2"]},
+        {"id": "2", "parent": "1", "ts": 5},
+        {"id": "2", "parent": "1", "ts": 9},   # differs only in timestamp
+    ]
+    df = mk(spark, base).withColumn(
+        "_app_ser",
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries("app_json")))),
+    )
+    shallow, _ = verify_trees(df, arrival_col="arrival_pos")
+    assert not one(shallow).dup_mismatch
+    deep, _ = verify_trees(
+        df, arrival_col="arrival_pos",
+        payload_cols=("node_type", "timestamp", "_app_ser"),
+    )
+    assert one(deep).dup_mismatch
+
+
 def test_multiple_convs_independent(spark):
     good = mk(spark, [{"id": "1", "children": ["2"]}, {"id": "2", "parent": "1"}], conv="g")
     bad = mk(spark, [{"id": "1", "children": ["2"]}, {"id": "2"}], conv="b")
