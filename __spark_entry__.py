@@ -202,6 +202,25 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routable.groupBy("sink").agg(F.count("*").alias("rows"))
 
 
+def q_pipeline_tree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DAG in tree mode (applyInPandas DFS kernel reachable from
+    PipelineConfig): per-sink counts plus how many rows carry a prev
+    link and how many sit in verified conversations — the tree path
+    must reproduce the window path's linkage exactly on the chain
+    carrier (see _apply_tree_sequence orientation note)."""
+    routable, _ = pipeline.build_sequenced(
+        _tr(spark, sf_dir), datagen.tool_meta(spark), datagen.role_meta(spark),
+        pipeline.PipelineConfig(tree_mode=True, seq_array_mode=False),
+    )
+    return routable.groupBy("sink").agg(
+        F.count("*").alias("rows"),
+        F.sum(
+            F.when(F.col("previous_event_ids").isNotNull(), 1).otherwise(0)
+        ).alias("n_linked"),
+        F.sum(F.when(F.col("verified"), 1).otherwise(0)).alias("n_verified"),
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 _W = "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"
 
@@ -344,6 +363,42 @@ ORACLES["pipeline_sink_counts"] = with_transcripts(
     [PARSED_CTE, TOOL_META_CTE, ROLE_META_CTE, _ENRICHED_CTE],
 )
 
+ORACLES["pipeline_tree_counts"] = with_transcripts(
+    """SELECT e.sink, count(*) AS rows,
+       CAST(sum(CASE WHEN c.prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_linked,
+       CAST(sum(CASE WHEN v.verified THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_verified
+FROM enriched e
+JOIN chain c ON c.conv_id = e.conv_id AND c.turn_idx = e.turn_idx
+JOIN ver v ON v.conv_id = e.conv_id
+GROUP BY e.sink""",
+    [
+        PARSED_CTE,
+        TOOL_META_CTE,
+        ROLE_META_CTE,
+        _ENRICHED_CTE,
+        """chain AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx - lag(turn_idx) OVER w = 1 THEN lag(event_id) OVER w END
+           AS prev
+  FROM parsed WHERE parse_ok
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)""",
+        """ver AS (
+  SELECT conv_id,
+         min(CASE WHEN rn = 1 THEN parent_event_id = ''
+                  ELSE parent_event_id = prev_id END AND parse_ok) AS verified
+  FROM (
+    SELECT conv_id, parse_ok, parent_event_id,
+           row_number() OVER w AS rn, lag(event_id) OVER w AS prev_id
+    FROM parsed WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  )
+  GROUP BY conv_id
+)""",
+    ],
+)
+
 
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
@@ -376,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "extract_fanout": q_extract_fanout,
         "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_tree_counts": q_pipeline_tree_counts,
     }
     out.update(entry_queries.QUERIES)
     out.update(tree_queries.QUERIES)

@@ -40,7 +40,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import datagen
@@ -88,6 +88,11 @@ class PipelineConfig:
     # carry-in join instead of whole-conversation partitions — bounds
     # per-task work by block size (sequence_window_salted)
     hot_block_size: int | None = None
+    # general-tree mode: sequence via the applyInPandas post-order DFS
+    # kernel (the reference Sequencer's default shape,
+    # sequencer.go:491-538) instead of the window fast path — for
+    # carriers whose turns form real trees (tool-call subtrees)
+    tree_mode: bool = False
     run_id: str | None = None
 
 
@@ -112,6 +117,69 @@ def _apply_sequence(
     return seq
 
 
+def _apply_tree_sequence(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Sequence through the general-tree DFS kernel (Q7 case b), wired
+    into the pipeline: valid rows become NODE_SCHEMA nodes, the kernel
+    emits per-node prev links, and the links join back to every row.
+
+    Tree orientation: each turn's CHILD list is its declared previous
+    event (the OTel parent span ends last; the earlier turn is the
+    child that finishes first), so post-order DFS emission IS turn
+    order and the prev link is the previous valid turn — bit-identical
+    to the window fast path, including the missing-turn prev reset
+    (the dummy-child semantics, sequencer.go:519-529,761-763). A turn
+    whose text encodes real tool-call subtree links gets genuine tree
+    sequencing through the same path.
+
+    Scale shape: ONE shuffle on conv_id into the Arrow kernel (group =
+    conversation), then a co-partitioned (conv_id, node_id) join back —
+    no broadcast of data, no driver collection; the join key includes
+    conv_id so it reuses the kernel's partitioning."""
+    from ..operators import sequence_tree as tree_seq_op
+
+    nodes = parsed.filter(F.col("parse_ok")).select(
+        "conv_id",
+        F.col("event_id").alias("node_id"),
+        F.lit("").alias("parent_id"),
+        F.when(
+            F.col("parent_event_id") != "", F.array("parent_event_id")
+        ).otherwise(F.array().cast("array<string>")).alias("child_ids"),
+        F.col("role").alias("node_type"),
+        (F.col("turn_idx").cast("long") + F.lit(1)).alias("timestamp"),
+        F.create_map(F.lit("event_id"), F.col("event_id")).alias("app_json"),
+        F.col("turn_idx").cast("long").alias("arrival_pos"),
+    )
+    links = (
+        tree_seq_op.sequence_tree(nodes)
+        .filter(~F.col("is_duplicate"))  # canonical link per (conv, node)
+        .select(
+            F.col("conv_id").alias("_lc"),
+            F.col("node_id").alias("_ln"),
+            "prev",
+            F.col("sequenceable").alias("_lseq"),
+        )
+    )
+    seq = parsed.join(
+        links,
+        (parsed["conv_id"] == links["_lc"]) & (parsed["event_id"] == links["_ln"]),
+        "left",
+    ).drop("_lc", "_ln")
+
+    ok = F.col("parse_ok")
+    gated_id = F.when(ok, F.col("event_id"))
+    w_dup = Window.partitionBy("conv_id", gated_id).orderBy("turn_idx")
+    seq = seq.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
+    seq = seq.withColumn(
+        "sequenceable", F.coalesce(F.col("_lseq"), F.lit(True))
+    ).drop("_lseq")
+    prev = F.when(F.col("sequenceable"), F.col("prev"))
+    out = F.when(prev.isNotNull(), F.array(prev)) if cfg.seq_array_mode else prev
+    seq = seq.withColumn(cfg.seq_out_col, out).drop("prev")
+    for share, ident, value in cfg.group_applies:
+        seq = seq_op.group_applies(seq, share, ident, value, ok_col="parse_ok")
+    return seq
+
+
 def build_single_pass(
     transcripts: DataFrame,
     tool_meta: DataFrame,
@@ -126,7 +194,15 @@ def build_single_pass(
     df = transcripts.withColumn("src_partition_id", F.spark_partition_id())
     parsed = parse_op.parse(df, use_pandas=cfg.use_pandas_parse)
 
-    if cfg.hot_block_size:
+    if cfg.tree_mode:
+        # General-tree plan: the Arrow DFS kernel is a genuine second
+        # stage (grouped applyInPandas + co-partitioned link join), so
+        # this mode trades the pure single-plan shape for real tree
+        # semantics; the chain-verify window still rides the same
+        # conv_id partitioning.
+        seq = _apply_tree_sequence(parsed, cfg)
+        seq = verify_op.chain_verify_flags(seq)
+    elif cfg.hot_block_size:
         # Hot-skew plan: the salted sequence/verify operators bound
         # per-task work by block, not conversation length. No conv_id
         # repartition pin here — pinning would let the block windows

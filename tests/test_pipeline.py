@@ -88,6 +88,46 @@ def test_prev_links_straightline(spark, sf_dir, tmp_path):
     assert checked > 100
 
 
+def test_tree_mode_matches_window_mode(spark, sf_dir):
+    """tree_mode runs the applyInPandas DFS kernel through the full DAG
+    and must reproduce the window path's output row-for-row on the
+    chain-shaped carrier (emission order == turn order under the
+    child-is-previous-turn orientation)."""
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    tm, rm = datagen.tool_meta(spark), datagen.role_meta(spark)
+    win, _ = pipeline.build_sequenced(tr, tm, rm, pipeline.PipelineConfig())
+    tree, _ = pipeline.build_sequenced(
+        tr, tm, rm, pipeline.PipelineConfig(tree_mode=True)
+    )
+    cols = [
+        "conv_id", "turn_idx", "sink", "event_id",
+        "previous_event_ids", "verified", "sequenceable", "is_duplicate",
+    ]
+
+    def canon(df):
+        return sorted(
+            (
+                r.conv_id, r.turn_idx, r.sink, r.event_id,
+                tuple(r.previous_event_ids or []), r.verified,
+                r.sequenceable, r.is_duplicate,
+            )
+            for r in df.select(*cols).collect()
+        )
+
+    a, b = canon(win), canon(tree)
+    assert len(a) == len(b) > 0
+    assert a == b
+
+
+def test_tree_mode_run_end_to_end(spark, sf_dir, tmp_path):
+    cfg = pipeline.PipelineConfig(out_root=str(tmp_path / "out"), tree_mode=True)
+    res = pipeline.run_from_events(spark, sf_dir, cfg)
+    out = spark.read.parquet(str(tmp_path / "out" / "sequenced_events"))
+    assert out.count() == res["rows"] > 0
+    rej = spark.read.parquet(str(tmp_path / "out" / "rejects"))
+    assert res["rows"] + rej.count() == 1000
+
+
 def test_synth_generator_deterministic(spark):
     a = datagen.synth_transcripts(spark, n_convs=50, avg_turns=8).collect()
     b = datagen.synth_transcripts(spark, n_convs=50, avg_turns=8).collect()
