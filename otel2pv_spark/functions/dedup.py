@@ -10,7 +10,8 @@ Scale shapes:
   key, bounded by bucket sizes — the whole point of LSH is that
   buckets are small; a hot bucket = genuinely duplicate-heavy content
   and AQE skew-join splits it).
-- simhash: shingle→bit explode is a flatMap (no shuffle) + one agg.
+- simhash: one token explode + one groupBy carrying `bits` conditional
+  partial sums — a single shuffle, no (doc, bit) row inflation.
 - ngram-jaccard: exact verification for candidate pairs; quadratic in
   bucket size, so at 100 TB it runs AFTER LSH candidate generation,
   never all-pairs (all-pairs mode is for tests/small corpora).
@@ -168,23 +169,27 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash fingerprint over token occurrences (frequency-
     weighted): bit b set iff sum over tokens of ±1 (by token-hash bit b)
-    is positive."""
+    is positive.
+
+    Scale shape: ``bits`` conditional-sum aggregates in ONE map-side-
+    combined groupBy over the token rows — no (doc, bit) row explosion
+    and a single shuffle of ``bits`` partial sums per doc (the previous
+    form shuffled bits× the token count). The final fingerprint folds
+    the per-bit signs in a plain projection."""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tok = tok.withColumn("h", _hash_shingle(F.col("tok"), F.lit(0)))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    contrib = tok.select(id_col, "h", bit).withColumn(
-        "w", F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-    )
-    return (
-        contrib.groupBy(id_col, "b")
-        .agg(F.sum("w").alias("s"))
-        .groupBy(id_col)
-        .agg(
+    sums = tok.groupBy(id_col).agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -53,10 +53,29 @@ def cosine_topk(
     pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
     pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
     sim = _dot(F.col(vec_col), F.col("qvec")) / (_norm(F.col(vec_col)) * _norm(F.col("qvec")))
-    scored = pairs.withColumn("sim", sim)
+
+    # Two-level top-k. A plain per-query window would ship EVERY scored
+    # corpus row for a query into ONE task (at scale, the per-query
+    # partition is the whole corpus). Instead: (1) project down to the
+    # narrow (query, id, sim) triple — the vectors never shuffle;
+    # (2) top-k within (query_id, input-partition) groups, whose sizes
+    # are bounded by the scan partition, never by corpus size;
+    # (3) merge the ≤ k×P survivors per query in a tiny final window.
+    scored = (
+        pairs.withColumn("sim", sim)
+        .select("query_id", id_col, "sim", F.spark_partition_id().alias("_pid"))
+    )
+    w_part = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("sim"), F.col(id_col)
+    )
+    partial = (
+        scored.withColumn("_pr", F.row_number().over(w_part))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr", "_pid")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

@@ -13,10 +13,6 @@ to move directories into per-sink tables)."""
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +20,8 @@ from pyspark.sql import functions as F
 # (to reserved sink partitions) rather than split into a second plan
 # branch, so the whole pipeline is one linear job — the DLQ analog of
 # the reference's reject/release outcomes (Server/consumers.go:776-827).
+# The fan-out COMMIT (reject-partition move + table swap) lives behind
+# the table layer: sources/catalog.Catalog.commit_fanout_split.
 REJECT_PARSE_SINK = "__reject_parse__"
 REJECT_ROUTE_SINK = "__reject_route__"
 REJECT_SINK_PREFIX = "sink=__reject_"
@@ -69,45 +67,6 @@ def write_fanout(
     every sink's rows under ``base_path/sink=<name>/`` in one pass —
     the Spark-native equivalent of one producer per routing key."""
     routed.write.mode(mode).partitionBy("sink").parquet(base_path)
-
-
-def write_fanout_split(
-    routed_all: DataFrame,
-    base_path: str,
-    rejects_path: str,
-) -> None:
-    """Single-job fan-out of the WHOLE single-pass output (routable +
-    reject rows): one dynamic-partition write on ``sink``, then the
-    reserved ``sink=__reject_*`` partition directories are renamed out
-    to ``rejects_path`` — which thereby BECOMES the rejects table, no
-    second job — (metadata-only moves, O(#sinks) driver syscalls,
-    never a data pass), and the routable remainder is atomically
-    swapped into ``base_path`` (temp + rename, the reference's
-    atomic-write protocol, Server/atomicWrite.go:153-226).
-    """
-    parent = os.path.dirname(base_path.rstrip("/")) or "."
-    # clear stale temps from a crashed previous attempt
-    base_name = os.path.basename(base_path.rstrip("/"))
-    if os.path.isdir(parent):
-        for d in os.listdir(parent):
-            if d.startswith(base_name + ".tmp-"):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-
-    tmp = base_path + ".tmp-" + uuid.uuid4().hex[:8]
-    routed_all.write.mode("overwrite").partitionBy("sink").parquet(tmp)
-
-    rej_tmp = rejects_path + ".tmp-" + uuid.uuid4().hex[:8]
-    os.makedirs(rej_tmp, exist_ok=True)
-    for d in os.listdir(tmp):
-        if d.startswith(REJECT_SINK_PREFIX):
-            os.rename(os.path.join(tmp, d), os.path.join(rej_tmp, d))
-
-    for final, new in ((rejects_path, rej_tmp), (base_path, tmp)):
-        old = final + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(new, final)
-        shutil.rmtree(old, ignore_errors=True)
 
 
 def sink_counts(routed: DataFrame) -> DataFrame:

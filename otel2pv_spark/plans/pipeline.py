@@ -35,7 +35,6 @@ correspond 1:1 to the reference's three services plus routing/metrics.
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -67,7 +66,6 @@ OUTPUT_COLS = [
 ]
 
 REJECT_COLS = ["conv_id", "turn_idx", "text", "reject_reason"]
-_REJECTS_SCHEMA = "conv_id string, turn_idx int, text string, reject_reason string"
 
 
 @dataclass
@@ -251,14 +249,6 @@ def build_sequenced(
     return routable, rejects
 
 
-def _read_rejects_raw(spark: SparkSession, path: str) -> DataFrame:
-    """The reject partitions moved out of the fan-out write (empty-safe:
-    a clean run has no reject directories at all)."""
-    if not (os.path.isdir(path) and any(d.startswith("sink=") for d in os.listdir(path))):
-        return spark.createDataFrame([], _REJECTS_SCHEMA)
-    return spark.read.parquet(path).select(*REJECT_COLS)
-
-
 def run(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -298,11 +288,11 @@ def run(
 
     if not man.is_committed("fanout"):
         # ONE job writes every row; the reject partitions are then
-        # renamed out to become the rejects table (metadata-only), so
-        # "rejects" is committed by the same atomic write.
-        route_op.write_fanout_split(
-            routed_all, cat.path("sequenced_events"), cat.path("rejects")
-        )
+        # moved out to become the rejects table (metadata-only), so
+        # "rejects" is committed by the same atomic commit. The move /
+        # swap mechanics live behind the Catalog so an Iceberg
+        # implementation (partition REPLACE + snapshot swap) drops in.
+        cat.commit_fanout_split(routed_all, "sequenced_events", "rejects")
         man.commit("fanout", {"path": cat.path("sequenced_events")})
     if not man.is_committed("rejects"):
         man.commit("rejects", {"path": cat.path("rejects")})

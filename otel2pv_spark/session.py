@@ -13,6 +13,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _physical_mem_gb() -> int | None:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "otel2pv_spark",
@@ -31,15 +42,26 @@ def get_spark(
     if shuffle_partitions is None:
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
         shuffle_partitions = 32 if inner == "*" else max(8, int(inner))
-    threads = 32 if not master.startswith("local") or "*" in master else max(
-        1, int(master[master.find("[") + 1 : master.find("]")]) if "[" in master else 1
-    )
     # Local mode runs every task thread against ONE shared heap, so the
     # heap must scale with thread count to keep per-task memory constant
     # (the analog of fixed per-executor memory on a cluster). Measured
     # here: 16 threads on a 16g heap spend ~40% of wall in GC and cap
     # thread-scaling at ~0.6 efficiency; 2g/thread restores ~linear.
-    driver_mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(16, 2 * threads)}g")
+    # Scaling applies ONLY to local masters (a cluster driver request
+    # must come from sizing, not thread math — SPARK_DRIVER_MEM wins),
+    # and is capped by detected physical memory so local[*] on a small
+    # host doesn't get OOM-killed mid-run.
+    if master.startswith("local"):
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "1"
+        threads = (os.cpu_count() or 8) if inner == "*" else max(1, int(inner))
+        heap_gb = max(16, 2 * threads)
+        phys = _physical_mem_gb()
+        if phys:
+            heap_gb = max(4, min(heap_gb, int(phys * 0.6)))
+        default_mem = f"{heap_gb}g"
+    else:
+        default_mem = "16g"
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", default_mem)
 
     b = (
         SparkSession.builder.master(master)

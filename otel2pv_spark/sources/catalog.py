@@ -4,9 +4,21 @@ The production target is Iceberg (atomic snapshot commits, partition
 pruning on conv_id buckets / days(ts)); the sandbox has no Iceberg jars,
 so this thin layer gives the same API over parquet dirs and gates the
 Iceberg path behind an import/availability check (SURVEY §7.4 risk 4).
-Writes emulate Iceberg's atomicity with write-to-tmp + atomic rename —
-the same temp+rename+fsync protocol as the reference's atomic file
-writer (Server/atomicWrite.go:153-226)."""
+
+ALL commit mechanics live HERE — operators and plans never touch the
+filesystem directly, so an Iceberg-backed Catalog (snapshot commit,
+partition overwrite, metadata-only partition moves) slots in without
+changing the pipeline. The parquet stand-in emulates those semantics
+with write-to-tmp + atomic rename — the same temp+rename+fsync protocol
+as the reference's atomic file writer (Server/atomicWrite.go:153-226).
+
+Iceberg mapping of each method (what the real implementation does):
+- ``write``            → ``df.writeTo(tbl).createOrReplace()``
+- ``commit_fanout_split`` → one ``writeTo(staging).create()`` with sink
+  partitioning, then TWO metadata-only operations: move the reserved
+  reject partitions into the rejects table (partition-level REPLACE)
+  and snapshot-swap staging into the main table. No data rewrite.
+"""
 
 from __future__ import annotations
 
@@ -15,6 +27,11 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Reserved reject sink partition prefix (operators/route.py assigns the
+# sinks): the single-pass plan ROUTES invalid rows here, and the commit
+# splits them out into the rejects table at metadata level.
+from ..operators.route import REJECT_SINK_PREFIX
 
 
 class Catalog:
@@ -36,20 +53,67 @@ class Catalog:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
-    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
-        """Atomic replace: write to a tmp dir, rename into place."""
+    # ------------------------------------------------- commit mechanics
+    def _sweep_stale(self, table: str) -> None:
+        """Remove leftover staging/old dirs from a crashed previous
+        attempt — BOTH '.tmp-' and '.old-' suffixes (each attempt uses a
+        fresh uuid, so stale ones would otherwise leak forever)."""
+        parent = os.path.dirname(self.path(table).rstrip("/")) or "."
+        base = os.path.basename(self.path(table).rstrip("/"))
+        if not os.path.isdir(parent):
+            return
+        for d in os.listdir(parent):
+            if d.startswith(base + ".tmp-") or d.startswith(base + ".old-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+    def _swap_in(self, new_dir: str, table: str) -> None:
+        """Atomically replace ``table`` with ``new_dir`` (rename is the
+        parquet stand-in for an Iceberg snapshot swap)."""
         final = self.path(table)
-        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        old = final + ".old-" + uuid.uuid4().hex[:8]
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(new_dir, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        """Atomic replace: write to a tmp dir, swap into place."""
+        self._sweep_stale(table)
+        tmp = self.path(table) + ".tmp-" + uuid.uuid4().hex[:8]
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        old = final + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        self._swap_in(tmp, table)
+
+    def commit_fanout_split(
+        self,
+        routed_all: DataFrame,
+        table: str,
+        rejects_table: str,
+        reject_prefix: str = REJECT_SINK_PREFIX,
+    ) -> None:
+        """Single-job fan-out commit of the WHOLE single-pass output
+        (routable + reject rows): one dynamic-partition write on
+        ``sink``, then the reserved reject partitions are moved out to
+        become ``rejects_table`` and the remainder is swapped into
+        ``table`` — O(#sinks) metadata operations, never a second data
+        pass. Iceberg analog: staged create + partition-level REPLACE +
+        snapshot swap (see module docstring)."""
+        self._sweep_stale(table)
+        self._sweep_stale(rejects_table)
+
+        tmp = self.path(table) + ".tmp-" + uuid.uuid4().hex[:8]
+        routed_all.write.mode("overwrite").partitionBy("sink").parquet(tmp)
+
+        rej_tmp = self.path(rejects_table) + ".tmp-" + uuid.uuid4().hex[:8]
+        os.makedirs(rej_tmp, exist_ok=True)
+        for d in os.listdir(tmp):
+            if d.startswith(reject_prefix):
+                os.rename(os.path.join(tmp, d), os.path.join(rej_tmp, d))
+
+        self._swap_in(rej_tmp, rejects_table)
+        self._swap_in(tmp, table)
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)

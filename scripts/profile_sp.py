@@ -42,7 +42,7 @@ def main() -> None:
     times["noop_compute"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    route_op.write_fanout_split(routed_all, cat.path("sequenced_events"), cat.path("rejects"))
+    cat.commit_fanout_split(routed_all, "sequenced_events", "rejects")
     times["fanout_write"] = round(time.time() - t0, 2)
 
     t0 = time.time()
