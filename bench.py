@@ -30,6 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Representative spread: pipeline stages + training-data ops.
 HEADLINE = [
     "parse_extract",
+    "parse_extract_json",
     "extract_fanout",
     "validate_events",
     "enrich_route",
@@ -38,9 +39,11 @@ HEADLINE = [
     "chain_verify",
     "group_applies",
     "pipeline_sink_counts",
+    "pipeline_tree_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "text_quality",
     "text_token_count",
     "ann_cosine_topk",

@@ -202,24 +202,37 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
-    With ``candidates`` (e.g. from LSH) the join is restricted to those
-    pairs — the scale path. Without, all-pairs via shared-shingle join
-    (test/small-corpus mode only)."""
+    With ``candidates`` (e.g. from LSH) the intersection is computed
+    ONLY for those pairs — candidate-bounded equi-joins, the scale path
+    (the shingle self-join never happens). Without, all-pairs via
+    shared-shingle join (test/small-corpus mode only)."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # shingles of doc_a fan in per candidate pair, then match doc_b's
+        # shingles on (doc_b, shingle): work is Σ over candidate pairs of
+        # |shingles|, NOT corpus-quadratic
+        a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")

@@ -280,14 +280,53 @@ def _sequence_group(pdf: pd.DataFrame, cfg: TreeSequencerConfig) -> pd.DataFrame
     )
 
 
-def sequence_tree(df: DataFrame, cfg: TreeSequencerConfig | None = None) -> DataFrame:
+def _sequence_bucket(pdf: pd.DataFrame, cfg: TreeSequencerConfig) -> pd.DataFrame:
+    """Kernel over a BUCKET of conversations: one pandas call handles
+    every conversation hashing into the bucket, amortizing the
+    per-group Python/Arrow invocation cost (~ms each) across thousands
+    of conversations. Semantics identical to per-conv grouping."""
+    outs = [
+        _sequence_group(sub, cfg)
+        for _, sub in pdf.groupby("conv_id", sort=False)
+    ]
+    if not outs:
+        return pd.DataFrame(
+            columns=[
+                "conv_id", "emit_pos", "node_id", "prev",
+                "is_duplicate", "sequenceable", "reject_reason", "app_json",
+            ]
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
+def sequence_tree(
+    df: DataFrame,
+    cfg: TreeSequencerConfig | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
     """Group by conv_id → DFS-sequence each conversation tree.
 
     Input columns per NODE_SCHEMA (arrival_pos supplies the reference's
     message-arrival order). One shuffle on conv_id; each group crosses
     the Arrow boundary exactly once.
-    """
+
+    ``buckets``: when set, conversations are hashed into ``buckets``
+    groups and each Arrow batch carries a whole bucket (the kernel
+    loops conversations inside pandas) — at billions of small
+    conversations, per-group invocation overhead dominates otherwise.
+    The shuffle key stays conv_id-derived so a conversation never
+    splits. Leave None for exact per-conv grouping (golden tests)."""
+    from pyspark.sql import functions as F
+
     cfg = cfg or TreeSequencerConfig()
+    if buckets:
+        bucketed = df.withColumn(
+            "_bkt", F.pmod(F.xxhash64("conv_id"), F.lit(buckets))
+        )
+        return bucketed.groupBy("_bkt").applyInPandas(
+            lambda pdf: _sequence_bucket(pdf.drop(columns=["_bkt"]), cfg),
+            schema=OUT_SCHEMA,
+        )
     return df.groupBy("conv_id").applyInPandas(
         lambda pdf: _sequence_group(pdf, cfg), schema=OUT_SCHEMA
     )

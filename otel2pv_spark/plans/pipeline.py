@@ -91,6 +91,10 @@ class PipelineConfig:
     # sequencer.go:491-538) instead of the window fast path — for
     # carriers whose turns form real trees (tool-call subtrees)
     tree_mode: bool = False
+    # kernel bucket count (None = shuffle.partitions × 8): conversations
+    # hash into buckets so one Arrow batch amortizes the per-group
+    # Python invocation cost across thousands of small conversations
+    tree_buckets: int | None = None
     run_id: str | None = None
 
 
@@ -147,8 +151,13 @@ def _apply_tree_sequence(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.create_map(F.lit("event_id"), F.col("event_id")).alias("app_json"),
         F.col("turn_idx").cast("long").alias("arrival_pos"),
     )
+    buckets = cfg.tree_buckets
+    if buckets is None:
+        buckets = 8 * int(
+            parsed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     links = (
-        tree_seq_op.sequence_tree(nodes)
+        tree_seq_op.sequence_tree(nodes, buckets=buckets)
         .filter(~F.col("is_duplicate"))  # canonical link per (conv, node)
         .select(
             F.col("conv_id").alias("_lc"),

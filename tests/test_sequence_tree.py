@@ -269,3 +269,19 @@ def test_many_convs_parallel(spark):
     out = sequence_tree(df).collect()
     assert len(out) == 12
     assert {r.conv_id for r in out} == {f"c{i}" for i in range(6)}
+
+
+def test_bucketed_kernel_matches_per_conv(spark, sf_dir):
+    """buckets= groups whole conversations per Arrow batch; output must
+    be identical to per-conversation grouping."""
+    from otel2pv_spark import tree_queries
+
+    nodes = tree_queries.tree_nodes_df(spark, sf_dir)
+    from otel2pv_spark.operators import sequence_tree as tree_op
+
+    cols = ["conv_id", "emit_pos", "node_id", "prev", "is_duplicate", "sequenceable"]
+    a = sorted(map(tuple, tree_op.sequence_tree(nodes).select(*cols).collect()))
+    b = sorted(
+        map(tuple, tree_op.sequence_tree(nodes, buckets=7).select(*cols).collect())
+    )
+    assert a == b and len(a) > 0
