@@ -133,10 +133,15 @@ def _apply_tree_sequence(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     whose text encodes real tool-call subtree links gets genuine tree
     sequencing through the same path.
 
-    Scale shape: ONE shuffle on conv_id into the Arrow kernel (group =
-    conversation), then a co-partitioned (conv_id, node_id) join back —
-    no broadcast of data, no driver collection; the join key includes
-    conv_id so it reuses the kernel's partitioning."""
+    Scale shape: one conv-bucket shuffle into the Arrow kernel, then a
+    (conv_id, node_id) equi-join back — AQE broadcasts the link side
+    when small, sort-merge otherwise; no driver collection. Honest
+    cost vs the window path: the input is SCANNED TWICE (narrow
+    node columns into the kernel; full payload on the join side).
+    Columnar scans make the second read cheap relative to persisting
+    the parsed table (which would materialize text twice); this is the
+    standard shape for a grouped-kernel stage that must rejoin full
+    payloads."""
     from ..operators import sequence_tree as tree_seq_op
 
     nodes = parsed.filter(F.col("parse_ok")).select(
