@@ -76,9 +76,13 @@ def sequence_window(
     # Duplicate ranking partitions on the ok-GATED id: a reject row whose
     # id regex happened to match must not outrank (and wrongly flag) a
     # valid row sharing its event_id — rejects fall into the null group,
-    # exactly as if they had been filtered out before sequencing.
-    gated_id = F.when(ok, F.col(id_col))
-    w_dup = Window.partitionBy(conv_col, gated_id).orderBy(order_col)
+    # exactly as if they had been filtered out before sequencing. The
+    # gate is materialized ONCE (`_gid`) so both duplicate windows key
+    # the same attribute and share a single in-partition sort (two
+    # anonymous when()-expressions would each get their own projection
+    # and their own sort).
+    df = df.withColumn("_gid", F.when(ok, F.col(id_col)))
+    w_dup = Window.partitionBy(conv_col, "_gid").orderBy(order_col)
     df = df.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
 
     wc = Window.partitionBy(conv_col)
@@ -86,12 +90,13 @@ def sequence_window(
     # (collect_set skips nulls, so non-ok rows never contribute)
     if dup_compare_cols:
         payload = F.when(ok, F.struct(*[F.col(c) for c in dup_compare_cols]))
-        w_id = Window.partitionBy(conv_col, gated_id)
+        w_id = Window.partitionBy(conv_col, "_gid")
         df = df.withColumn(
             "_dup_conflict", F.size(F.collect_set(payload).over(w_id)) > 1
         )
     else:
         df = df.withColumn("_dup_conflict", F.lit(False))
+    df = df.drop("_gid")
     self_ref = ok & (F.col(parent_col) == F.col(id_col))
     df = df.withColumn(
         "sequenceable",
@@ -168,19 +173,21 @@ def sequence_window_salted(
         F.col(id_col),
     )
 
-    # ok-gated id partitioning, same contract as sequence_window
-    gated_id = F.when(ok, F.col(id_col))
-    w_dup = Window.partitionBy(conv_col, gated_id).orderBy(order_col)
+    # ok-gated id partitioning, same contract (and same shared-sort
+    # materialization) as sequence_window
+    df = df.withColumn("_gid", F.when(ok, F.col(id_col)))
+    w_dup = Window.partitionBy(conv_col, "_gid").orderBy(order_col)
     df = df.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
 
     if dup_compare_cols:
         payload = F.when(ok, F.struct(*[F.col(c) for c in dup_compare_cols]))
-        w_id = Window.partitionBy(conv_col, gated_id)
+        w_id = Window.partitionBy(conv_col, "_gid")
         df = df.withColumn(
             "_dup_conflict", F.size(F.collect_set(payload).over(w_id)) > 1
         )
     else:
         df = df.withColumn("_dup_conflict", F.lit(False))
+    df = df.drop("_gid")
     self_ref = ok & (F.col(parent_col) == F.col(id_col))
 
     # plain shuffle join, NOT broadcast: conv_flags has one row per
