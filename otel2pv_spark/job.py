@@ -23,7 +23,8 @@ Config schema (all optional except input/out_root)::
       "parse":   {"use_pandas": false},
       "sequence": {"out_col": "previous_event_ids", "array_mode": true,
                    "id_map_col": null, "gap_reset": true,
-                   "hot_block_size": null},
+                   "hot_block_size": null,
+                   "tree_mode": false, "tree_buckets": null},
       "group_applies": [["job_name", "event_type", "error"], ...],
       "spark":   {"master": "local[16]", "shuffle_partitions": 32,
                   "extra": {"spark.foo": "bar"}}
@@ -77,6 +78,8 @@ def to_pipeline_config(raw: dict) -> PipelineConfig:
         gap_reset=bool(seq.get("gap_reset", True)),
         group_applies=[tuple(g) for g in raw.get("group_applies", [])],
         hot_block_size=seq.get("hot_block_size"),
+        tree_mode=bool(seq.get("tree_mode", False)),
+        tree_buckets=seq.get("tree_buckets"),
         run_id=raw.get("run_id"),
     )
 

@@ -117,3 +117,16 @@ def test_http_sink_raises_after_exhausted_retries(spark):
         write_http(df, "http://127.0.0.1:1/sink", retries=0,
                    timeout_s=0.2, backoff_s=0.01)
     assert "HTTPSendError" in str(ei.value) or isinstance(ei.value, HTTPSendError)
+
+
+def test_config_tree_mode_mapping():
+    from otel2pv_spark.job import to_pipeline_config
+
+    cfg = to_pipeline_config(
+        {
+            "input": {"events_dir": "x"},
+            "out_root": "/tmp/x",
+            "sequence": {"tree_mode": True, "tree_buckets": 64},
+        }
+    )
+    assert cfg.tree_mode is True and cfg.tree_buckets == 64
