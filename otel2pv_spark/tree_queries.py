@@ -120,11 +120,12 @@ def q_tree_sequence_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tree_sequence_bwall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 childrenByBackwardsLink ALL (sequencer.go:622-641): child_ids
-    discarded and rebuilt per parent from the children's parent_id in
-    arrival order, exchange-sorted by timestamp; children of absent
-    parents become roots. emit_pos is intentionally NOT projected: chain
-    ORDER across roots follows the kernel's dict-insertion root order
+    """Q4 childrenByBackwardsLink ALL (sequencer.go:621-640): parents
+    cited by ≥1 backward link get their child list REPLACED (built in
+    arrival order, exchange-sorted by timestamp); parents nobody cites
+    keep their original childIds; backward children of absent parents
+    are re-rooted. emit_pos is intentionally NOT projected: chain ORDER
+    across roots follows the kernel's dict-insertion root order
     (arrival-deterministic but not SQL-portable); prev links and flags
     are chain-local and fully checkable."""
     cfg = tree_op.TreeSequencerConfig(backwards_link_all=True)
@@ -392,11 +393,9 @@ ORACLES["tree_sequence_idmap"] = _tree_sequence_oracle(
 )
 
 # ---- backwards-link oracles (Q4/Q5). No emit_pos (see the queries'
-# docstrings); chains re-derived from REBUILT child lists. Fixture
-# scope: every node with parent_id='' is unreferenced (so "root iff
-# parent absent or parent_id=''" is exact here), no cycles, and ts is
-# unique per (conv, parent) group so the reference's exchange sort
-# reduces to ORDER BY ts.
+# docstrings); chains re-derived from the REBUILT child lists. Fixture
+# scope: no cycles, and ts is unique per (conv, parent) group so the
+# reference's (unstable) exchange sort reduces to ORDER BY ts.
 _UNSEQ_CTE = """unseq AS (
   SELECT conv_id, bool_or(ndist > 1) AS bad
   FROM (
@@ -474,8 +473,15 @@ SELECT conv_id, node_id, prev, is_duplicate, sequenceable FROM unseq_all""",
     )
 
 
-# Q4 ALL mode: kids = backward links of present parents, ts-sorted;
-# roots = parent absent or no parent link.
+# Q4 ALL mode — faithful to sequencer.go:621-640: the rebuild iterates
+# backwardsLinks, so ONLY parents cited by ≥1 backward child get their
+# child list replaced (ts-sorted); a present parent nobody cites KEEPS
+# its ORIGINAL childIds (which may reference missing nodes → dummies,
+# and may re-visit a node also reachable via a backward link — the walk
+# then emits it twice, exactly like the reference's DFS). Roots =
+# (never forward-referenced originally AND not a backward child of a
+# present parent) ∪ (backward children of absent parents, re-rooted
+# unconditionally).
 ORACLES["tree_sequence_bwall"] = _bw_oracle(
     """kids AS (
   SELECT c.conv_id, c.parent_id AS parent, c.node_id AS child,
@@ -484,12 +490,41 @@ ORACLES["tree_sequence_bwall"] = _bw_oracle(
   FROM canon c
   JOIN canon p ON p.conv_id = c.conv_id AND p.node_id = c.parent_id
   WHERE c.parent_id <> ''
+  UNION ALL
+  SELECT n.conv_id, n.node_id, n.child1, 0
+  FROM canon n
+  LEFT JOIN (SELECT DISTINCT conv_id, parent_id AS parent FROM canon
+             WHERE parent_id <> '') b
+    ON b.conv_id = n.conv_id AND b.parent = n.node_id
+  WHERE b.parent IS NULL AND n.child1 <> ''
+  UNION ALL
+  SELECT n.conv_id, n.node_id, n.child2, 1
+  FROM canon n
+  LEFT JOIN (SELECT DISTINCT conv_id, parent_id AS parent FROM canon
+             WHERE parent_id <> '') b
+    ON b.conv_id = n.conv_id AND b.parent = n.node_id
+  WHERE b.parent IS NULL AND n.child2 <> ''
 )""",
     """roots AS (
-  SELECT c.conv_id, c.node_id, c.arrival_pos FROM canon c
-  LEFT JOIN canon p ON p.conv_id = c.conv_id AND p.node_id = c.parent_id
-                    AND c.parent_id <> ''
-  WHERE c.parent_id = '' OR p.node_id IS NULL
+  -- DISTINCT-over-UNION-ALL rather than UNION: inside WITH RECURSIVE,
+  -- DuckDB treats a top-level UNION in any CTE as a recursive union
+  -- and does NOT de-duplicate across the arms
+  SELECT DISTINCT conv_id, node_id, arrival_pos FROM (
+    SELECT c.conv_id, c.node_id, c.arrival_pos FROM canon c
+    LEFT JOIN (
+      SELECT DISTINCT conv_id, child FROM (
+        SELECT conv_id, child1 AS child FROM canon WHERE child1 <> ''
+        UNION ALL SELECT conv_id, child2 FROM canon WHERE child2 <> ''
+      )
+    ) f ON f.conv_id = c.conv_id AND f.child = c.node_id
+    LEFT JOIN canon p ON p.conv_id = c.conv_id AND p.node_id = c.parent_id
+                      AND c.parent_id <> ''
+    WHERE f.child IS NULL AND p.node_id IS NULL
+    UNION ALL
+    SELECT c.conv_id, c.node_id, c.arrival_pos FROM canon c
+    LEFT JOIN canon p ON p.conv_id = c.conv_id AND p.node_id = c.parent_id
+    WHERE c.parent_id <> '' AND p.node_id IS NULL
+  )
 )""",
 )
 
