@@ -132,6 +132,19 @@ def q_sequence_prev_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("conv_id", "turn_idx", "event_id", "prev_event_id", "sequenceable")
 
 
+def q_sequence_prev_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 on the window path: prev value comes from the mapped column
+    (outputAppFieldSequenceIdMap, sequencer.go:685-731) with fallback to
+    the node id when the mapped value is empty."""
+    df = seq_op.sequence_window(
+        _parsed_good(spark, sf_dir),
+        seq_id_map_col="job_name",
+        out_col="prev_ref",
+        array_mode=False,
+    )
+    return df.select("conv_id", "turn_idx", "event_id", "prev_ref")
+
+
 def q_sequence_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2/Q1/Q11: equal duplicates — canonical chain preserved, dup rows
     flagged and inheriting the same prev."""
@@ -281,6 +294,15 @@ FROM parsed WHERE parse_ok {_W}""",
 
 ORACLES["sequence_prev_salted"] = ORACLES["sequence_prev"]
 
+ORACLES["sequence_prev_idmap"] = with_transcripts(
+    f"""SELECT conv_id, turn_idx, event_id,
+       CASE WHEN turn_idx - lag(turn_idx) OVER w = 1
+            THEN lag(CASE WHEN job_name <> '' THEN job_name ELSE event_id END) OVER w
+       END AS prev_ref
+FROM parsed WHERE parse_ok {_W}""",
+    [PARSED_CTE],
+)
+
 ORACLES["sequence_dups"] = with_transcripts(
     """SELECT b.conv_id, b.turn_idx, b.event_id, c.prev_event_id,
        row_number() OVER (PARTITION BY b.conv_id, b.event_id ORDER BY b.turn_idx) > 1
@@ -425,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,
         "sequence_prev_salted": q_sequence_prev_salted,
+        "sequence_prev_idmap": q_sequence_prev_idmap,
         "sequence_dups": q_sequence_dups,
         "chain_verify": q_chain_verify,
         "group_applies": q_group_applies,

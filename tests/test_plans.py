@@ -1,0 +1,74 @@
+"""Physical-plan regression tests — lock in the scale-critical plan
+shapes so a future refactor can't silently reintroduce a scale-killer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otel2pv_spark import datagen
+from otel2pv_spark.functions import dedup as dd
+from otel2pv_spark.functions import similarity as sim
+from otel2pv_spark.plans import pipeline
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_topk_shuffles_are_narrow_and_salted(spark, sf_dir):
+    """Brute-force top-k must never ship vectors through an exchange,
+    and the big window must be salted by input partition (no
+    per-query-only partitioning over the full scored set)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    plan = _plan(df)
+    exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert exchanges, plan
+    for line in exchanges:
+        assert "embedding" not in line and "qvec" not in line, line
+    # the first (full-data) exchange carries the partition salt
+    assert any("_pid" in line for line in exchanges), plan
+
+
+def test_simhash_single_shuffle_no_bit_explosion(spark, sf_dir):
+    """SimHash must aggregate all bit sums in ONE groupBy: exactly one
+    non-broadcast exchange and no generator producing 32x rows after
+    the token explode (one Generate total, for tokens)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dd.simhash(docs))
+    n_exchange = sum(
+        "Exchange hashpartitioning" in line for line in plan.splitlines()
+    )
+    n_generate = sum(line.strip().startswith("+- Generate") or "Generate explode" in line
+                     for line in plan.splitlines())
+    assert n_exchange == 1, plan
+    assert plan.count("Generate") <= 1, plan
+
+
+def test_single_pass_pipeline_one_pinned_exchange(spark, sf_dir):
+    """The default window-mode DAG: exactly one conv_id data exchange
+    (plus the test-data derivation's user_id exchange), all dim joins
+    broadcast, and only two pipeline sorts."""
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    routable, _ = pipeline.build_sequenced(
+        tr, datagen.tool_meta(spark), datagen.role_meta(spark),
+        pipeline.PipelineConfig(),
+    )
+    plan = _plan(routable)
+    data_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "Broadcast" not in line
+    ]
+    conv_exchanges = [line for line in data_exchanges if "conv_id" in line]
+    assert len(conv_exchanges) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    pipeline_sorts = [
+        line for line in plan.splitlines()
+        if "Sort [conv_id" in line.replace(":", "").replace("+-", "").strip()
+        or ("Sort [conv_id" in line)
+    ]
+    assert len(pipeline_sorts) == 2, plan
