@@ -165,6 +165,14 @@ def q_chain_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_op.chain_verify(parse_op.parse(_tr(spark, sf_dir)))
 
 
+def q_chain_verify_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G3 via the hot-conversation skew path (block windows +
+    carry-in join) — must agree with the same oracle as chain_verify."""
+    return verify_op.chain_verify_salted(
+        parse_op.parse(_tr(spark, sf_dir)), block_size=5
+    )
+
+
 def q_group_applies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 groupApplies: first 'error'-typed turn donates job_name to the
     whole conversation."""
@@ -339,6 +347,8 @@ GROUP BY conv_id""",
     [PARSED_CTE],
 )
 
+ORACLES["chain_verify_salted"] = ORACLES["chain_verify"]
+
 ORACLES["group_applies"] = with_transcripts(
     """SELECT conv_id, turn_idx, event_id,
        coalesce(
@@ -450,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_prev_idmap": q_sequence_prev_idmap,
         "sequence_dups": q_sequence_dups,
         "chain_verify": q_chain_verify,
+        "chain_verify_salted": q_chain_verify_salted,
         "group_applies": q_group_applies,
         "validate_events": q_validate_events,
         "extract_fanout": q_extract_fanout,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -96,9 +97,11 @@ def main_bench() -> None:
 
     t0 = time.time()
     queries = run_queries(spark, SF_DIR)
-    e2e = run_e2e(spark, SF_DIR, out_root=f"/tmp/otel2pv_bench_{os.getpid()}")
+    out_root = f"/tmp/otel2pv_bench_{os.getpid()}"
+    e2e = run_e2e(spark, SF_DIR, out_root=out_root)
     queries["pipeline_e2e"] = round(e2e["wall_sec"], 3)
     total = round(time.time() - t0, 3)
+    shutil.rmtree(out_root, ignore_errors=True)
 
     print(json.dumps({
         "metric": "total_bench_sec",
@@ -136,12 +139,19 @@ def main_e2e_once() -> None:
     # steady state — min of 2 timed runs to reject host-contention
     # noise (this Firecracker guest sees ~6x throughput swings from
     # invisible hypervisor neighbors).
-    pipeline.run(spark, tr, pipeline.PipelineConfig(
-        out_root=f"/tmp/otel2pv_scale_{os.getpid()}_warm", run_id="warm"))
+    # Each run's output is DELETED right after timing: the ~800 MB per
+    # run otherwise accumulates in /tmp across rounds and the resulting
+    # disk pressure disproportionately slows the high-parallelism level
+    # (measured: a 78%-full disk cost local[16] ~15% throughput).
+    warm_root = f"/tmp/otel2pv_scale_{os.getpid()}_warm"
+    pipeline.run(spark, tr, pipeline.PipelineConfig(out_root=warm_root, run_id="warm"))
+    shutil.rmtree(warm_root, ignore_errors=True)
     best = None
     for rep in range(2):
+        root = f"/tmp/otel2pv_scale_{os.getpid()}_{rep}"
         res = pipeline.run(spark, tr, pipeline.PipelineConfig(
-            out_root=f"/tmp/otel2pv_scale_{os.getpid()}_{rep}", run_id=f"r{rep}"))
+            out_root=root, run_id=f"r{rep}"))
+        shutil.rmtree(root, ignore_errors=True)
         if best is None or res["wall_sec"] < best["wall_sec"]:
             best = res
     print("E2E_RESULT " + json.dumps(

@@ -160,6 +160,27 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """mapInPandas resize plumbing: same rows, new bytes + dims. The
+    output bytes are emitted as lowercase hex so the deterministic fake
+    kernel (md5 over hex(media) + target dims) has a SQL oracle."""
+    out = mm.resize_media(mm.attach_fake_media(_docs(spark, sf_dir)), 32, 24)
+    return out.select(
+        "doc_id", "media_format", "media_width", "media_height",
+        "media_n_bytes", F.lower(F.hex("media")).alias("media_hex"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """mapInPandas frame sampling — the one-to-many media op; frame
+    bytes emitted as hex for the oracle."""
+    out = mm.sample_frames(mm.attach_fake_media(_docs(spark, sf_dir)), 3)
+    return out.select(
+        "doc_id", "frame_idx", "frame_n_bytes",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_flags": q_dedup_exact_flags,
@@ -178,6 +199,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 
@@ -440,6 +463,23 @@ p AS (
   FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(s, 4) AS cosine FROM p WHERE s >= 0.9"""
+
+# resize: output bytes = md5 digest of (hex(media) || 'WxH') where
+# hex(media) == md5(text) — so hex(output) == md5(md5(text) || 'WxH')
+ORACLES["multimodal_resize"] = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS media_format,
+       CAST(32 AS INT) AS media_width,
+       CAST(24 AS INT) AS media_height,
+       CAST(16 AS INT) AS media_n_bytes,
+       md5(md5(text) || '32x24') AS media_hex
+FROM documents"""
+
+ORACLES["multimodal_frames"] = """
+SELECT doc_id, CAST(r.i AS INT) AS frame_idx,
+       CAST(16 AS INT) AS frame_n_bytes,
+       md5(md5(text) || 'frame' || CAST(r.i AS VARCHAR)) AS frame_hex
+FROM documents, range(0, 3) r(i)"""
 
 ORACLES["multimodal_metadata"] = """
 SELECT doc_id,

@@ -120,9 +120,11 @@ def resize_media(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fake:
+                # hex-of-bytes hashing so a SQL oracle can reproduce
+                # the fake output (see _fake_features)
                 resized = [
                     hashlib.md5(
-                        bytes(m) + f"{target_w}x{target_h}".encode()
+                        (bytes(m).hex() + f"{target_w}x{target_h}").encode()
                     ).digest()
                     for m in pdf["media"]
                 ]
@@ -159,7 +161,9 @@ def sample_frames(
             for did, m in zip(pdf[id_col], pdf["media"]):
                 for i in range(n_frames):
                     if fake:
-                        fb = hashlib.md5(bytes(m) + f"frame{i}".encode()).digest()
+                        fb = hashlib.md5(
+                            (bytes(m).hex() + f"frame{i}").encode()
+                        ).digest()
                     else:
                         fb = decode_image(m, f"frame{i}")
                     ids.append(did)
