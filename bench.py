@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality",
     "text_token_count",
+    "text_winnow",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -107,6 +107,14 @@ def q_text_fingerprint(spark, sf_dir):
     return ts.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_subwords(spark, sf_dir):
+    return ts.subword_count(_docs(spark, sf_dir))
+
+
+def q_text_winnow(spark, sf_dir):
+    return ts.winnow_fingerprint(_docs(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
@@ -191,6 +199,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_subwords": q_text_subwords,
+    "text_winnow": q_text_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -354,6 +364,45 @@ SELECT doc_id,
        md5(text) AS content_hash,
        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS token_set_hash
 FROM documents"""
+
+ORACLES["text_subwords"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)
+         AS n_pieces,
+       coalesce(CAST(list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z]+'),
+           x -> CAST(ceil(length(x) / 4.0) AS BIGINT) - 1)) AS BIGINT), 0)
+         AS n_merge_excess,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)
+         + coalesce(CAST(list_sum(list_transform(
+             regexp_extract_all(text, '[A-Za-z]+'),
+             x -> CAST(ceil(length(x) / 4.0) AS BIGINT) - 1)) AS BIGINT), 0)
+         AS n_subwords_bpe
+FROM documents"""
+
+# winnowing (k=3 word-shingles, window w=4): min-hash per sliding
+# window, distinct set, digest of the sorted set
+ORACLES["text_winnow"] = f"""WITH tok AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+shl AS (
+  SELECT doc_id, {_SHINGLES3} AS sh FROM tok
+),
+h AS (
+  SELECT doc_id,
+         list_transform(sh, s -> (('0x' || substr(md5(s || '#0'), 1, 8)))::BIGINT) AS hs
+  FROM shl
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs) - 2)]
+              ELSE hs END AS mins
+  FROM h
+)
+SELECT doc_id, len(list_distinct(mins)) AS n_fingerprints,
+       md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS winnow_hash
+FROM m"""
 
 _V = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 _COS = (

@@ -84,6 +84,64 @@ def lang_id(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     return df.select(*sel)
 
 
+# GPT-style pre-tokenizer classes: alpha runs, digit runs, symbol runs.
+# Portable Java-regex ∩ RE2 subset so Spark and DuckDB count identically.
+BPE_PRETOKEN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def subword_count(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """BPE-ish subword token count, one codegen pass: pre-tokenizer
+    pieces (alpha/digit/symbol runs) plus an extra piece per 4 chars of
+    each long alpha run (approximating merge depth — a 12-char word
+    costs ~3 subwords under byte-pair vocabularies)."""
+    alpha_runs = F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), 0)
+    excess = F.aggregate(
+        alpha_runs,
+        F.lit(0).cast("bigint"),
+        lambda acc, wrd: acc
+        + (F.ceil(F.length(wrd) / 4.0).cast("bigint") - 1),
+    )
+    n_pieces = F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN))
+    return df.select(
+        id_col,
+        n_pieces.cast("bigint").alias("n_pieces"),
+        excess.alias("n_merge_excess"),
+        (n_pieces.cast("bigint") + excess).alias("n_subwords_bpe"),
+    )
+
+
+def winnow_fingerprint(
+    df: DataFrame, id_col="doc_id", text_col="text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram (rolling shingle hash), keep the MIN
+    of each sliding window of w hashes, fingerprint = the distinct min
+    set. Near-identical documents share most fingerprints; the md5 of
+    the sorted set gives an indexable digest. All higher-order column
+    functions — zero UDFs, embarrassingly parallel, no shuffle."""
+    from .dedup import _hash_shingle, shingles
+
+    tok = tokens(text_col)
+    sh = shingles(tok, k)
+    hashes = F.transform(sh, lambda s: _hash_shingle(s, F.lit(0)))
+    n = F.size(hashes)
+    mins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        ),
+    ).otherwise(hashes)
+    fp_set = F.array_sort(F.array_distinct(mins))
+    return df.select(
+        id_col,
+        F.size(fp_set).alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(",", F.transform(fp_set, lambda x: x.cast("string")))
+        ).alias("winnow_hash"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (robust to reordering/duplication — the cheap
