@@ -121,23 +121,34 @@ def winnow_fingerprint(
     functions — zero UDFs, embarrassingly parallel, no shuffle."""
     from .dedup import _hash_shingle, shingles
 
-    tok = tokens(text_col)
-    sh = shingles(tok, k)
-    hashes = F.transform(sh, lambda s: _hash_shingle(s, F.lit(0)))
-    n = F.size(hashes)
+    # Each stage is materialized as its own projection: the hash array
+    # is referenced several times by the windowing expression, and a
+    # single fused expression would let Catalyst inline (= recompute)
+    # the whole tokenize+shingle+md5 chain per window — O(n²) md5 work
+    # per document instead of O(n·w) array scans.
+    hashed = df.select(
+        id_col,
+        F.transform(
+            shingles(tokens(text_col), k), lambda s: _hash_shingle(s, F.lit(0))
+        ).alias("_h"),
+    )
+    h = F.col("_h")
+    n = F.size(h)
     mins = F.when(
         n >= w,
         F.transform(
             F.sequence(F.lit(1), n - (w - 1)),
-            lambda i: F.array_min(F.slice(hashes, i, w)),
+            lambda i: F.array_min(F.slice(h, i, w)),
         ),
-    ).otherwise(hashes)
-    fp_set = F.array_sort(F.array_distinct(mins))
-    return df.select(
+    ).otherwise(h)
+    windowed = hashed.select(
+        id_col, F.array_sort(F.array_distinct(mins)).alias("_fp")
+    )
+    return windowed.select(
         id_col,
-        F.size(fp_set).alias("n_fingerprints"),
+        F.size("_fp").alias("n_fingerprints"),
         F.md5(
-            F.concat_ws(",", F.transform(fp_set, lambda x: x.cast("string")))
+            F.concat_ws(",", F.transform("_fp", lambda x: x.cast("string")))
         ).alias("winnow_hash"),
     )
 
