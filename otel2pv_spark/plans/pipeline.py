@@ -377,3 +377,101 @@ def run(
 
 def run_from_events(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -> dict:
     return run(spark, datagen.transcripts_from_events(spark, sf_dir), cfg)
+
+
+def run_incremental(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    changed_convs,
+) -> dict:
+    """Late/changed-data re-run — the batch analog of the reference's
+    late-message handling (a late same-tree message re-processes that
+    tree as a new instance, groupandverify.go:456-474): ONLY the
+    affected conversations are recomputed and merged into the sink
+    tables.
+
+    Correct by construction: every pipeline operator is conversation-
+    local (windows and the DFS kernel partition on conv_id; the dims
+    are global broadcasts), so recomputing the changed conversations
+    over the NEW snapshot and splicing them in yields bit-identical
+    tables to a from-scratch run — asserted in test_incremental.
+
+    Scale shape: the recompute scans only the affected rows (at the
+    real target, an Iceberg snapshot-diff prunes the scan to changed
+    files; here a semi-join filter), and the merge is Catalog.
+    replace_keys — MERGE/partition-overwrite on Iceberg, anti-join +
+    atomic swap on the parquet stand-in. Metrics/lineage re-derive
+    from the merged output with the same column-pruned readback as
+    run().
+
+    ``changed_convs``: DataFrame with a conv_id column, or an iterable
+    of conv_id strings.
+    """
+    run_id = cfg.run_id or uuid.uuid4().hex[:12]
+    cat = Catalog(spark, cfg.out_root)
+    man = RunManifest(cfg.out_root, f"incr-{run_id}")
+    t0 = time.time()
+
+    if isinstance(changed_convs, DataFrame):
+        keys = changed_convs.select("conv_id").distinct()
+    else:
+        keys = spark.createDataFrame(
+            [(c,) for c in changed_convs], "conv_id string"
+        )
+
+    affected = transcripts.join(keys, "conv_id", "left_semi")
+    tool_meta = datagen.tool_meta(spark)
+    role_meta = datagen.role_meta(spark)
+    routed_all = build_single_pass(affected, tool_meta, role_meta, cfg)
+
+    if not man.is_committed("incr_fanout"):
+        cat.commit_fanout_split(routed_all, "_incr_events", "_incr_rejects")
+        man.commit("incr_fanout")
+    if not man.is_committed("incr_merge"):
+        cat.replace_keys(
+            "sequenced_events", "_incr_events", keys, partition_by=["sink"]
+        )
+        if cat.exists("_incr_rejects") or cat.exists("rejects"):
+            if cat.exists("_incr_rejects"):
+                cat.replace_keys(
+                    "rejects", "_incr_rejects", keys, partition_by=["sink"]
+                )
+            else:
+                # no new rejects: just drop the replaced conversations'
+                # old reject rows
+                if cat.exists("rejects"):
+                    old = cat.read("rejects").join(keys, "conv_id", "left_anti")
+                    cat.write(old, "rejects", partition_by=["sink"])
+        man.commit("incr_merge")
+
+    # metrics + lineage re-derived from the merged output (one
+    # column-pruned readback, same pattern as run())
+    per = (
+        cat.read("sequenced_events")
+        .groupBy("sink", "src_partition_id")
+        .agg(F.count("*").alias("rows"))
+    ).collect()
+    by_sink: dict[str, int] = {}
+    for r in per:
+        by_sink[r.sink] = by_sink.get(r.sink, 0) + r.rows
+    cat.write(
+        spark.createDataFrame(
+            [(run_id, s, n) for s, n in sorted(by_sink.items())],
+            "run_id string, sink string, rows bigint",
+        ),
+        "_metrics",
+    )
+    man.commit("metrics")
+    cat.drop("_incr_events")
+    cat.drop("_incr_rejects")
+
+    n_rows = sum(r.rows for r in per)
+    wall = time.time() - t0
+    return {
+        "run_id": run_id,
+        "rows": n_rows,
+        "recomputed_convs": keys.count(),
+        "wall_sec": wall,
+        "committed": man.committed_steps(),
+    }

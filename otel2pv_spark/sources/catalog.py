@@ -115,5 +115,34 @@ class Catalog:
         self._swap_in(rej_tmp, rejects_table)
         self._swap_in(tmp, table)
 
+    def replace_keys(
+        self,
+        table: str,
+        staging_table: str,
+        keys: DataFrame,
+        key_col: str = "conv_id",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Key-level merge: rows of ``table`` whose ``key_col`` appears
+        in ``keys`` are replaced by the contents of ``staging_table``
+        (which holds the recomputed rows for exactly those keys).
+
+        Iceberg analog: MERGE INTO / DELETE WHERE key IN (...) +
+        APPEND, file-pruned by the key-bucket partition spec — a
+        metadata+affected-files operation. The parquet stand-in
+        rewrites the table (anti-join ∪ staging) behind the same
+        atomic swap; the CALLER's semantics are identical.
+
+        Idempotent: re-running the same merge with the same staging
+        contents yields the same table (anti-join removes the
+        previously merged rows first)."""
+        staged = self.read(staging_table)
+        if self.exists(table):
+            old = self.read(table)
+            merged = old.join(keys, key_col, "left_anti").unionByName(staged)
+        else:
+            merged = staged
+        self.write(merged, table, partition_by=partition_by)
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)

@@ -1,0 +1,101 @@
+"""Incremental (late/changed-data) re-run: recomputing only the
+affected conversations and merging must be bit-identical to a full
+re-run over the new input — valid because every operator is
+conversation-local (the reference's late-message semantics,
+groupandverify.go:456-474, as a batch merge)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otel2pv_spark import datagen
+from otel2pv_spark.plans import pipeline
+
+
+def _rows(df, cols):
+    out = []
+    for r in df.select(*cols).collect():
+        out.append(
+            tuple(
+                tuple(v) if isinstance(v, list) else v
+                for v in (r[c] for c in cols)
+            )
+        )
+    return sorted(out)
+
+
+def test_incremental_matches_full(spark, sf_dir, tmp_path):
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    convs = sorted(
+        r.conv_id for r in tr.select("conv_id").distinct().limit(5).collect()
+    )
+
+    pipeline.run(
+        spark, tr,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "incr"), run_id="base"),
+    )
+
+    # new snapshot: the changed conversations lose turn 5 (creates a
+    # prev-link gap and changes per-sink counts)
+    modified = tr.filter(
+        ~(F.col("conv_id").isin(convs) & (F.col("turn_idx") == 5))
+    )
+    res = pipeline.run_incremental(
+        spark, modified,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "incr"), run_id="delta"),
+        convs,
+    )
+    assert res["recomputed_convs"] == len(convs)
+
+    pipeline.run(
+        spark, modified,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "full"), run_id="fresh"),
+    )
+
+    out_cols = [
+        "conv_id", "turn_idx", "sink", "event_id", "previous_event_ids",
+        "verified", "sequenceable", "is_duplicate",
+    ]
+    a = spark.read.parquet(str(tmp_path / "incr" / "sequenced_events"))
+    b = spark.read.parquet(str(tmp_path / "full" / "sequenced_events"))
+    assert _rows(a, out_cols) == _rows(b, out_cols)
+
+    rej_cols = ["conv_id", "turn_idx", "reject_reason"]
+    ra = spark.read.parquet(str(tmp_path / "incr" / "rejects"))
+    rb = spark.read.parquet(str(tmp_path / "full" / "rejects"))
+    assert _rows(ra, rej_cols) == _rows(rb, rej_cols)
+
+    ma = {
+        (r.sink, r.rows)
+        for r in spark.read.parquet(str(tmp_path / "incr" / "_metrics")).collect()
+    }
+    mb = {
+        (r.sink, r.rows)
+        for r in spark.read.parquet(str(tmp_path / "full" / "_metrics")).collect()
+    }
+    assert ma == mb
+
+
+def test_incremental_idempotent_rerun(spark, sf_dir, tmp_path):
+    """Re-running the same incremental merge leaves the tables
+    unchanged (anti-join removes the previously merged rows first)."""
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    convs = [r.conv_id for r in tr.select("conv_id").distinct().limit(3).collect()]
+    root = str(tmp_path / "out")
+    pipeline.run(spark, tr, pipeline.PipelineConfig(out_root=root, run_id="base"))
+
+    pipeline.run_incremental(
+        spark, tr, pipeline.PipelineConfig(out_root=root, run_id="d1"), convs
+    )
+    first = _rows(
+        spark.read.parquet(f"{root}/sequenced_events"),
+        ["conv_id", "turn_idx", "sink", "event_id"],
+    )
+    pipeline.run_incremental(
+        spark, tr, pipeline.PipelineConfig(out_root=root, run_id="d2"), convs
+    )
+    second = _rows(
+        spark.read.parquet(f"{root}/sequenced_events"),
+        ["conv_id", "turn_idx", "sink", "event_id"],
+    )
+    assert first == second
