@@ -27,7 +27,11 @@ Config schema (all optional except input/out_root)::
                    "tree_mode": false, "tree_buckets": null},
       "group_applies": [["job_name", "event_type", "error"], ...],
       "spark":   {"master": "local[16]", "shuffle_partitions": 32,
-                  "extra": {"spark.foo": "bar"}}
+                  "extra": {"spark.foo": "bar"}},
+      "incremental": {"changed_convs": ["conv-0001-000002", ...]}
+                  // or {"changed_convs_path": ".../keys.parquet"} —
+                  // when present, run_incremental merges instead of a
+                  // full run (late/changed-data re-processing)
     }
 """
 
@@ -63,6 +67,14 @@ def load_config(path: str) -> dict:
     if not all(isinstance(g, (list, tuple)) and len(g) == 3 for g in ga):
         raise ConfigError(
             "group_applies entries must be [share_col, identifying_col, value]"
+        )
+    inc = raw.get("incremental")
+    if inc is not None and (
+        not isinstance(inc, dict)
+        or not ("changed_convs" in inc or "changed_convs_path" in inc)
+    ):
+        raise ConfigError(
+            "incremental must set changed_convs (list) or changed_convs_path"
         )
     return raw
 
@@ -108,7 +120,15 @@ def main(argv: list[str] | None = None) -> dict:
         transcripts = datagen.transcripts_from_events(spark, inp["events_dir"])
     else:
         transcripts = spark.read.parquet(inp["transcripts_path"])
-    res = pipeline.run(spark, transcripts, cfg)
+    incr = raw.get("incremental")
+    if incr:
+        if "changed_convs_path" in incr:
+            keys = spark.read.parquet(incr["changed_convs_path"])
+        else:
+            keys = incr.get("changed_convs", [])
+        res = pipeline.run_incremental(spark, transcripts, cfg, keys)
+    else:
+        res = pipeline.run(spark, transcripts, cfg)
     print(json.dumps(res))
     return res
 

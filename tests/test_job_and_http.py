@@ -130,3 +130,45 @@ def test_config_tree_mode_mapping():
         }
     )
     assert cfg.tree_mode is True and cfg.tree_buckets == 64
+
+
+def test_job_incremental_end_to_end(spark, sf_dir, tmp_path):
+    """job.main with an incremental config routes through
+    run_incremental (late-data merge)."""
+    import json
+
+    from otel2pv_spark import datagen, job
+    from otel2pv_spark.plans import pipeline
+
+    out = str(tmp_path / "out")
+    pipeline.run_from_events(
+        spark, sf_dir, pipeline.PipelineConfig(out_root=out, run_id="base")
+    )
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    convs = [r.conv_id for r in tr.select("conv_id").distinct().limit(2).collect()]
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps({
+        "input": {"events_dir": sf_dir},
+        "out_root": out,
+        "run_id": "delta",
+        "incremental": {"changed_convs": convs},
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }))
+    res = job.main(["--config", str(cfg_path)])
+    assert res["recomputed_convs"] == 2 and res["rows"] > 0
+
+
+def test_job_config_rejects_bad_incremental(tmp_path):
+    import json
+
+    import pytest
+
+    from otel2pv_spark import job
+
+    cfg_path = tmp_path / "bad.json"
+    cfg_path.write_text(json.dumps({
+        "input": {"events_dir": "x"}, "out_root": "/tmp/x",
+        "incremental": {},
+    }))
+    with pytest.raises(job.ConfigError):
+        job.load_config(str(cfg_path))
