@@ -194,35 +194,43 @@ def _prev_value(node: dict, cfg: TreeSequencerConfig) -> str:
     return node["node_id"]
 
 
-def _sequence_group(pdf: pd.DataFrame, cfg: TreeSequencerConfig) -> pd.DataFrame:
-    conv = pdf["conv_id"].iloc[0]
-    pdf = pdf.sort_values("arrival_pos", kind="stable")
-    rows = []
-    for t in pdf.itertuples(index=False):
-        rows.append(
-            {
-                "node_id": t.node_id or "",
-                "parent_id": t.parent_id or "",
-                "child_ids": list(t.child_ids) if t.child_ids is not None else [],
-                "node_type": t.node_type or "",
-                "timestamp": int(t.timestamp) if pd.notna(t.timestamp) else 0,
-                "app_json": dict(t.app_json) if t.app_json is not None else {},
-            }
-        )
+OUT_COLUMNS = [
+    "conv_id", "emit_pos", "node_id", "prev",
+    "is_duplicate", "sequenceable", "reject_reason", "app_json",
+]
 
-    def reject(reason: str) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "conv_id": conv,
-                "emit_pos": range(len(rows)),
-                "node_id": [r["node_id"] for r in rows],
-                "prev": None,
-                "is_duplicate": False,
-                "sequenceable": False,
-                "reject_reason": reason,
-                "app_json": [r["app_json"] for r in rows],
-            }
+
+def _rows_of(pdf: pd.DataFrame) -> list[dict]:
+    """Node dicts in the frame's CURRENT row order (callers pre-sort by
+    arrival)."""
+    return [
+        {
+            "node_id": nid or "",
+            "parent_id": pid or "",
+            "child_ids": list(kids) if kids is not None else [],
+            "node_type": ntype or "",
+            "timestamp": int(ts) if pd.notna(ts) else 0,
+            "app_json": dict(app) if app is not None else {},
+        }
+        for nid, pid, kids, ntype, ts, app in zip(
+            pdf["node_id"], pdf["parent_id"], pdf["child_ids"],
+            pdf["node_type"], pdf["timestamp"], pdf["app_json"],
         )
+    ]
+
+
+def _sequence_conv(
+    conv: str, rows: list[dict], cfg: TreeSequencerConfig
+) -> list[tuple]:
+    """Sequence ONE conversation; returns OUT_COLUMNS-ordered tuples
+    (plain Python — the caller batches many conversations into one
+    pandas DataFrame, so no per-conversation DataFrame cost)."""
+
+    def reject(reason: str) -> list[tuple]:
+        return [
+            (conv, i, r["node_id"], None, False, False, reason, r["app_json"])
+            for i, r in enumerate(rows)
+        ]
 
     try:
         nodes, dups, roots, unseq = _build(rows, cfg)
@@ -264,39 +272,33 @@ def _sequence_group(pdf: pd.DataFrame, cfg: TreeSequencerConfig) -> pd.DataFrame
     except _Invalid as e:
         return reject(str(e))
 
-    return pd.DataFrame(
-        {
-            "conv_id": conv,
-            "emit_pos": range(len(out)),
-            "node_id": [o[0] for o in out],
-            "prev": [o[1] for o in out],
-            "is_duplicate": [o[2] for o in out],
-            "sequenceable": not unseq,
-            "reject_reason": None,
-            "app_json": [
-                {**o[3], **captured} if captured else o[3] for o in out
-            ],
-        }
-    )
+    return [
+        (
+            conv, i, nid, prev, dup, not unseq, None,
+            {**app, **captured} if captured else app,
+        )
+        for i, (nid, prev, dup, app) in enumerate(out)
+    ]
+
+
+def _sequence_group(pdf: pd.DataFrame, cfg: TreeSequencerConfig) -> pd.DataFrame:
+    conv = pdf["conv_id"].iloc[0]
+    pdf = pdf.sort_values("arrival_pos", kind="stable")
+    return pd.DataFrame(_sequence_conv(conv, _rows_of(pdf), cfg), columns=OUT_COLUMNS)
 
 
 def _sequence_bucket(pdf: pd.DataFrame, cfg: TreeSequencerConfig) -> pd.DataFrame:
     """Kernel over a BUCKET of conversations: one pandas call handles
     every conversation hashing into the bucket, amortizing the
-    per-group Python/Arrow invocation cost (~ms each) across thousands
-    of conversations. Semantics identical to per-conv grouping."""
-    outs = [
-        _sequence_group(sub, cfg)
-        for _, sub in pdf.groupby("conv_id", sort=False)
-    ]
-    if not outs:
-        return pd.DataFrame(
-            columns=[
-                "conv_id", "emit_pos", "node_id", "prev",
-                "is_duplicate", "sequenceable", "reject_reason", "app_json",
-            ]
-        )
-    return pd.concat(outs, ignore_index=True)
+    per-group Python/Arrow invocation cost across thousands of
+    conversations. ONE sort + ONE output DataFrame per bucket (the
+    per-conversation work is plain-tuple Python); semantics identical
+    to per-conv grouping."""
+    pdf = pdf.sort_values(["conv_id", "arrival_pos"], kind="stable")
+    recs: list[tuple] = []
+    for conv, sub in pdf.groupby("conv_id", sort=False):
+        recs.extend(_sequence_conv(conv, _rows_of(sub), cfg))
+    return pd.DataFrame(recs, columns=OUT_COLUMNS)
 
 
 def sequence_tree(
