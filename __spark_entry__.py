@@ -223,6 +223,27 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routable.groupBy("sink").agg(F.count("*").alias("rows"))
 
 
+def q_pipeline_hot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DAG in hot-skew mode (block-salted sequence + verify with
+    carry-in joins): per-sink counts must match the default plan's
+    oracle exactly."""
+    routable, _ = pipeline.build_sequenced(
+        _tr(spark, sf_dir), datagen.tool_meta(spark), datagen.role_meta(spark),
+        pipeline.PipelineConfig(hot_block_size=5),
+    )
+    return routable.groupBy("sink").agg(F.count("*").alias("rows"))
+
+
+def q_pipeline_pandas_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DAG with the Arrow-vectorized pandas grok parse — same
+    oracle as the native plan."""
+    routable, _ = pipeline.build_sequenced(
+        _tr(spark, sf_dir), datagen.tool_meta(spark), datagen.role_meta(spark),
+        pipeline.PipelineConfig(use_pandas_parse=True),
+    )
+    return routable.groupBy("sink").agg(F.count("*").alias("rows"))
+
+
 def q_pipeline_tree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DAG in tree mode (applyInPandas DFS kernel reachable from
     PipelineConfig): per-sink counts plus how many rows carry a prev
@@ -395,6 +416,9 @@ ORACLES["pipeline_sink_counts"] = with_transcripts(
     [PARSED_CTE, TOOL_META_CTE, ROLE_META_CTE, _ENRICHED_CTE],
 )
 
+ORACLES["pipeline_hot_counts"] = ORACLES["pipeline_sink_counts"]
+ORACLES["pipeline_pandas_counts"] = ORACLES["pipeline_sink_counts"]
+
 ORACLES["pipeline_tree_counts"] = with_transcripts(
     """SELECT e.sink, count(*) AS rows,
        CAST(sum(CASE WHEN c.prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -465,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "extract_fanout": q_extract_fanout,
         "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_hot_counts": q_pipeline_hot_counts,
+        "pipeline_pandas_counts": q_pipeline_pandas_counts,
         "pipeline_tree_counts": q_pipeline_tree_counts,
     }
     out.update(entry_queries.QUERIES)
