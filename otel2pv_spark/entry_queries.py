@@ -15,10 +15,30 @@ from pyspark.sql import functions as F
 
 from .functions import dedup as dd
 from .functions import multimodal as mm
+from .functions import prep as pp
 from .functions import similarity as sim
 from .functions import textstats as ts
 
 NEAR_TAIL = " near duplicate tail marker tokens"
+
+# deterministic PII tail seeded onto doc_id%5==0 rows for the scrub
+# query (the driver corpus is plain word salad — without seeding the
+# redaction counts would all be zero and the green row vacuous):
+# one URL, one email, one IPv4, one long digit run.
+PII_TAIL = (
+    " contact bob@example.com or visit https://example.com/a?id=123"
+    " node 10.0.0.1 acct 98765432101"
+)
+
+
+def pii_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(PII_TAIL)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
 
 
 def docs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +209,22 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_prep_scrub(spark, sf_dir):
+    return pp.scrub_text(pii_fixture(spark, sf_dir))
+
+
+def q_prep_split(spark, sf_dir):
+    return pp.assign_split(_docs(spark, sf_dir))
+
+
+def q_prep_pack(spark, sf_dir):
+    return pp.pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
+
+
 QUERIES = {
+    "prep_scrub": q_prep_scrub,
+    "prep_split": q_prep_split,
+    "prep_pack": q_prep_pack,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_flags": q_dedup_exact_flags,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -230,6 +265,74 @@ _SHINGLES3 = (
 _HASH = "(('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 8)))::BIGINT"
 
 ORACLES: dict[str, str] = {}
+
+# staged scrub, identical stage order to prep.SCRUB_STAGES; counts are
+# taken against the text AS OF each stage (BIGINT casts: DuckDB len()
+# is BIGINT already, the + chain stays BIGINT)
+ORACLES["prep_scrub"] = f"""WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '{PII_TAIL}' ELSE text END AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS BIGINT) AS n_url,
+         regexp_replace(t, 'https?://\\S+', '<URL>', 'g') AS t
+  FROM p
+),
+s2 AS (
+  SELECT doc_id, n_url,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_url, n_email,
+         CAST(len(regexp_extract_all(t, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ip,
+         regexp_replace(t, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g') AS t
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, n_url, n_email, n_ip,
+         CAST(len(regexp_extract_all(t, '[0-9]{{9,}}')) AS BIGINT) AS n_number,
+         regexp_replace(t, '[0-9]{{9,}}', '<NUM>', 'g') AS t
+  FROM s3
+)
+SELECT doc_id, t AS scrubbed, n_url, n_email, n_ip, n_number,
+       n_url + n_email + n_ip + n_number AS n_redactions
+FROM s4"""
+
+ORACLES["prep_split"] = """WITH h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'), 1, 8)))::BIGINT
+           / 4294967296.0 AS frac
+  FROM documents
+)
+SELECT doc_id, round(frac, 6) AS hash_frac,
+       CASE WHEN frac < 0.9 THEN 'train'
+            WHEN frac < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM h"""
+
+ORACLES["prep_pack"] = f"""WITH base AS (
+  SELECT doc_id,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pack-v1'), 1, 8)))::BIGINT % 8 AS INT) AS shard,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         -- CAST: untyped DuckDB window sum() yields HUGEINT
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM base
+)
+SELECT doc_id, shard,
+       CAST(cum // 512 AS INT) AS pack_id,
+       CAST(cum % 512 AS INT) AS pack_offset,
+       n_tokens
+FROM c"""
 
 ORACLES["dedup_exact"] = f"""WITH {_DOCS_CTE}
 SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_id

@@ -1,0 +1,159 @@
+"""Training-data preparation operators over `documents` — PII/URL
+scrubbing, deterministic split assignment, and sequence packing.
+
+All pure built-in column expressions (whole-stage codegen, zero UDFs),
+written in the portable Java-regex ∩ RE2 subset so the DuckDB oracles
+reproduce them byte-for-byte.
+
+Scale shapes:
+- scrub: embarrassingly parallel projection — no shuffle at any scale.
+- split: hash-threshold assignment from md5(id, salt) — no shuffle, no
+  global state, stable under re-runs and appends (a new document never
+  changes an old document's split).
+- pack: concat-then-chunk packing within hash shards — ONE shuffle on
+  the shard key; each window partition is a single shard, so the
+  per-task state is corpus_size / n_shards and the operator scales by
+  raising n_shards with the data (shards are independent, so packing
+  100 TB with 100k shards is 100k independent window scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# Portable redaction patterns (Java regex ∩ RE2: no lookarounds, no
+# backrefs). Order matters and is part of the contract: URLs first
+# (they contain digit runs and @-forms), then emails, then IPv4, then
+# long digit runs (phone/account-number-like).
+URL_RE = "https?://\\S+"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+DIGITS_RE = "[0-9]{9,}"
+
+SCRUB_STAGES = [
+    ("url", URL_RE, "<URL>"),
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("number", DIGITS_RE, "<NUM>"),
+]
+
+
+def scrub_text(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Staged PII/URL redaction: each pattern is counted against the
+    text AS OF its stage (so a digit run inside a URL is counted once,
+    as a URL) and then replaced with a placeholder token. Returns the
+    scrubbed text plus per-kind redaction counts and a total.
+
+    Pure regexp_replace/regexp_count chain — one codegen projection,
+    no shuffle."""
+    out = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    counts = []
+    for name, pat, token in SCRUB_STAGES:
+        cnt = f"n_{name}"
+        out = out.withColumn(cnt, F.regexp_count("_t", F.lit(pat)).cast("bigint"))
+        out = out.withColumn("_t", F.regexp_replace("_t", pat, token))
+        counts.append(cnt)
+    total = sum((F.col(c) for c in counts), F.lit(0).cast("bigint"))
+    return out.select(
+        id_col,
+        F.col("_t").alias("scrubbed"),
+        *counts,
+        total.alias("n_redactions"),
+    )
+
+
+def _hash_frac(id_col, salt: str):
+    """Uniform [0,1) hash of (id, salt): first 8 hex chars of md5 as a
+    32-bit int over 2^32. DuckDB-identical:
+    ('0x'||substr(md5(CAST(id AS VARCHAR)||'#'||salt),1,8))::BIGINT
+    / 4294967296.0 — exact in double (numerator < 2^32)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint")
+    return h / F.lit(4294967296.0)
+
+
+DEFAULT_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash threshold.
+
+    Each row's fraction is a pure function of (id, salt): re-runs,
+    appends, and repartitions never move a document between splits,
+    and changing the salt re-rolls every assignment at once (the
+    standard reproducible-split construction). No shuffle."""
+    splits = splits or DEFAULT_SPLITS
+    frac = _hash_frac(id_col, salt)
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    expr = expr.otherwise(last) if expr is not None else last
+    return df.select(
+        id_col,
+        F.round(frac, 6).alias("hash_frac"),
+        expr.alias("split"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are hashed into
+    ``n_shards`` independent shards, ordered by id within the shard,
+    and laid head-to-tail into fixed ``budget``-token packs; a document
+    belongs to the pack where it starts (T5-style packing — a long
+    document may spill past the pack boundary into the next chunk).
+
+    Output: (id, shard, pack_id, pack_offset, n_tokens). pack_offset is
+    the document's start position inside its pack, always < budget.
+
+    Scale shape: one shuffle on the shard key; the running-sum window
+    sees exactly one shard per partition, so per-task memory is
+    corpus/n_shards — raise n_shards with the data (the shards are
+    fully independent, which is what makes this 100 TB-viable where a
+    single global running sum would not be)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        (h % n_shards).cast("int").alias("shard"),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return base.select(
+        id_col,
+        "shard",
+        F.floor(cum / budget).cast("int").alias("pack_id"),
+        (cum % budget).cast("int").alias("pack_offset"),
+        "n_tokens",
+    )

@@ -1,0 +1,88 @@
+"""Golden + invariant tests for the training-data prep operators
+(scrub / split / pack)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otel2pv_spark.functions import prep
+
+
+def test_scrub_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or see https://x.io/p?q=123456789 now"),
+            (2, "server 192.168.0.1 acct 1234567890 short 12345678"),
+            (3, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in prep.scrub_text(df).collect()}
+    # URL is redacted before the email/digit stages see it: the 9-digit
+    # run inside the URL counts as part of the URL, not as a number
+    assert rows[1]["scrubbed"] == "mail me at <EMAIL> or see <URL> now"
+    assert rows[1]["n_url"] == 1 and rows[1]["n_email"] == 1
+    assert rows[1]["n_number"] == 0 and rows[1]["n_redactions"] == 2
+    # 10-digit run redacted, 8-digit run kept (threshold is 9)
+    assert rows[2]["scrubbed"] == "server <IP> acct <NUM> short 12345678"
+    assert rows[2]["n_ip"] == 1 and rows[2]["n_number"] == 1
+    assert rows[3]["scrubbed"] == rows[3]["scrubbed"] and rows[3]["n_redactions"] == 0
+
+
+def test_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = prep.assign_split(df, id_col="doc_id")
+    b = prep.assign_split(df.repartition(7), id_col="doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # hash-uniform: 90/5/5 within a loose tolerance at n=2000
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    assert 0.02 < counts["val"] / 2000 < 0.08
+    assert 0.02 < counts["test"] / 2000 < 0.08
+    # appending new rows never moves an existing row's split
+    wider = prep.assign_split(
+        spark.range(0, 3000).withColumnRenamed("id", "doc_id"), id_col="doc_id"
+    )
+    sub = {r["doc_id"]: r["split"] for r in wider.collect() if r["doc_id"] < 2000}
+    orig = {r["doc_id"]: r["split"] for r in a.collect()}
+    assert sub == orig
+
+
+def test_split_custom_weights(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    out = prep.assign_split(df, id_col="doc_id", splits=[("all", 1.0)])
+    assert {r["split"] for r in out.collect()} == {"all"}
+
+
+def test_pack_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 37 + 1)) for i in range(200)], ["doc_id", "text"]
+    )
+    out = prep.pack_sequences(df, budget=64, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        assert 0 <= r["pack_offset"] < 64
+        by_shard.setdefault(r["shard"], []).append(r)
+    # within a shard ordered by doc_id the layout is head-to-tail:
+    # offset advances by exactly n_tokens (mod budget), packs never
+    # decrease, and each doc starts where the previous one ended
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 64
+            assert r["pack_offset"] == cum % 64
+            cum += r["n_tokens"]
+
+
+def test_pack_deterministic_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(i, "word " * (i % 11 + 1)) for i in range(300)], ["doc_id", "text"]
+    )
+    a = sorted(map(tuple, prep.pack_sequences(df, budget=32, n_shards=8).collect()))
+    b = sorted(
+        map(tuple, prep.pack_sequences(df.repartition(13), budget=32, n_shards=8).collect())
+    )
+    assert a == b
