@@ -48,6 +48,8 @@ HEADLINE = [
     "text_quality",
     "text_token_count",
     "text_winnow",
+    "prep_scrub",
+    "prep_pack",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -144,5 +144,47 @@ class Catalog:
             merged = staged
         self.write(merged, table, partition_by=partition_by)
 
+    def compact(
+        self,
+        table: str,
+        target_file_mb: int = 256,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction: rewrite ``table`` into
+        ceil(bytes / target_file_mb) files behind the same atomic swap.
+
+        Fan-out sinks accumulate one file per (task, partition value)
+        per run — at 10^12-turn scale that is millions of KB-sized
+        files, and scan planning cost grows with file count, so
+        periodic compaction is part of the operating contract.
+        Iceberg analog: the ``rewrite_data_files`` maintenance action
+        (bin-packs small files into target-sized ones at snapshot
+        level); the parquet stand-in measures the directory and
+        repartitions through the atomic-replace path. For partitioned
+        tables pass ``partition_by`` — rows are clustered on the
+        partition columns so each output task writes whole partition
+        files instead of a sliver per partition value."""
+        p = self.path(table)
+        files_before = 0
+        total_bytes = 0
+        for dirpath, _dirnames, filenames in os.walk(p):
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    files_before += 1
+                    total_bytes += os.path.getsize(os.path.join(dirpath, f))
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        df = self.read(table)
+        if partition_by:
+            df = df.repartition(n_files, *partition_by)
+        else:
+            df = df.repartition(n_files)
+        self.write(df, table, partition_by=partition_by)
+        return {
+            "table": table,
+            "files_before": files_before,
+            "target_files": int(n_files),
+            "bytes": total_bytes,
+        }
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)

@@ -136,3 +136,33 @@ def test_synth_generator_deterministic(spark):
     df = datagen.synth_transcripts(spark, n_convs=50, avg_turns=8, hot_convs=1)
     sizes = {r.conv_id: r["count"] for r in df.groupBy("conv_id").count().collect()}
     assert max(sizes.values()) == 800  # 100× avg
+
+
+def test_catalog_compact(spark, tmp_path):
+    """Compaction rewrites many small files into the target count
+    without changing the data, for both flat and partitioned tables."""
+    import glob
+
+    from otel2pv_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("sink"),
+    )
+    cat.write(df.repartition(32), "flat")
+    assert len(glob.glob(f"{tmp_path}/flat/*.parquet")) == 32
+    stats = cat.compact("flat", target_file_mb=256)
+    assert stats["files_before"] == 32 and stats["target_files"] == 1
+    assert len(glob.glob(f"{tmp_path}/flat/*.parquet")) == 1
+    assert cat.read("flat").count() == 10_000
+    assert sorted(r["id"] for r in cat.read("flat").collect()) == list(range(10_000))
+
+    cat.write(df.repartition(16), "parted", partition_by=["sink"])
+    before = len(glob.glob(f"{tmp_path}/parted/sink=*/*.parquet"))
+    assert before == 64  # 16 tasks x 4 partition values
+    cat.compact("parted", target_file_mb=256, partition_by=["sink"])
+    after = glob.glob(f"{tmp_path}/parted/sink=*/*.parquet")
+    assert len(after) == 4  # clustered: one file per partition value
+    assert cat.read("parted").groupBy("sink").count().count() == 4
+    assert cat.read("parted").count() == 10_000
