@@ -49,6 +49,7 @@ HEADLINE = [
     "text_token_count",
     "text_winnow",
     "prep_scrub",
+    "prep_curate",
     "prep_pack",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -213,6 +213,20 @@ def q_prep_scrub(spark, sf_dir):
     return pp.scrub_text(pii_fixture(spark, sf_dir))
 
 
+def q_prep_curate(spark, sf_dir):
+    """Flagship curation chain over a fixture seeded with BOTH
+    duplicates (docs_fixture) and PII tails — exercises scrub, dedup,
+    quality, lang-ID, and split in the one-shuffle composite plan."""
+    d = docs_fixture(spark, sf_dir)
+    seeded = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(PII_TAIL)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pp.curate(seeded)
+
+
 def q_prep_split(spark, sf_dir):
     return pp.assign_split(_docs(spark, sf_dir))
 
@@ -223,6 +237,7 @@ def q_prep_pack(spark, sf_dir):
 
 QUERIES = {
     "prep_scrub": q_prep_scrub,
+    "prep_curate": q_prep_curate,
     "prep_split": q_prep_split,
     "prep_pack": q_prep_pack,
     "dedup_exact": q_dedup_exact,
@@ -301,6 +316,85 @@ s4 AS (
 SELECT doc_id, t AS scrubbed, n_url, n_email, n_ip, n_number,
        n_url + n_email + n_ip + n_number AS n_redactions
 FROM s4"""
+
+_EN = "['the','and','of','to','in','is','that','with']"
+_DE = "['der','die','das','und','ist','nicht','mit','ein']"
+_ES = "['el','la','los','las','que','es','con','una']"
+_FR = "['le','la','les','et','est','que','des','une']"
+
+_STOKS = _TOKS.replace("lower(text)", "lower(scrubbed)")
+
+ORACLES["prep_curate"] = f"""WITH {_DOCS_CTE},
+pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '{PII_TAIL}' ELSE text END AS t
+  FROM docs
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS BIGINT) AS n_url,
+         regexp_replace(t, 'https?://\\S+', '<URL>', 'g') AS t
+  FROM pii
+),
+s2 AS (
+  SELECT doc_id, n_url,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_url, n_email,
+         CAST(len(regexp_extract_all(t, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ip,
+         regexp_replace(t, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g') AS t
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, n_url + n_email + n_ip
+         + CAST(len(regexp_extract_all(t, '[0-9]{{9,}}')) AS BIGINT) AS n_redactions,
+         regexp_replace(t, '[0-9]{{9,}}', '<NUM>', 'g') AS scrubbed
+  FROM s3
+),
+scored AS (
+  SELECT doc_id, scrubbed, n_redactions,
+         CAST(len({_STOKS}) AS BIGINT) AS n_tokens,
+         round(least(len({_STOKS}) / 100.0, 1.0) * 0.4
+               + (len(list_filter({_STOKS}, x -> list_contains({_EN}, x)))
+                  / greatest(len({_STOKS}), 1)) * 0.3
+               + (len(list_distinct({_STOKS}))
+                  / greatest(len({_STOKS}), 1)) * 0.3, 4) AS quality,
+         len(list_filter({_STOKS}, x -> list_contains({_EN}, x))) AS c_en,
+         len(list_filter({_STOKS}, x -> list_contains({_DE}, x))) AS c_de,
+         len(list_filter({_STOKS}, x -> list_contains({_ES}, x))) AS c_es,
+         len(list_filter({_STOKS}, x -> list_contains({_FR}, x))) AS c_fr
+  FROM s4
+),
+langed AS (
+  SELECT *, CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                 WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                 WHEN c_es >= c_fr THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+  FROM scored
+),
+flagged AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(scrubbed) ORDER BY doc_id) > 1 AS is_duplicate
+  FROM langed
+),
+decided AS (
+  SELECT *, CASE WHEN is_duplicate THEN 'duplicate'
+                 WHEN lang_pred <> 'en' THEN 'lang'
+                 WHEN quality < 0.3 THEN 'quality'
+            END AS drop_reason,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'), 1, 8)))::BIGINT
+           / 4294967296.0 AS frac
+  FROM flagged
+)
+SELECT doc_id, n_redactions, n_tokens, quality, lang_pred, is_duplicate,
+       drop_reason IS NULL AS kept, drop_reason,
+       CASE WHEN drop_reason IS NULL THEN round(frac, 6) END AS hash_frac,
+       CASE WHEN drop_reason IS NULL THEN
+         CASE WHEN frac < 0.9 THEN 'train' WHEN frac < 0.95 THEN 'val' ELSE 'test' END
+       END AS split
+FROM decided"""
 
 ORACLES["prep_split"] = """WITH h AS (
   SELECT doc_id,
@@ -419,10 +513,6 @@ SELECT doc_id,
        len(list_distinct({_TOKS})) AS n_unique_tokens
 FROM documents"""
 
-_EN = "['the','and','of','to','in','is','that','with']"
-_DE = "['der','die','das','und','ist','nicht','mit','ein']"
-_ES = "['el','la','los','las','que','es','con','una']"
-_FR = "['le','la','les','et','est','que','des','une']"
 
 ORACLES["text_quality"] = f"""WITH t AS (
   SELECT doc_id, text, {_TOKS} AS w,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import tokens
+from .textstats import LANG_MARKERS, STOPWORDS, _count_in
 
 # Portable redaction patterns (Java regex ∩ RE2: no lookarounds, no
 # backrefs). Order matters and is part of the contract: URLs first
@@ -82,6 +83,18 @@ def _hash_frac(id_col, salt: str):
 DEFAULT_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
 
 
+def _split_expr(frac, splits: list[tuple[str, float]]):
+    """Threshold CASE over a [0,1) fraction: cumulative weight cuts."""
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    return expr.otherwise(last) if expr is not None else last
+
+
 def assign_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -96,18 +109,91 @@ def assign_split(
     standard reproducible-split construction). No shuffle."""
     splits = splits or DEFAULT_SPLITS
     frac = _hash_frac(id_col, salt)
-    expr = None
-    cum = 0.0
-    for name, w in splits[:-1]:
-        cum += w
-        cond = frac < F.lit(cum)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = F.lit(splits[-1][0])
-    expr = expr.otherwise(last) if expr is not None else last
     return df.select(
         id_col,
         F.round(frac, 6).alias("hash_frac"),
-        expr.alias("split"),
+        _split_expr(frac, splits).alias("split"),
+    )
+
+
+def curate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_threshold: float = 0.3,
+    lang: str = "en",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """The full curation chain — scrub → quality + language-ID →
+    exact-dedup flag → keep/drop decision → split assignment — as ONE
+    Catalyst plan with exactly ONE shuffle (the dedup window on the
+    scrubbed-content hash; everything else is row-local projection, so
+    Catalyst fuses the whole chain into the scan stage and the window
+    stage).
+
+    Dedup and quality run over the SCRUBBED text (pipeline order
+    matters: two documents differing only in redacted PII are
+    duplicates). Every input row is emitted with ``kept`` and a
+    deterministic ``drop_reason`` (duplicate > lang > quality
+    priority), so downstream can audit exactly why data was dropped —
+    silent filtering at 100 TB is how corpora go wrong."""
+    scrubbed = scrub_text(df, id_col=id_col, text_col=text_col)
+
+    tok = tokens("scrubbed")
+    n_tok = F.size(tok)
+    n_chars = F.length("scrubbed")
+    stop = _count_in(tok, STOPWORDS)
+    uniq = F.size(F.array_distinct(tok))
+    quality = F.round(
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + (stop / F.greatest(n_tok, F.lit(1))) * 0.3
+        + (uniq / F.greatest(n_tok, F.lit(1))) * 0.3,
+        4,
+    )
+    counts = {lg: _count_in(tok, ws) for lg, ws in LANG_MARKERS.items()}
+    lang_pred = (
+        F.when(
+            (counts["en"] >= counts["de"])
+            & (counts["en"] >= counts["es"])
+            & (counts["en"] >= counts["fr"]),
+            F.lit("en"),
+        )
+        .when((counts["de"] >= counts["es"]) & (counts["de"] >= counts["fr"]), F.lit("de"))
+        .when(counts["es"] >= counts["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    scored = scrubbed.select(
+        id_col,
+        "scrubbed",
+        "n_redactions",
+        n_tok.cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+    )
+
+    w_dup = Window.partitionBy(F.md5(F.col("scrubbed"))).orderBy(id_col)
+    flagged = scored.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
+
+    drop_reason = (
+        F.when(F.col("is_duplicate"), F.lit("duplicate"))
+        .when(F.col("lang_pred") != lang, F.lit("lang"))
+        .when(F.col("quality") < quality_threshold, F.lit("quality"))
+    )
+    return flagged.select(
+        id_col,
+        "n_redactions",
+        "n_tokens",
+        "quality",
+        "lang_pred",
+        "is_duplicate",
+        drop_reason.isNull().alias("kept"),
+        drop_reason.alias("drop_reason"),
+        F.when(drop_reason.isNull(), F.round(_hash_frac(id_col, salt), 6)).alias(
+            "hash_frac"
+        ),
+        F.when(
+            drop_reason.isNull(), _split_expr(_hash_frac(id_col, salt), DEFAULT_SPLITS)
+        ).alias("split"),
     )
 
 

@@ -86,3 +86,38 @@ def test_pack_deterministic_under_repartition(spark):
         map(tuple, prep.pack_sequences(df.repartition(13), budget=32, n_shards=8).collect())
     )
     assert a == b
+
+
+def test_curate_decisions(spark):
+    dup = "the fast table scan and the merge join is that good with data"
+    df = spark.createDataFrame(
+        [
+            (1, dup),
+            (2, dup),                                  # exact dup of 1 -> dropped
+            (3, dup + " mail x@y.io"),                 # PII variant: scrubs...
+            (4, dup + " mail z@w.org"),                # ...to the SAME text -> dup
+            (5, "der die das und ist nicht mit ein der die das und"),  # German
+            (6, "zz zz zz zz zz zz"),                  # low quality (repetitive), ties -> en
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in prep.curate(df).collect()}
+    assert rows[1]["kept"] and rows[1]["drop_reason"] is None
+    assert rows[2]["drop_reason"] == "duplicate"
+    # scrubbing runs BEFORE dedup: 3 and 4 differ only in redacted PII
+    assert rows[3]["kept"] or rows[3]["drop_reason"] == "duplicate"
+    assert rows[4]["drop_reason"] == "duplicate"
+    assert rows[5]["drop_reason"] == "lang"
+    assert rows[6]["drop_reason"] == "quality"
+    assert rows[6]["split"] is None and rows[6]["hash_frac"] is None
+    # kept rows carry the same split assign_split would give
+    frac = {r["doc_id"]: r for r in prep.assign_split(df, id_col="doc_id").collect()}
+    for i, r in rows.items():
+        if r["kept"]:
+            assert r["split"] == frac[i]["split"]
+
+
+def test_curate_single_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = prep.curate(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the dedup-window shuffle
