@@ -162,6 +162,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_train_centroids(spark, sf_dir):
+    """Trained coarse-quantizer centroids, scalarized to (cid, pos,
+    val) rows for the driver canonicalizer."""
+    emb = _emb(spark, sf_dir)
+    cent = sim.ivf_train(emb, k=4, iters=2)
+    return cent.select(
+        F.col("anchor_rank").alias("cid"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+
+
+def q_ann_ivf_train_assign(spark, sf_dir):
+    """Cluster assignment under the TRAINED centroids (vs the raw
+    first-k anchors of ann_ivf_assign)."""
+    emb = _emb(spark, sf_dir)
+    return sim.ivf_assign(emb, sim.ivf_train(emb, k=4, iters=2))
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = emb_fixture(spark, sf_dir)
     return sim.embedding_neardup_pairs(emb, sim.make_anchors(emb, 4), threshold=0.9)
@@ -256,6 +274,8 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_train_centroids": q_ann_ivf_train_centroids,
+    "ann_ivf_train_assign": q_ann_ivf_train_assign,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
@@ -660,6 +680,60 @@ assign AS (
 
 ORACLES["ann_ivf_assign"] = f"""WITH {_IVF_CTE}
 SELECT vec_id, CAST(cluster AS INT) AS cluster FROM assign"""
+
+
+def _lloyd_iter(i: int, prev: str) -> str:
+    """One unrolled Lloyd iteration (assign → rounded element means →
+    empty-cluster fallback) against centroid CTE ``prev``."""
+    return f"""s{i} AS (
+  SELECT v.vec_id, {prev}.cid,
+         list_dot_product(v.e, {prev}.ce) /
+         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product({prev}.ce, {prev}.ce))) AS s
+  FROM v CROSS JOIN {prev}
+),
+a{i} AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM s{i})
+  WHERE rn = 1
+),
+m{i} AS (
+  SELECT cluster, idx, round(avg(val), 6) AS m
+  FROM (SELECT a{i}.cluster, unnest(v.e) AS val, unnest(range(len(v.e))) AS idx
+        FROM v JOIN a{i} USING (vec_id))
+  GROUP BY cluster, idx
+),
+l{i} AS (SELECT cluster, list(m ORDER BY idx) AS mvec FROM m{i} GROUP BY cluster),
+c{i} AS (
+  SELECT {prev}.cid, coalesce(l{i}.mvec, {prev}.ce) AS ce
+  FROM {prev} LEFT JOIN l{i} ON l{i}.cluster = {prev}.cid
+)"""
+
+
+_KMEANS_CTES = f"""{_V},
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS ce
+  FROM v ORDER BY vec_id LIMIT 4
+),
+{_lloyd_iter(1, "c0")},
+{_lloyd_iter(2, "c1")}"""
+
+ORACLES["ann_ivf_train_centroids"] = f"""WITH {_KMEANS_CTES}
+SELECT cid, CAST(idx AS INT) AS pos, val
+FROM (SELECT cid, unnest(ce) AS val, unnest(range(len(ce))) AS idx FROM c2)"""
+
+ORACLES["ann_ivf_train_assign"] = f"""WITH {_KMEANS_CTES},
+sf AS (
+  SELECT v.vec_id, c2.cid,
+         list_dot_product(v.e, c2.ce) /
+         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c2.ce, c2.ce))) AS s
+  FROM v CROSS JOIN c2
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster
+FROM (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sf)
+  WHERE rn = 1
+)"""
 
 ORACLES["ann_ivf_topk"] = f"""WITH {_IVF_CTE},
 probes AS (

@@ -186,6 +186,59 @@ def ivf_assign(
     return best
 
 
+def ivf_train(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer:
+    init = first k vectors by id (``make_anchors``), assignment by
+    cosine (ties → lowest centroid id), update = element-wise mean.
+
+    Determinism rules (so the DuckDB oracle and any partitioning
+    reproduce the run bit-for-bit): means are rounded to ``round_to``
+    decimals each iteration (collapses FP summation-order noise), and
+    a cluster that loses all members keeps its previous centroid.
+
+    Scale shape: everything stays distributed — each iteration is one
+    broadcast-assign projection + one (cluster, pos) mean aggregate;
+    the centroid table is k rows and never touches the driver. The
+    lazy plan re-reads the corpus once per iteration (iters is small;
+    persist the input upstream if scans are the bottleneck). Returns
+    (anchor_rank, vec) shaped exactly like ``make_anchors`` so the
+    trained centroids plug into ivf_assign/ivf_topk unchanged."""
+    cent = make_anchors(df, k, id_col, vec_col)
+    v = df.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col)
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(v, cent, id_col, vec_col)
+        means = (
+            v.join(assigned, id_col)
+            .select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), round_to).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mvec")
+            )
+        )
+        cent = (
+            cent.join(means, cent["anchor_rank"] == means["cluster"], "left")
+            .select(
+                "anchor_rank",
+                F.coalesce("mvec", F.col(vec_col)).alias(vec_col),
+            )
+        )
+    return cent
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,

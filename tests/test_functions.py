@@ -165,3 +165,39 @@ def test_sample_frames_one_to_many(spark, sf_dir):
     # distinct bytes per frame index, deterministic across partitionings
     one = out.filter(F.col("doc_id") == per[0].doc_id).collect()
     assert len({bytes(r.frame) for r in one}) == 3
+
+
+def test_ivf_train_improves_quantizer(spark, sf_dir):
+    """Lloyd iterations must not worsen the coarse-quantizer objective
+    (mean best-centroid cosine), and must be deterministic under
+    repartitioning; empty clusters keep their previous centroid."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def objective(centroids):
+        v = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        c = centroids.select(F.col("anchor_rank").alias("cid"), F.col("embedding").alias("cvec"))
+        j = v.crossJoin(F.broadcast(c))
+        s = sim._dot(F.col("embedding"), F.col("cvec")) / (
+            sim._norm(F.col("embedding")) * sim._norm(F.col("cvec"))
+        )
+        return (
+            j.select("vec_id", s.alias("s"))
+            .groupBy("vec_id").agg(F.max("s").alias("best"))
+            .agg(F.avg("best")).collect()[0][0]
+        )
+
+    raw = sim.make_anchors(emb, 4)
+    trained = sim.ivf_train(emb, k=4, iters=2)
+    assert objective(trained) >= objective(raw) - 1e-9
+
+    a = sorted(map(tuple, trained.collect()))
+    b = sorted(map(tuple, sim.ivf_train(emb.repartition(7), k=4, iters=2).collect()))
+    assert [(r[0], [round(x, 6) for x in r[1]]) for r in a] == [
+        (r[0], [round(x, 6) for x in r[1]]) for r in b
+    ]
+    # trained centroids plug into the existing assign/topk shape
+    assigned = sim.ivf_assign(emb, trained)
+    assert assigned.count() == emb.count()
+    assert {r["cluster"] for r in assigned.collect()} <= {0, 1, 2, 3}
