@@ -180,6 +180,30 @@ def q_ann_ivf_train_assign(spark, sf_dir):
     return sim.ivf_assign(emb, sim.ivf_train(emb, k=4, iters=2))
 
 
+def q_ann_pq_codebooks(spark, sf_dir):
+    """Trained product-quantization codebooks (m=4 subspaces × ksub=4
+    codes over the 64-dim embeddings), scalarized to (sub, code, pos,
+    val) rows for the driver canonicalizer."""
+    emb = _emb(spark, sf_dir)
+    cb = sim.pq_train(emb, m=4, ksub=4, iters=2)
+    return cb.select(
+        "sub", "code", F.posexplode("subvec").alias("pos", "val")
+    )
+
+
+def q_ann_pq_codes(spark, sf_dir):
+    """PQ-encoded corpus: one (vec_id, sub, code) row per subspace."""
+    emb = _emb(spark, sf_dir)
+    return sim.pq_encode(emb, sim.pq_train(emb, m=4, ksub=4, iters=2))
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """ADC top-k over PQ codes (integer-exact micro-unit distances)."""
+    emb = _emb(spark, sf_dir)
+    cb = sim.pq_train(emb, m=4, ksub=4, iters=2)
+    return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), cb, k=5)
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = emb_fixture(spark, sf_dir)
     return sim.embedding_neardup_pairs(emb, sim.make_anchors(emb, 4), threshold=0.9)
@@ -276,6 +300,9 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_train_centroids": q_ann_ivf_train_centroids,
     "ann_ivf_train_assign": q_ann_ivf_train_assign,
+    "ann_pq_codebooks": q_ann_pq_codebooks,
+    "ann_pq_codes": q_ann_pq_codes,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
@@ -754,6 +781,105 @@ p AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, round(s, 4) AS cosine, rank
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM p)
+WHERE rank <= 5"""
+
+# --- product quantization: per-subspace Lloyd (squared-L2 via the
+# same three-dot formula order as the Spark side), encode, ADC top-k.
+_PQ_L2 = (
+    "list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, {c}.ce)"
+    " + list_dot_product({c}.ce, {c}.ce)"
+)
+
+
+def _pq_lloyd(s: int, i: int, prev: str) -> str:
+    """One unrolled PQ Lloyd iteration in subspace ``s`` (assign by
+    squared L2 → rounded element means → empty-code fallback)."""
+    d = _PQ_L2.format(c=prev)
+    return f"""pd{i}_{s} AS (
+  SELECT v.vec_id, {prev}.code, {d} AS d
+  FROM vs{s} v CROSS JOIN {prev}
+),
+pa{i}_{s} AS (
+  SELECT vec_id, code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn FROM pd{i}_{s})
+  WHERE rn = 1
+),
+pm{i}_{s} AS (
+  SELECT code, idx, round(avg(val), 6) AS mv
+  FROM (SELECT a.code, unnest(v.e) AS val, unnest(range(len(v.e))) AS idx
+        FROM vs{s} v JOIN pa{i}_{s} a USING (vec_id))
+  GROUP BY code, idx
+),
+pl{i}_{s} AS (SELECT code, list(mv ORDER BY idx) AS mvec FROM pm{i}_{s} GROUP BY code),
+cb{i}_{s} AS (
+  SELECT {prev}.code, coalesce(pl{i}_{s}.mvec, {prev}.ce) AS ce
+  FROM {prev} LEFT JOIN pl{i}_{s} ON pl{i}_{s}.code = {prev}.code
+)"""
+
+
+def _pq_ctes(m: int = 4, dim: int = 64, ksub: int = 4, iters: int = 2) -> str:
+    d = dim // m
+    parts = [_V]
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        parts.append(f"vs{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)")
+        parts.append(
+            f"cb0_{s} AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+            f" AS code, e AS ce FROM vs{s} ORDER BY vec_id LIMIT {ksub})"
+        )
+        for i in range(1, iters + 1):
+            parts.append(_pq_lloyd(s, i, f"cb{i - 1}_{s}"))
+    for s in range(m):
+        dd = _PQ_L2.format(c="c")
+        parts.append(
+            f"""ed_{s} AS (
+  SELECT v.vec_id, c.code, {dd} AS d
+  FROM vs{s} v CROSS JOIN cb{iters}_{s} c
+)"""
+        )
+    enc_union = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id, CAST({s} AS INT) AS sub, code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn FROM ed_{s})
+  WHERE rn = 1"""
+        for s in range(m)
+    )
+    parts.append(f"enc AS (\n{enc_union}\n)")
+    return ",\n".join(parts)
+
+
+_PQ_M, _PQ_ITERS = 4, 2
+_PQ_CTES = _pq_ctes(m=_PQ_M, dim=64, ksub=4, iters=_PQ_ITERS)
+
+ORACLES["ann_pq_codebooks"] = f"""WITH {_PQ_CTES}
+SELECT sub, code, CAST(idx AS INT) AS pos, val
+FROM (
+{chr(10).join(f'''  SELECT CAST({s} AS INT) AS sub, code, unnest(ce) AS val,
+         unnest(range(len(ce))) AS idx
+  FROM cb{_PQ_ITERS}_{s}''' + ('  UNION ALL' if s < _PQ_M - 1 else '') for s in range(_PQ_M))}
+)"""
+
+ORACLES["ann_pq_codes"] = f"""WITH {_PQ_CTES}
+SELECT vec_id, sub, code FROM enc"""
+
+_PQ_LUT_UNION = "\n  UNION ALL\n".join(
+    f"""  SELECT q.vec_id AS qid, CAST({s} AS INT) AS sub, c.code,
+         CAST(round(({_PQ_L2.format(c='c').replace('v.e', 'q.e')}) * 1000000) AS BIGINT) AS du
+  FROM (SELECT vec_id, e FROM vs{s} WHERE vec_id < 8) q CROSS JOIN cb{_PQ_ITERS}_{s} c"""
+    for s in range(_PQ_M)
+)
+
+ORACLES["ann_pq_topk"] = f"""WITH {_PQ_CTES},
+lut AS (
+{_PQ_LUT_UNION}
+),
+ad AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.du) AS BIGINT) AS su
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  WHERE e.vec_id <> l.qid
+  GROUP BY l.qid, e.vec_id
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, su / 1000000.0 AS adist, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY su, vec_id) AS INT) AS rank FROM ad)
 WHERE rank <= 5"""
 
 # near-dup runs over the seeded fixture (scaled/shifted copies), not

@@ -294,6 +294,225 @@ def ivf_topk(
     )
 
 
+def _sq_l2(a, b):
+    """Squared L2 via three dots in a FIXED formula order —
+    dot(a,a) - 2·dot(a,b) + dot(b,b) — so the DuckDB oracle (same
+    three list_dot_product terms, same order) is bit-identical."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def _subvectors(
+    df: DataFrame, m: int, dim: int, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """Split each vector into m contiguous subvectors of dim/m doubles:
+    one (id, sub, subvec) row per subspace. Pure projection + explode —
+    no shuffle; the m× row inflation carries dim/m-sized arrays, so
+    total bytes are unchanged."""
+    d = dim // m
+    as_double = F.transform(vec_col, lambda x: x.cast("double"))
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(as_double, s * d + 1, d).alias("subvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(slices).alias("_sv")
+    ).select(out_id, F.col("_sv.sub").alias("sub"), F.col("_sv.subvec").alias("subvec"))
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame, out_id: str) -> DataFrame:
+    """Nearest codebook entry per (id, sub) by squared L2 (ties →
+    lowest code). Codebooks are m×ksub rows — broadcast; the argmin is
+    a map-side partial min, no wide shuffle."""
+    c = codebooks.select("sub", "code", F.col("subvec").alias("cvec"))
+    j = sv.join(F.broadcast(c), "sub")
+    dist = _sq_l2(F.col("subvec"), F.col("cvec"))
+    return (
+        j.select(out_id, "sub", "code", dist.alias("_d"))
+        .groupBy(out_id, "sub")
+        .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_b"))
+        .select(out_id, "sub", F.col("_b.code").alias("code"))
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: per subspace, Lloyd
+    k-means over the dim/m-dimensional subvectors (init = first ksub
+    vectors by id, assignment by squared L2 with ties → lowest code,
+    update = element mean rounded to ``round_to``; an emptied code keeps
+    its previous centroid). Returns (sub, code, subvec).
+
+    This is the memory side of ANN at 100 TB: PQ compresses each vector
+    to m small codes (here m bytes) so the index fits in RAM, with
+    ``pq_adc_topk`` scanning codes instead of raw vectors. All m
+    subspaces train in ONE distributed job per iteration (the subspace
+    id is just a grouping column), so iters×2 stages total regardless
+    of m; the codebook table is m×ksub rows and stays broadcast-sized.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    d = dim // m
+    sv = _subvectors(df, m, dim, id_col, vec_col, "_id")
+
+    # init: subvectors of the first ksub vectors by id (config-sized
+    # collect, same broadcast-variable argument as make_anchors)
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    data = [
+        (s, c, [float(x) for x in r[vec_col]][s * d : (s + 1) * d])
+        for c, r in enumerate(rows)
+        for s in range(m)
+    ]
+    cb = df.sparkSession.createDataFrame(
+        data, "sub int, code int, subvec array<double>"
+    )
+
+    for _ in range(iters):
+        assigned = _pq_assign(sv, cb, "_id")
+        means = (
+            sv.join(assigned, ["_id", "sub"])
+            .select("sub", "code", F.posexplode("subvec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("val"), round_to).alias("mv"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("mvec")
+            )
+        )
+        cb = (
+            cb.alias("c")
+            .join(means.alias("m"), ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce("m.mvec", "c.subvec").alias("subvec")
+            )
+        )
+    return cb
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode the corpus: (id, sub, code) — the scalarized form of
+    the m-byte code word. m and dim are read off the (tiny) codebook
+    table, not the corpus."""
+    mrow = codebooks.agg(
+        F.max("sub").alias("ms"), F.max(F.size("subvec")).alias("d")
+    ).head()
+    m, dim = mrow["ms"] + 1, (mrow["ms"] + 1) * mrow["d"]
+    sv = _subvectors(df, m, dim, id_col, vec_col, id_col)
+    return _pq_assign(sv, codebooks, id_col)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    corpus is scanned as PQ codes only; each query precomputes a
+    distance lookup table (LUT) from its raw subvectors to every
+    codebook entry, and a vector's distance is the sum of m table
+    lookups — no corpus-side float math at all.
+
+    Parity/scale notes: LUT entries are micro-unit BIGINTs
+    (round(d·1e6)) so the per-vector sum is integer-exact and
+    order-independent — bit-equal between Spark and the DuckDB oracle
+    regardless of summation order. The LUT is |Q|×m×ksub rows
+    (broadcast); the scan is a map-side zip_with over the code arrays;
+    top-k uses the same two-level partial/merge shape as cosine_topk,
+    so no per-query partition ever holds the whole corpus."""
+    enc = (
+        pq_encode(df, codebooks, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+    mrow = codebooks.agg(
+        F.max("sub").alias("ms"), F.max(F.size("subvec")).alias("d")
+    ).head()
+    m, dim = mrow["ms"] + 1, (mrow["ms"] + 1) * mrow["d"]
+    qsv = _subvectors(queries, m, dim, id_col, vec_col, "query_id")
+    c = codebooks.select("sub", "code", F.col("subvec").alias("cvec"))
+    du = F.round(_sq_l2(F.col("subvec"), F.col("cvec")) * 1e6).cast("bigint")
+    qlut = (
+        qsv.join(F.broadcast(c), "sub")
+        .select("query_id", "sub", "code", du.alias("du"))
+        .groupBy("query_id", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "du"))),
+                lambda s: s["du"],
+            ).alias("l")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "l"))),
+                lambda s: s["l"],
+            ).alias("qlut")
+        )
+    )
+
+    pairs = enc.crossJoin(F.broadcast(qlut)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adist_u = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("qlut"), lambda code, lut: F.element_at(lut, code + 1)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "query_id", id_col, adist_u.alias("_du"), F.spark_partition_id().alias("_pid")
+    )
+    w_part = Window.partitionBy("query_id", "_pid").orderBy(
+        F.col("_du"), F.col(id_col)
+    )
+    partial = (
+        scored.withColumn("_pr", F.row_number().over(w_part))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr", "_pid")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_du"), F.col(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (F.col("_du") / F.lit(1000000.0)).alias("adist"),
+            "rank",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     anchors: DataFrame,

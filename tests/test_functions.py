@@ -167,6 +167,52 @@ def test_sample_frames_one_to_many(spark, sf_dir):
     assert len({bytes(r.frame) for r in one}) == 3
 
 
+def test_pq_adc_topk_properties(spark, sf_dir):
+    """PQ codes are in range and deterministic under repartitioning;
+    ADC distances are non-negative and rank-consistent; ADC top-1
+    overlaps the exact top-5 for most queries (compression is lossy
+    but must not be noise)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = sim.pq_train(emb, m=4, ksub=4, iters=2)
+    assert cb.count() == 16  # m x ksub
+
+    codes = sim.pq_encode(emb, cb).collect()
+    assert len(codes) == emb.count() * 4
+    assert all(0 <= r.code <= 3 and 0 <= r.sub <= 3 for r in codes)
+    again = sim.pq_encode(
+        emb.repartition(7), sim.pq_train(emb.repartition(5), m=4, ksub=4, iters=2)
+    ).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+    q = emb.filter(F.col("vec_id") < 8)
+    adc = sim.pq_adc_topk(emb, q, cb, k=5).collect()
+    assert len(adc) == 40
+    assert all(r.adist >= 0 for r in adc)
+    for rows in [sorted([r for r in adc if r.query_id == qid], key=lambda r: r.rank)
+                 for qid in range(8)]:
+        assert [r.adist for r in rows] == sorted(r.adist for r in rows)
+
+    # recall: on the RAW corpus (i.i.d. random vectors) distances
+    # concentrate and no 8-bit code preserves ranking — so recall is
+    # asserted on the seeded near-dup fixture instead, where each
+    # scaled copy's true nearest neighbor (its source, L2 margin ~100x)
+    # must survive quantization at a realistic code size (m=8, ksub=8)
+    from otel2pv_spark.entry_queries import emb_fixture
+
+    fix = emb_fixture(spark, sf_dir)
+    cb8 = sim.pq_train(fix, m=8, ksub=8, iters=2)
+    copies = fix.filter(
+        (F.col("vec_id") >= 100000) & (F.col("vec_id") < 200000)
+    )
+    n_copies = copies.count()
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in sim.pq_adc_topk(fix, copies, cb8, k=1).collect()
+    }
+    hits = sum(1 for qid, nid in top1.items() if nid == qid - 100000)
+    assert hits >= int(0.8 * n_copies), f"near-dup recall {hits}/{n_copies}"
+
+
 def test_ivf_train_improves_quantizer(spark, sf_dir):
     """Lloyd iterations must not worsen the coarse-quantizer objective
     (mean best-centroid cosine), and must be deterministic under
