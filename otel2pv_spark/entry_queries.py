@@ -111,6 +111,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Full dedup chain: LSH candidates → connected components →
+    per-doc cluster id / size / canonical flag (singletons included)."""
+    return dd.dedup_clusters(docs_fixture(spark, sf_dir))
+
+
 def q_text_token_count(spark, sf_dir):
     return ts.token_count(_docs(spark, sf_dir))
 
@@ -125,6 +131,26 @@ def q_text_langid(spark, sf_dir):
 
 def q_text_fingerprint(spark, sf_dir):
     return ts.fingerprint(_docs(spark, sf_dir))
+
+
+# repeated boilerplate seeded onto doc_id%13==0 rows (the raw corpus
+# never trips the repetition thresholds, which would leave the
+# is_repetitive column vacuously all-false)
+REP_TAIL = " click here to subscribe" * 12
+
+
+def rep_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(REP_TAIL)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    return ts.repetition_scores(rep_fixture(spark, sf_dir))
 
 
 def q_text_subwords(spark, sf_dir):
@@ -277,22 +303,68 @@ def q_prep_pack(spark, sf_dir):
     return pp.pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
 
 
+def eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic held-out 'benchmark' slice: every 50th document."""
+    return _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", "text"
+    )
+
+
+def q_prep_decontaminate(spark, sf_dir):
+    """8-gram test-set-overlap check: the eval slice's own rows AND
+    their +100000 exact copies from docs_fixture must both flag."""
+    return pp.decontaminate(docs_fixture(spark, sf_dir), eval_fixture(spark, sf_dir))
+
+
+def strata_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed domain labels (60/30/10) — the driver corpus's `source`
+    is uniform, which would make temperature reweighting vacuous."""
+    stratum = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    return _docs(spark, sf_dir).select("doc_id", stratum.alias("stratum"))
+
+
+def q_prep_sample_stratified(spark, sf_dir):
+    return pp.stratified_sample(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        strata_col="source",
+    )
+
+
+def q_prep_sample_temperature(spark, sf_dir):
+    return pp.temperature_sample(
+        strata_fixture(spark, sf_dir),
+        strata_col="stratum",
+        alpha=0.5,
+        target_frac=0.5,
+    )
+
+
 QUERIES = {
     "prep_scrub": q_prep_scrub,
     "prep_curate": q_prep_curate,
     "prep_split": q_prep_split,
     "prep_pack": q_prep_pack,
+    "prep_decontaminate": q_prep_decontaminate,
+    "prep_sample_stratified": q_prep_sample_stratified,
+    "prep_sample_temperature": q_prep_sample_temperature,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_flags": q_dedup_exact_flags,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_subwords": q_text_subwords,
     "text_winnow": q_text_winnow,
+    "text_repetition": q_text_repetition,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -475,6 +547,62 @@ SELECT doc_id, shard,
        n_tokens
 FROM c"""
 
+# word 8-grams for decontamination (same construction as _SHINGLES3 at
+# n=8; docs shorter than 8 tokens yield none on both sides)
+_NG8 = "[array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]"
+
+ORACLES["prep_decontaminate"] = f"""WITH {_DOCS_CTE},
+tok AS (SELECT doc_id, {_TOKS} AS w FROM docs),
+dng AS (
+  SELECT DISTINCT doc_id, ng
+  FROM (SELECT doc_id, unnest({_NG8}) AS ng FROM tok WHERE len(w) >= 8)
+),
+etok AS (SELECT {_TOKS} AS w FROM documents WHERE doc_id % 50 = 0),
+eng AS (
+  SELECT DISTINCT ng
+  FROM (SELECT unnest({_NG8}) AS ng FROM etok WHERE len(w) >= 8)
+),
+hits AS (SELECT doc_id, count(*) AS h FROM dng JOIN eng USING (ng) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h, 0) AS BIGINT) AS n_eval_ngrams,
+       coalesce(h, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM docs) d LEFT JOIN hits USING (doc_id)"""
+
+_SAMPLE_FRAC = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample-v1'), 1, 8)))::BIGINT"
+    " / 4294967296.0"
+)
+
+ORACLES["prep_sample_stratified"] = f"""WITH h AS (
+  SELECT doc_id, source, {_SAMPLE_FRAC} AS frac,
+         CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+              WHEN 'src2' THEN 0.25 ELSE 0.0 END AS DOUBLE) AS rate
+  FROM documents
+)
+SELECT doc_id, source, round(frac, 6) AS hash_frac,
+       round(rate, 6) AS rate, frac < rate AS sampled
+FROM h"""
+
+# same association order as the Spark side: ((w / sw) * (0.5 * total)) / n_s
+ORACLES["prep_sample_temperature"] = f"""WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS stratum
+  FROM documents
+),
+c AS (SELECT stratum, count(*) AS n_s FROM s GROUP BY stratum),
+w AS (SELECT stratum, n_s, pow(CAST(n_s AS DOUBLE), 0.5) AS w FROM c),
+t AS (SELECT sum(w) AS sw, (SELECT CAST(count(*) AS DOUBLE) FROM s) AS total FROM w),
+r AS (
+  SELECT stratum,
+         least(CAST(1.0 AS DOUBLE), ((w / t.sw) * (0.5 * t.total)) / n_s) AS rate
+  FROM w, t
+)
+SELECT s.doc_id, s.stratum, round({_SAMPLE_FRAC}, 6) AS hash_frac,
+       round(r.rate, 6) AS rate, {_SAMPLE_FRAC} < r.rate AS sampled
+FROM s JOIN r USING (stratum)"""
+
 ORACLES["dedup_exact"] = f"""WITH {_DOCS_CTE}
 SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
 FROM docs GROUP BY md5(text)"""
@@ -553,6 +681,28 @@ JOIN sizes sa ON sa.doc_id = inter.doc_a
 JOIN sizes sb ON sb.doc_id = inter.doc_b
 WHERE i / (sa.sz + sb.sz - i) >= 0.5"""
 
+# transitive closure by min-label reachability: DuckDB's recursive
+# UNION dedups (node, comp) rows, so the fixpoint is the full set of
+# (node, reachable-id) pairs and min(comp) is the component minimum —
+# an independent construction from the repo's large-star/small-star.
+ORACLES["dedup_clusters"] = f"""WITH RECURSIVE {_DOCS_CTE},
+{_SHINGLE_CTE},
+{_LSH_CTES},
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN sym e ON e.u = r.node
+),
+lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM lab l JOIN sz USING (cluster_id)"""
+
 ORACLES["text_token_count"] = f"""
 SELECT doc_id,
        len({_TOKS}) AS n_tokens,
@@ -619,6 +769,56 @@ SELECT doc_id,
              x -> CAST(ceil(length(x) / 4.0) AS BIGINT) - 1)) AS BIGINT), 0)
          AS n_subwords_bpe
 FROM documents"""
+
+# repetition: independent construction from the Spark side's sorted-
+# array run-length fold — per-(doc, n-gram) counts via unnest+GROUP BY
+def _rep_oracle(ns=(2, 3, 4), top_thr=0.2, dup_thr=0.3) -> str:
+    ctes = [
+        f"""r AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || '{REP_TAIL}' ELSE text END AS text
+  FROM documents
+)""",
+        "t AS (SELECT doc_id, " + _TOKS + " AS w FROM r)",
+    ]
+    for n in ns:
+        ctes.append(f"""g{n} AS (
+  SELECT doc_id, ng, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest([array_to_string(w[i:i+{n - 1}], ' ')
+                       for i in range(1, len(w) - {n - 2})]) AS ng
+        FROM t WHERE len(w) >= {n})
+  GROUP BY doc_id, ng
+),
+s{n} AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_g, CAST(max(c) AS BIGINT) AS best,
+         CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup
+  FROM g{n} GROUP BY doc_id
+)""")
+    cols, joins = [], []
+    for n in ns:
+        d = f"greatest(coalesce(s{n}.n_g, 0), 1)"
+        cols += [
+            f"coalesce(s{n}.n_g, 0) AS n_{n}grams",
+            f"round(CAST(coalesce(s{n}.best, 0) AS DOUBLE) / {d}, 6) AS top{n}_frac",
+            f"round(CAST(coalesce(s{n}.dup, 0) AS DOUBLE) / {d}, 6) AS dup{n}_frac",
+        ]
+        joins.append(f"LEFT JOIN s{n} ON s{n}.doc_id = t.doc_id")
+    d0 = f"greatest(coalesce(s{ns[0]}.n_g, 0), 1)"
+    d1 = f"greatest(coalesce(s{ns[1]}.n_g, 0), 1)"
+    flag = (
+        f"(round(CAST(coalesce(s{ns[0]}.best, 0) AS DOUBLE) / {d0}, 6) > {top_thr}"
+        f" OR round(CAST(coalesce(s{ns[1]}.dup, 0) AS DOUBLE) / {d1}, 6) > {dup_thr})"
+        " AS is_repetitive"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT t.doc_id,\n  " + ",\n  ".join(cols + [flag])
+        + "\nFROM t " + " ".join(joins)
+    )
+
+
+ORACLES["text_repetition"] = _rep_oracle()
 
 # winnowing (k=3 word-shingles, window w=4): min-hash per sliding
 # window, distinct set, digest of the sorted set

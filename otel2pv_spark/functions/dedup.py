@@ -30,11 +30,17 @@ def tokens(col="text"):
 
 
 def shingles(tok_col, n: int):
-    """Overlapping word n-grams, space-joined."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
-    )
+    """Overlapping word n-grams, space-joined; empty for docs shorter
+    than n tokens (guarded: sequence(1,0) would otherwise count DOWN,
+    emitting a 0 start index that slice() rejects)."""
+    tok_col = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -190,6 +196,147 @@ def simhash(
     for b in range(bits):
         fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
     return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 16,
+) -> DataFrame:
+    """Component label (= min member id) per node, from an undirected
+    edge list, via alternating large-star / small-star contractions
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Converges in O(log n) rounds — NOT O(diameter) like naive
+    label propagation — which is what makes it viable on the long chain
+    components a web-scale near-dup graph actually contains.
+
+    Each round is two hash aggregations + two equi-joins on node id,
+    all map-side-combinable; no step ever materializes a neighborhood
+    larger than the node's adjacency. The per-round fixpoint check is
+    an order-insensitive checksum (count + sum of edge hashes), one
+    tiny action; ``localCheckpoint`` cuts the iterative lineage so the
+    plan does not grow with rounds (same pattern a 1000-executor run
+    needs, else Catalyst re-derives round k from round 0).
+
+    ``nodes`` (optional) adds isolated nodes: they come back as their
+    own singleton component. Mirrors the reference's duplicate
+    *grouping* step (GroupAndVerify collects same-tree events before
+    canonical selection, groupandverify.go:700-740) lifted to the
+    document-dedup setting where groups are transitive closures of
+    near-dup pairs.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(ced: DataFrame) -> DataFrame:
+        return ced.unionByName(
+            ced.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).toDF("u", "v")
+
+    def _canon(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+
+    def _checksum(ced: DataFrame):
+        row = ced.agg(
+            F.count("*").alias("n"),
+            # decimal sum: int64 hash sums overflow ANSI bigint addition
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).head()
+        return row["n"], row["h"]
+
+    prev = _checksum(e)
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+        s = _sym(e)
+        mn = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            s.filter(F.col("v") > F.col("u"))
+            .join(mn, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e = _canon(large).localCheckpoint()
+
+        # small-star: every neighbor v < u (and u itself) links to the
+        # min of u's smaller neighborhood
+        s = _sym(e)
+        small_nbrs = s.filter(F.col("v") < F.col("u"))
+        mn = small_nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_nbrs.join(mn, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(mn.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e = _canon(small).localCheckpoint()
+
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # at the fixpoint e is a star forest: (member, component-min) edges
+    labels = (
+        _sym(e)
+        .groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias(id_col), F.least("mv", "u").alias("component"))
+    )
+    if nodes is not None:
+        labels = (
+            nodes.select(id_col)
+            .distinct()
+            .join(labels, id_col, "left")
+            .select(
+                id_col, F.coalesce("component", F.col(id_col)).alias("component")
+            )
+        )
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
+    connected components → one cluster id (min member) per document,
+    singletons included, with cluster size and the canonical-keep flag.
+    This is the full shape of web-scale dedup: LSH bounds the pair
+    generation, CC makes near-duplication transitive (A≈B≈C collapses
+    to one cluster even when A,C never share a band), and keep =
+    (doc == min of cluster) drops everything else in one filter."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    labels = connected_components(cand, "doc_a", "doc_b", nodes=df, id_col=id_col)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "component")
+        .select(
+            id_col,
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import shingles, tokens
 from .textstats import LANG_MARKERS, STOPWORDS, _count_in
 
 # Portable redaction patterns (Java regex ∩ RE2: no lookarounds, no
@@ -194,6 +194,137 @@ def curate(
         F.when(
             drop_reason.isNull(), _split_expr(_hash_frac(id_col, salt), DEFAULT_SPLITS)
         ).alias("split"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out evaluation set (the standard
+    n-gram-overlap test-set-leakage check; n=8 is the common choice —
+    long enough that coincidental overlap is negligible, short enough
+    to catch paraphrase-free excerpts).
+
+    Output: (id, n_eval_ngrams = distinct overlapping n-grams,
+    contaminated).
+
+    Scale shape: the eval side is tiny by construction (benchmarks,
+    not corpora) — its distinct n-grams broadcast; the corpus side is
+    one explode + broadcast hash join + one map-side-combined groupBy,
+    so the only shuffle is the per-doc hit count. The corpus is never
+    shuffled by content and never self-joined."""
+    ev = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(shingles(tokens(eval_text_col), n))
+            ).alias("ngram")
+        )
+        .distinct()
+    )
+    doc_ng = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("ngram"),
+    )
+    hits = (
+        doc_ng.join(F.broadcast(ev), "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_h"))
+    )
+    n_hits = F.coalesce("_h", F.lit(0)).cast("bigint")
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n_hits.alias("n_eval_ngrams"),
+            (n_hits > 0).alias("contaminated"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep a row iff its
+    (id, salt) hash fraction falls under its stratum's rate. Every row
+    is emitted with the ``sampled`` decision (auditable filtering, as
+    in ``curate``); strata absent from ``rates`` get rate 0.
+
+    Pure projection — no shuffle, no global state; appends and re-runs
+    never flip an old row's decision, and the kept set of a lower rate
+    is a subset of a higher one (nested samples for ablations)."""
+    frac = _hash_frac(id_col, salt)
+    rate = None
+    for name, r in sorted(rates.items()):
+        cond = F.col(strata_col) == name
+        rate = (
+            F.when(cond, F.lit(float(r)))
+            if rate is None
+            else rate.when(cond, F.lit(float(r)))
+        )
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+    return df.select(
+        id_col,
+        strata_col,
+        F.round(frac, 6).alias("hash_frac"),
+        F.round(rate, 6).alias("rate"),
+        (frac < rate).alias("sampled"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Temperature-based domain reweighting: stratum s with n_s rows
+    gets sampling weight n_s^alpha (alpha<1 upweights small domains —
+    the multilingual/domain-mixing trick), normalized so the expected
+    kept total is ``target_frac`` of the corpus; per-stratum rates cap
+    at 1. Keep decisions use the same deterministic hash fraction as
+    ``stratified_sample``.
+
+    Scale shape: per-stratum counts are one map-side-combined groupBy
+    producing a config-sized table (#domains rows) that broadcasts back
+    onto the corpus — the corpus itself is never shuffled."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_s"))
+    total = df.count()
+    w = F.pow(F.col("n_s").cast("double"), F.lit(float(alpha)))
+    weights = counts.select(strata_col, "n_s", w.alias("w"))
+    sum_w = weights.agg(F.sum("w").alias("sw")).head()["sw"]
+    rates = weights.select(
+        strata_col,
+        "n_s",
+        F.least(
+            F.lit(1.0),
+            F.col("w") / F.lit(float(sum_w)) * F.lit(float(target_frac) * total)
+            / F.col("n_s"),
+        ).alias("rate"),
+    )
+    frac = _hash_frac(id_col, salt)
+    return (
+        df.select(id_col, strata_col)
+        .join(F.broadcast(rates), strata_col)
+        .select(
+            id_col,
+            strata_col,
+            F.round(frac, 6).alias("hash_frac"),
+            F.round("rate", 6).alias("rate"),
+            (frac < F.col("rate")).alias("sampled"),
+        )
     )
 
 

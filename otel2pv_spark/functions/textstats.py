@@ -153,6 +153,87 @@ def winnow_fingerprint(
     )
 
 
+def _run_stats(sorted_arr):
+    """(best, dup) over a SORTED string array: best = the max
+    multiplicity of any element, dup = total occurrences of elements
+    appearing ≥2 times — via a single run-length fold (aggregate with a
+    struct accumulator + finish lambda). O(n log n) per row including
+    the sort, all codegen, instead of an explode + two groupBy shuffles
+    per n-gram order."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def merge(acc, x):
+        same = acc["prev"] == x
+        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        closed = F.when(
+            (~same) & (acc["run"] >= 2), acc["dup"] + acc["run"]
+        ).otherwise(acc["dup"])
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+            closed.alias("dup"),
+        )
+
+    def finish(acc):
+        dup = F.when(acc["run"] >= 2, acc["dup"] + acc["run"]).otherwise(acc["dup"])
+        return F.struct(acc["best"].alias("best"), dup.alias("dup"))
+
+    return F.aggregate(sorted_arr, zero, merge, finish)
+
+
+def repetition_scores(
+    df: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    ns: tuple[int, ...] = (2, 3, 4),
+    top_threshold: float = 0.2,
+    dup_threshold: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition filters, token-n-gram form: for each n,
+    the fraction of n-gram occurrences taken by the single most
+    frequent n-gram (top{n}_frac) and by all n-grams occurring ≥2 times
+    (dup{n}_frac). ``is_repetitive`` trips when the 2-gram top fraction
+    or the 3-gram dup fraction exceeds its threshold — the standard
+    boilerplate/template-spam signal.
+
+    Scale shape: per-document array fold over sorted n-grams — an
+    embarrassingly parallel projection with NO shuffle at any n (the
+    explode+groupBy formulation shuffles len(ns)× the token count)."""
+    from .dedup import shingles
+
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("_w"))
+    stage = tokd.select(
+        id_col,
+        *[
+            F.array_sort(shingles(F.col("_w"), n)).alias(f"_g{n}")
+            for n in ns
+        ],
+    ).select(
+        id_col,
+        *[c for n in ns for c in (
+            F.size(f"_g{n}").cast("bigint").alias(f"_n{n}"),
+            _run_stats(F.col(f"_g{n}")).alias(f"_s{n}"),
+        )],
+    )
+    out = [F.col(id_col)]
+    for n in ns:
+        denom = F.greatest(F.col(f"_n{n}"), F.lit(1))
+        out.append(F.col(f"_n{n}").alias(f"n_{n}grams"))
+        out.append(F.round(F.col(f"_s{n}.best") / denom, 6).alias(f"top{n}_frac"))
+        out.append(F.round(F.col(f"_s{n}.dup") / denom, 6).alias(f"dup{n}_frac"))
+    scored = stage.select(*out)
+    flag = (F.col(f"top{ns[0]}_frac") > top_threshold) | (
+        F.col(f"dup{ns[1]}_frac") > dup_threshold
+    )
+    return scored.select("*", flag.alias("is_repetitive"))
+
+
 def fingerprint(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (robust to reordering/duplication — the cheap

@@ -247,3 +247,48 @@ def test_ivf_train_improves_quantizer(spark, sf_dir):
     assigned = sim.ivf_assign(emb, trained)
     assert assigned.count() == emb.count()
     assert {r["cluster"] for r in assigned.collect()} <= {0, 1, 2, 3}
+
+
+def test_dedup_clusters_transitive(spark, sf_dir):
+    """A≈B and B≈C must land in ONE cluster even when A,C never share a
+    band; exact-copy chains from the fixture (base, +100000, +200000 for
+    ids divisible by both 7 and 11) collapse transitively; singletons
+    keep themselves as canonical."""
+    out = dd.dedup_clusters(docs_fixture(spark, sf_dir))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # base doc 0: its exact copy 100000 must share the cluster
+    assert rows[100000]["cluster_id"] == rows[0]["cluster_id"] == 0
+    assert rows[0]["is_canonical"] and not rows[100000]["is_canonical"]
+    # 77 = 7*11: base + exact copy + near copy, one transitive cluster
+    c77 = {d for d, r in rows.items() if r["cluster_id"] == rows[77]["cluster_id"]}
+    assert {77, 100077, 200077} <= c77
+    # cluster sizes are consistent with membership
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in rows.values())
+    assert all(r["cluster_size"] == sizes[r["cluster_id"]] for r in rows.values())
+    # every doc labeled exactly once, label is a member <= all members
+    assert all(r["cluster_id"] <= d for d, r in rows.items())
+
+
+def test_repetition_scores_golden(spark):
+    from otel2pv_spark.functions import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are fully distinct tokens okay"),
+            (3, "ab"),  # single token: no n-grams at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in ts.repetition_scores(df).collect()}
+    # doc 1: every 2-gram is "spam spam" -> top2 = dup2 = 1.0
+    assert got[1]["top2_frac"] == 1.0 and got[1]["dup2_frac"] == 1.0
+    assert got[1]["is_repetitive"]
+    # doc 2: all n-grams unique
+    assert got[2]["dup2_frac"] == 0.0 and got[2]["top3_frac"] > 0
+    assert not got[2]["is_repetitive"]
+    # doc 3: zero n-grams, guarded denominators
+    assert got[3]["n_2grams"] == 0 and got[3]["top2_frac"] == 0.0
+    assert not got[3]["is_repetitive"]

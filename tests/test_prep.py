@@ -121,3 +121,69 @@ def test_curate_single_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     plan = prep.curate(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # only the dedup-window shuffle
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    eval_df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # full 8-gram overlap with the eval doc
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # 7 shared tokens only: below the 8-gram bar
+            (2, "alpha beta gamma delta epsilon zeta eta UNRELATED"),
+            (3, "completely different words here and nothing shared at all ok"),
+            (4, "short doc"),  # < 8 tokens: guarded shingle path
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in prep.decontaminate(docs, eval_df).collect()}
+    assert got[1]["contaminated"] and got[1]["n_eval_ngrams"] == 1
+    assert not got[2]["contaminated"]
+    assert not got[3]["contaminated"]
+    assert not got[4]["contaminated"] and got[4]["n_eval_ngrams"] == 0
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")))
+    )
+    lo = prep.stratified_sample(df, {"s0": 0.25, "s1": 0.0})
+    hi = prep.stratified_sample(df, {"s0": 0.5, "s1": 1.0})
+    kept_lo = {r["doc_id"] for r in lo.collect() if r["sampled"]}
+    kept_hi = {r["doc_id"] for r in hi.collect() if r["sampled"]}
+    assert kept_lo <= kept_hi  # nested: lower rate is a subset
+    again = {
+        r["doc_id"]
+        for r in prep.stratified_sample(df.repartition(11), {"s0": 0.25, "s1": 0.0}).collect()
+        if r["sampled"]
+    }
+    assert kept_lo == again
+    # absent stratum s2 -> rate 0, never sampled
+    assert all(not r["sampled"] for r in lo.collect() if r["source"] == "s2")
+    n0 = sum(1 for d in kept_lo if d % 3 == 0)
+    assert 0.18 < n0 / 1000 < 0.32  # ~25% of s0
+
+
+def test_temperature_sample_upweights_small_strata(spark):
+    df = (
+        spark.range(0, 2000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 20 == 0, "rare").otherwise("common"),
+        )
+    )
+    out = prep.temperature_sample(df, alpha=0.5, target_frac=0.5)
+    rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
+    assert rates["rare"] > rates["common"]  # alpha<1 upweights the small domain
+    kept = out.filter("sampled").count()
+    assert 0.4 * 2000 < kept < 0.6 * 2000  # expected total ~ target_frac*N
+    # alpha=1 degenerates to uniform rates
+    uni = prep.temperature_sample(df, alpha=1.0, target_frac=0.5)
+    urates = {r["source"]: r["rate"] for r in uni.select("source", "rate").distinct().collect()}
+    assert abs(urates["rare"] - urates["common"]) < 1e-9

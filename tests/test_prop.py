@@ -78,6 +78,59 @@ def test_split_matches_python_reference(spark, ids):
         assert abs(got[i]["hash_frac"] - round(f, 6)) < 1e-9
 
 
+def _py_components(edges, nodes):
+    """Reference union-find with path compression."""
+    parent = {n: n for n in nodes}
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # label = min member id per component
+    groups: dict[int, list[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in groups.values() for n in ms}
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Large-star/small-star vs union-find on random graphs (self-loops
+    and duplicate edges included; chains, cycles, isolated nodes)."""
+    from otel2pv_spark.functions import dedup as dd
+
+    nodes = list(range(31))
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], ["doc_a", "doc_b"]
+    )  # empty DataFrames need a schema; (0,0) is a self-loop no-op
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dd.connected_components(edf, nodes=ndf).collect()
+    }
+    want = _py_components([e for e in edges if e[0] != e[1]], nodes)
+    assert got == want
+
+
 @SET
 @given(
     st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=60),
