@@ -45,6 +45,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "text_repetition",
+    "prep_decontaminate",
+    "prep_sample_temperature",
+    "ann_pq_topk",
     "text_quality",
     "text_token_count",
     "text_winnow",

@@ -111,6 +111,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Append-batch dedup: the seeded copies (+100000/+200000) arrive
+    as a NEW batch probed against the stored band table of the base
+    corpus — every emitted pair has ≥1 new side; old×old is never
+    recomputed."""
+    fix = docs_fixture(spark, sf_dir)
+    new = fix.filter(F.col("doc_id") >= 100000)
+    old = fix.filter(F.col("doc_id") < 100000)
+    return dd.minhash_lsh_candidates_incremental(new, dd.minhash_band_table(old))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Full dedup chain: LSH candidates → connected components →
     per-doc cluster id / size / canonical flag (singletons included)."""
@@ -151,6 +162,10 @@ def rep_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_repetition(spark, sf_dir):
     return ts.repetition_scores(rep_fixture(spark, sf_dir))
+
+
+def q_text_corpus_stats(spark, sf_dir):
+    return ts.corpus_stats(_docs(spark, sf_dir))
 
 
 def q_text_subwords(spark, sf_dir):
@@ -358,6 +373,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_incremental": q_dedup_incremental,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -365,6 +381,7 @@ QUERIES = {
     "text_subwords": q_text_subwords,
     "text_winnow": q_text_winnow,
     "text_repetition": q_text_repetition,
+    "text_corpus_stats": q_text_corpus_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -769,6 +786,25 @@ SELECT doc_id,
              x -> CAST(ceil(length(x) / 4.0) AS BIGINT) - 1)) AS BIGINT), 0)
          AS n_subwords_bpe
 FROM documents"""
+
+# incremental dedup: a band-sharing pair has >=1 new side iff it is a
+# full-corpus candidate pair touching a seeded (+100000/+200000) id
+ORACLES["dedup_incremental"] = f"""WITH {_DOCS_CTE},
+{_SHINGLE_CTE},
+{_LSH_CTES}
+SELECT doc_a, doc_b FROM cand
+WHERE doc_a >= 100000 OR doc_b >= 100000"""
+
+ORACLES["text_corpus_stats"] = f"""WITH t AS (
+  SELECT source, lang, len({_TOKS}) AS nt, length(text) AS nc FROM documents
+)
+SELECT source, lang,
+       CAST(grouping_id(source, lang) AS INT) AS grouping_level,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), 4) AS avg_tokens,
+       round(avg(nc), 4) AS avg_chars
+FROM t GROUP BY ROLLUP (source, lang)"""
 
 # repetition: independent construction from the Spark side's sorted-
 # array run-length fold — per-(doc, n-gram) counts via unnest+GROUP BY

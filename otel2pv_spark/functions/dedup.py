@@ -132,28 +132,7 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
     Band key = md5 of the band's minhash values (in hash-index order)."""
-    rows_per_band = num_hashes // bands
-    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh_{b * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = wide.select(id_col, F.explode(bands_arr).alias("s")).select(
-        id_col, "s.band", "s.band_key"
-    )
+    banded = minhash_band_table(df, id_col, text_col, n, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -196,6 +175,86 @@ def simhash(
     for b in range(bits):
         fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
     return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) — the persistable LSH index rows for a
+    corpus. At 100 TB this is what you STORE (partitioned/bucketed by
+    band_key): appending a batch means hashing only the batch and
+    joining its bands against this table, never re-reading the corpus
+    text."""
+    rows_per_band = num_hashes // bands
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select(id_col, F.explode(bands_arr).alias("s")).select(
+        id_col, "s.band", "s.band_key"
+    )
+
+
+def minhash_lsh_candidates_incremental(
+    new_df: DataFrame,
+    old_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs for an APPENDED batch: every pair with
+    at least one new-side document — new×old plus new×new — without
+    ever re-banding or re-joining the existing corpus against itself.
+
+    ``old_bands`` is the stored index from :func:`minhash_band_table`
+    (its ``id_col`` ids must be disjoint from the batch's). The join is
+    batch-bands × (corpus-bands ∪ batch-bands) on the band key: work
+    scales with |batch| × bucket-occupancy, independent of corpus size
+    on the probe side — the only corpus-sized cost is the equi-join
+    scan, which partition-pruned/bucketed storage of the band table
+    reduces to the touched buckets. This is the production shape of
+    continuous dedup: old×old pairs were already found when those
+    batches arrived.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, doc_b always new when
+    exactly one side is new (ids don't order old vs new; both
+    orientations appear as the caller's ids dictate)."""
+    new_bands = minhash_band_table(new_df, id_col, text_col, n, num_hashes, bands)
+    all_bands = old_bands.select(id_col, "band", "band_key").unionByName(new_bands)
+    a = new_bands.select(
+        F.col(id_col).alias("_na"), "band", "band_key"
+    )
+    b = all_bands.select(F.col(id_col).alias("_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("_na") != F.col("_b"))
+        .select(
+            F.least("_na", "_b").alias("doc_a"),
+            F.greatest("_na", "_b").alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 def connected_components(

@@ -234,6 +234,39 @@ def repetition_scores(
     return scored.select("*", flag.alias("is_repetitive"))
 
 
+def corpus_stats(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus summary table with subtotals: per (source, lang), per
+    source, and grand total in ONE pass via ROLLUP — the audit table a
+    curation run publishes next to its output (what went in, from
+    where, how big). grouping_id disambiguates subtotal rows from
+    genuine NULL group values.
+
+    Scale shape: rollup is a single map-side-combined hash aggregation
+    (Spark expands grouping sets in the partial agg); output is
+    #sources × #langs rows — driver-safe at any corpus size."""
+    tok = tokens(text_col)
+    base = df.select(
+        *by,
+        F.size(tok).cast("bigint").alias("_nt"),
+        F.length(text_col).cast("bigint").alias("_nc"),
+    )
+    return (
+        base.rollup(*by)
+        .agg(
+            F.grouping_id().cast("int").alias("grouping_level"),
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.round(F.avg("_nt"), 4).alias("avg_tokens"),
+            F.round(F.avg("_nc"), 4).alias("avg_chars"),
+        )
+        .select(*by, "grouping_level", "n_docs", "total_tokens", "avg_tokens", "avg_chars")
+    )
+
+
 def fingerprint(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (robust to reordering/duplication — the cheap

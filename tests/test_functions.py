@@ -292,3 +292,24 @@ def test_repetition_scores_golden(spark):
     # doc 3: zero n-grams, guarded denominators
     assert got[3]["n_2grams"] == 0 and got[3]["top2_frac"] == 0.0
     assert not got[3]["is_repetitive"]
+
+
+def test_incremental_dedup_equals_full_minus_old_pairs(spark, sf_dir):
+    """Append-batch candidates must be exactly the full-corpus
+    candidate pairs touching >=1 new doc — no old x old recompute, no
+    missed new x old pair."""
+    fix = docs_fixture(spark, sf_dir)
+    new = fix.filter(F.col("doc_id") >= 100000)
+    old = fix.filter(F.col("doc_id") < 100000)
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_candidates_incremental(
+            new, dd.minhash_band_table(old)
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_candidates(fix).collect()
+    }
+    want = {p for p in full if p[0] >= 100000 or p[1] >= 100000}
+    assert inc == want and len(inc) > 0
