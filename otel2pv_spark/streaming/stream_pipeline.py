@@ -119,6 +119,108 @@ def run_stream_pipeline(
     return writer.start()
 
 
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_docs_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def run_stream_dedup(
+    doc_stream: DataFrame,
+    index_path: str,
+    out_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = False,
+):
+    """Continuous near-dup gate: each micro-batch of new documents is
+    LSH-probed against the STORED band index
+    (:func:`..functions.dedup.minhash_band_table`); novel docs append
+    to ``{out_root}/clean`` and their bands append to the index, dups
+    route to ``{out_root}/dup_rejects`` with the matched pair. The
+    streaming form of ``minhash_lsh_candidates_incremental`` — the
+    corpus is never rescanned; per-batch work is batch-size × bucket
+    occupancy.
+
+    Drop rule (matches the batch cluster canonical rule "keep the min
+    member"): a new doc drops if it band-matches any indexed doc, or a
+    smaller-id doc of the same batch. Source offsets + checkpoint give
+    at-least-once appends; on the real target the two appends become
+    one Iceberg transaction (catalog.py mapping) for exactly-once."""
+    from ..functions import dedup as dd
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint()  # stabilize: read twice below
+        try:
+            idx = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+
+        if have_index:
+            cand = dd.minhash_lsh_candidates_incremental(
+                batch, idx, id_col=id_col, text_col=text_col
+            )
+        else:
+            cand = dd.minhash_lsh_candidates(batch, id_col=id_col, text_col=text_col)
+
+        new_ids = batch.select(F.col(id_col).alias("_nid")).distinct()
+        nb = new_ids.select(
+            F.col("_nid").alias("doc_b"), F.lit(True).alias("_bn")
+        )
+        # doc_a < doc_b always: if doc_b is new it loses to the smaller
+        # (or already-indexed) doc_a; else doc_a is the new side
+        dup = (
+            cand.join(nb, "doc_b", "left")
+            .select(
+                F.when(F.col("_bn").isNotNull(), F.col("doc_b"))
+                .otherwise(F.col("doc_a"))
+                .alias("_dup"),
+                F.when(F.col("_bn").isNotNull(), F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("matched_id"),
+            )
+        )
+        first_match = dup.groupBy("_dup").agg(F.min("matched_id").alias("matched_id"))
+
+        kept = batch.join(
+            first_match.select(F.col("_dup").alias(id_col)), id_col, "left_anti"
+        ).localCheckpoint()  # one materialization feeds both appends
+        dropped = batch.join(
+            first_match.withColumnRenamed("_dup", id_col), id_col
+        )
+
+        kept.write.mode("append").parquet(f"{out_root}/clean")
+        dd.minhash_band_table(kept, id_col=id_col, text_col=text_col).write.mode(
+            "append"
+        ).parquet(index_path)
+        dropped.select(id_col, "matched_id").write.mode("append").parquet(
+            f"{out_root}/dup_rejects"
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ------------------------------------------------------- stateful mode
 STATE_SCHEMA = (
     "turn_idxs array<int>, event_ids array<string>, parents array<string>, "

@@ -72,3 +72,50 @@ def test_single_pass_pipeline_one_pinned_exchange(spark, sf_dir):
         or ("Sort [conv_id" in line)
     ]
     assert len(pipeline_sorts) == 2, plan
+
+
+def test_repetition_and_stratified_sample_no_shuffle(spark, sf_dir):
+    """repetition_scores and stratified_sample are pure projections:
+    zero exchanges in the physical plan."""
+    from otel2pv_spark.functions import prep, textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in [
+        ts.repetition_scores(docs),
+        prep.stratified_sample(docs, {"src0": 0.5}, strata_col="source"),
+    ]:
+        assert "Exchange" not in _plan(df), _plan(df)
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval n-gram side must broadcast; the corpus must never be
+    hash-exchanged by n-gram content (only the final per-doc count and
+    the id-join may shuffle)."""
+    from otel2pv_spark.functions import prep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = _plan(prep.decontaminate(docs, ev))
+    # the ngram match itself is a broadcast join
+    assert "BroadcastHashJoin [ngram" in plan, plan
+    # exactly two hash exchanges: the eval-side distinct (tiny, feeds
+    # the broadcast) and the per-doc hit count keyed by doc_id — the
+    # corpus is never hash-exchanged by n-gram content
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2, plan
+    assert sum("doc_id" in l for l in ex) == 1, plan
+
+
+def test_temperature_sample_broadcasts_rate_table(spark, sf_dir):
+    """The per-domain rate table joins back by broadcast — the corpus
+    is never shuffled by stratum."""
+    from otel2pv_spark.functions import prep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(prep.temperature_sample(docs, strata_col="source"))
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # only the tiny counts agg may hash-exchange, on the corpus
+            # side nothing repartitions by source with doc rows attached
+            assert "doc_id" not in line, line

@@ -138,3 +138,55 @@ def test_stateful_group_verify(spark, tmp_path):
     assert rows["A"]["event_ids"] == ["A:0", "A:1", "A:2"]
     # C never completed (gap at turn 1) and the timeout hasn't fired
     assert "C" not in rows
+
+
+def test_stream_dedup_gate(spark, tmp_path):
+    """Continuous dedup: batch-1 novel docs append to clean+index;
+    batch-2 copies of batch-1 docs (and of the pre-seeded corpus) are
+    dropped with their matched id; novel batch-2 docs pass."""
+    from otel2pv_spark.functions import dedup as dd
+    from otel2pv_spark.streaming import read_docs_stream, run_stream_dedup
+
+    corpus = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 100)
+    index_path = str(tmp_path / "band_index")
+    dd.minhash_band_table(corpus).write.parquet(index_path)
+
+    texts = {r["doc_id"]: r["text"] for r in corpus.limit(5).collect()}
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src, exist_ok=True)
+    # batch 1: two novel docs + one exact copy of corpus doc 0
+    pd.DataFrame(
+        {"doc_id": [1000, 1001, 1002],
+         "text": ["a wholly novel first document about spark planning",
+                  "another new unrelated document mentioning different topics",
+                  texts[0]]}
+    ).to_parquet(f"{src}/b1.parquet", index=False)
+    # batch 2: copy of batch-1 kept doc, copy of corpus doc 1, novel doc
+    pd.DataFrame(
+        {"doc_id": [2000, 2001, 2002],
+         "text": ["a wholly novel first document about spark planning",
+                  texts[1],
+                  "completely fresh third text on yet another theme entirely"]}
+    ).to_parquet(f"{src}/b2.parquet", index=False)
+    os.utime(f"{src}/b1.parquet", (time.time() - 10, time.time() - 10))
+
+    out = str(tmp_path / "dedup_out")
+    q = run_stream_dedup(
+        read_docs_stream(spark, src, max_files_per_trigger=1),
+        index_path, out, str(tmp_path / "dd_ckpt"), available_now=True,
+    )
+    q.awaitTermination(300)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/clean").collect()}
+    dropped = {
+        r["doc_id"]: r["matched_id"]
+        for r in spark.read.parquet(f"{out}/dup_rejects").collect()
+    }
+    assert kept == {1000, 1001, 2002}
+    assert dropped[1002] == 0 and dropped[2001] == 1
+    assert dropped[2000] == 1000  # matched the batch-1 KEPT doc via the index
+    # index grew by exactly the kept docs' bands (3 bands each)
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
+    assert {1000, 1001, 2002} <= idx_ids and 1002 not in idx_ids
