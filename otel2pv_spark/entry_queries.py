@@ -359,7 +359,35 @@ def q_prep_sample_temperature(spark, sf_dir):
     )
 
 
+def q_curation_audit(spark, sf_dir):
+    """The FULL curation DAG's per-document decision table: seeded
+    fixture (exact + near dups, PII tails, skewed strata) through
+    curate → LSH+CC near-dup clustering → decontamination →
+    temperature sampling — every stage non-vacuous, one row per input
+    doc with the first drop reason that fired."""
+    from .plans import curation
+
+    d = docs_fixture(spark, sf_dir)
+    stratum = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    seeded = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(PII_TAIL)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        stratum.alias("stratum"),
+    )
+    cfg = curation.CurationConfig(
+        strata_col="stratum", temperature_alpha=0.5, target_frac=0.5
+    )
+    return curation.build_audit(seeded, eval_fixture(spark, sf_dir), cfg)
+
+
 QUERIES = {
+    "curation_audit": q_curation_audit,
     "prep_scrub": q_prep_scrub,
     "prep_curate": q_prep_curate,
     "prep_split": q_prep_split,
@@ -415,6 +443,15 @@ _SHINGLES3 = (
 
 _HASH = "(('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 8)))::BIGINT"
 
+# word 8-grams for decontamination (same construction as _SHINGLES3 at
+# n=8; docs shorter than 8 tokens yield none on both sides)
+_NG8 = "[array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]"
+
+_SAMPLE_FRAC = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample-v1'), 1, 8)))::BIGINT"
+    " / 4294967296.0"
+)
+
 ORACLES: dict[str, str] = {}
 
 # staged scrub, identical stage order to prep.SCRUB_STAGES; counts are
@@ -460,7 +497,9 @@ _FR = "['le','la','les','et','est','que','des','une']"
 
 _STOKS = _TOKS.replace("lower(text)", "lower(scrubbed)")
 
-ORACLES["prep_curate"] = f"""WITH {_DOCS_CTE},
+# shared curate chain (seeded-PII scrub → quality/lang → exact-dup →
+# decide): prefix for prep_curate and the full curation_audit oracle
+_CURATE_CTES = f"""{_DOCS_CTE},
 pii AS (
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0 THEN text || '{PII_TAIL}' ELSE text END AS t
@@ -523,7 +562,9 @@ decided AS (
          (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'), 1, 8)))::BIGINT
            / 4294967296.0 AS frac
   FROM flagged
-)
+)"""
+
+ORACLES["prep_curate"] = f"""WITH {_CURATE_CTES}
 SELECT doc_id, n_redactions, n_tokens, quality, lang_pred, is_duplicate,
        drop_reason IS NULL AS kept, drop_reason,
        CASE WHEN drop_reason IS NULL THEN round(frac, 6) END AS hash_frac,
@@ -531,6 +572,108 @@ SELECT doc_id, n_redactions, n_tokens, quality, lang_pred, is_duplicate,
          CASE WHEN frac < 0.9 THEN 'train' WHEN frac < 0.95 THEN 'val' ELSE 'test' END
        END AS split
 FROM decided"""
+
+# full curation DAG oracle: the curate chain, then LSH+recursive-CC
+# clustering of the survivors' SCRUBBED text, 8-gram decontamination
+# vs the eval slice, temperature sampling over the remaining docs —
+# all composed from the same independent constructions the per-stage
+# oracles use.
+_STOK_EXPR = (
+    "list_filter(string_split_regex(lower(scrubbed), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+ORACLES["curation_audit"] = f"""WITH RECURSIVE {_CURATE_CTES},
+kept1 AS (SELECT doc_id, scrubbed FROM decided WHERE drop_reason IS NULL),
+ktok AS (SELECT doc_id, {_STOK_EXPR} AS w FROM kept1),
+ksh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM ktok)
+),
+kbase AS (
+  SELECT doc_id, (('0x' || substr(md5(shingle || '#0'), 1, 8)))::BIGINT AS h0 FROM ksh
+),
+ksig AS (
+  SELECT doc_id, i,
+         min((h0 * (2*i + 3) + i * 2654435761) % 2147483647) AS minhash
+  FROM kbase, range(0, 12) r(i)
+  GROUP BY doc_id, i
+),
+kband AS (
+  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         md5(array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',')) AS band_key
+  FROM ksig GROUP BY doc_id, CAST(i // 4 AS INT)
+),
+kcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kband a JOIN kband b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+ksym AS (
+  SELECT doc_a AS u, doc_b AS v FROM kcand
+  UNION ALL SELECT doc_b, doc_a FROM kcand
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM kept1
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN ksym e ON e.u = r.node
+),
+lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+canon AS (
+  SELECT k.doc_id, k.scrubbed
+  FROM kept1 k JOIN lab ON lab.doc_id = k.doc_id AND lab.cluster_id = k.doc_id
+),
+ctok AS (SELECT doc_id, {_STOK_EXPR} AS w FROM canon),
+cng AS (
+  SELECT DISTINCT doc_id, ng
+  FROM (SELECT doc_id, unnest({_NG8}) AS ng FROM ctok WHERE len(w) >= 8)
+),
+cetok AS (SELECT {_TOKS} AS w FROM documents WHERE doc_id % 50 = 0),
+ceng AS (
+  SELECT DISTINCT ng
+  FROM (SELECT unnest({_NG8}) AS ng FROM cetok WHERE len(w) >= 8)
+),
+chit AS (SELECT doc_id, count(*) AS h FROM cng JOIN ceng USING (ng) GROUP BY doc_id),
+contam AS (
+  SELECT c.doc_id, coalesce(h, 0) > 0 AS contaminated
+  FROM canon c LEFT JOIN chit USING (doc_id)
+),
+survd AS (SELECT doc_id FROM contam WHERE NOT contaminated),
+sstr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS stratum
+  FROM survd
+),
+scnt AS (SELECT stratum, count(*) AS n_s FROM sstr GROUP BY stratum),
+sww AS (SELECT stratum, n_s, pow(CAST(n_s AS DOUBLE), 0.5) AS w FROM scnt),
+st AS (SELECT sum(w) AS sw, CAST(sum(n_s) AS DOUBLE) AS total FROM sww),
+sr AS (
+  SELECT stratum,
+         least(CAST(1.0 AS DOUBLE), ((w / st.sw) * (0.5 * st.total)) / n_s) AS rate
+  FROM sww, st
+),
+sdec AS (
+  SELECT s.doc_id, {_SAMPLE_FRAC} < r.rate AS sampled
+  FROM sstr s JOIN sr r USING (stratum)
+),
+final AS (
+  SELECT d.doc_id, lab.cluster_id,
+         coalesce(d.drop_reason,
+                  CASE WHEN lab.cluster_id <> d.doc_id THEN 'near_dup' END,
+                  CASE WHEN ct.contaminated THEN 'contaminated' END,
+                  CASE WHEN NOT sd.sampled THEN 'sampled_out' END) AS drop_reason,
+         d.frac
+  FROM decided d
+  LEFT JOIN lab ON lab.doc_id = d.doc_id
+  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+  LEFT JOIN sdec sd ON sd.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, drop_reason IS NULL AS kept, drop_reason,
+       CASE WHEN drop_reason IS NULL THEN
+         CASE WHEN frac < 0.9 THEN 'train' WHEN frac < 0.95 THEN 'val' ELSE 'test' END
+       END AS split
+FROM final"""
 
 ORACLES["prep_split"] = """WITH h AS (
   SELECT doc_id,
@@ -564,10 +707,6 @@ SELECT doc_id, shard,
        n_tokens
 FROM c"""
 
-# word 8-grams for decontamination (same construction as _SHINGLES3 at
-# n=8; docs shorter than 8 tokens yield none on both sides)
-_NG8 = "[array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]"
-
 ORACLES["prep_decontaminate"] = f"""WITH {_DOCS_CTE},
 tok AS (SELECT doc_id, {_TOKS} AS w FROM docs),
 dng AS (
@@ -584,11 +723,6 @@ SELECT d.doc_id,
        CAST(coalesce(h, 0) AS BIGINT) AS n_eval_ngrams,
        coalesce(h, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM docs) d LEFT JOIN hits USING (doc_id)"""
-
-_SAMPLE_FRAC = (
-    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample-v1'), 1, 8)))::BIGINT"
-    " / 4294967296.0"
-)
 
 ORACLES["prep_sample_stratified"] = f"""WITH h AS (
   SELECT doc_id, source, {_SAMPLE_FRAC} AS frac,

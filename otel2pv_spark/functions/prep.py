@@ -301,10 +301,14 @@ def temperature_sample(
     producing a config-sized table (#domains rows) that broadcasts back
     onto the corpus — the corpus itself is never shuffled."""
     counts = df.groupBy(strata_col).agg(F.count("*").alias("n_s"))
-    total = df.count()
     w = F.pow(F.col("n_s").cast("double"), F.lit(float(alpha)))
     weights = counts.select(strata_col, "n_s", w.alias("w"))
-    sum_w = weights.agg(F.sum("w").alias("sw")).head()["sw"]
+    # ONE config-sized action yields both normalizers (no second corpus
+    # pass for the total — it's the sum of the per-stratum counts)
+    norm = weights.agg(
+        F.sum("w").alias("sw"), F.sum("n_s").alias("total")
+    ).head()
+    sum_w, total = norm["sw"], norm["total"]
     rates = weights.select(
         strata_col,
         "n_s",

@@ -211,21 +211,23 @@ def ivf_train(
     (anchor_rank, vec) shaped exactly like ``make_anchors`` so the
     trained centroids plug into ivf_assign/ivf_topk unchanged."""
     cent = make_anchors(df, k, id_col, vec_col)
+    dim = len(df.select(vec_col).head()[0])
     v = df.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col)
     )
     for _ in range(iters):
         assigned = ivf_assign(v, cent, id_col, vec_col)
+        # elementwise mean as dim avg-aggregates in ONE groupBy — no
+        # posexplode row inflation (see pq_train)
         means = (
             v.join(assigned, id_col)
-            .select("cluster", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("val"), round_to).alias("m"))
             .groupBy("cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at(vec_col, p + 1)), round_to)
+                        for p in range(dim)
+                    ]
                 ).alias("mvec")
             )
         )
@@ -236,7 +238,9 @@ def ivf_train(
                 F.coalesce("mvec", F.col(vec_col)).alias(vec_col),
             )
         )
-    return cent
+    # k-row result consumed by several downstream actions — materialize
+    # once instead of re-running the Lloyd chain per consumer
+    return cent.localCheckpoint()
 
 
 def ivf_topk(
@@ -381,16 +385,18 @@ def pq_train(
 
     for _ in range(iters):
         assigned = _pq_assign(sv, cb, "_id")
+        # elementwise mean as d avg-aggregates in ONE groupBy — no
+        # posexplode row inflation, one shuffle of d partial sums per
+        # (sub, code) instead of d rows per vector
         means = (
             sv.join(assigned, ["_id", "sub"])
-            .select("sub", "code", F.posexplode("subvec").alias("pos", "val"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.round(F.avg("val"), round_to).alias("mv"))
             .groupBy("sub", "code")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                    lambda s: s["mv"],
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at("subvec", p + 1)), round_to)
+                        for p in range(d)
+                    ]
                 ).alias("mvec")
             )
         )
@@ -401,7 +407,11 @@ def pq_train(
                 "sub", "code", F.coalesce("m.mvec", "c.subvec").alias("subvec")
             )
         )
-    return cb
+    # materialize the m×ksub-row result ONCE: the trained codebook is
+    # consumed by several downstream actions (encode, LUT build, dim
+    # probes), each of which would otherwise re-run the whole Lloyd
+    # chain over the corpus
+    return cb.localCheckpoint()
 
 
 def pq_encode(
