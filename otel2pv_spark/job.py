@@ -79,6 +79,40 @@ def load_config(path: str) -> dict:
     return raw
 
 
+def load_curation_config(path: str) -> dict:
+    """Validate the ``"job": "curation"`` variant::
+
+        {
+          "job": "curation",
+          "input": {"documents_path": ".../docs.parquet"},
+          "eval":  {"documents_path": ".../eval.parquet"},   // optional
+          "out_root": "/data/curation_out",
+          "run_id": "...",
+          "curation": {"quality_threshold": 0.3, "lang": "en",
+                       "decontaminate_n": 8,
+                       "strata_col": null, "temperature_alpha": null,
+                       "target_frac": 1.0, "sample_rates": {},
+                       "pack_budget": 512, "pack_shards": 8},
+          "spark": {...}
+        }
+    """
+    with open(path) as f:
+        raw = json.load(f)
+    if not isinstance(raw, dict) or raw.get("job") != "curation":
+        raise ConfigError("curation config must set job = 'curation'")
+    inp = raw.get("input")
+    if not isinstance(inp, dict) or "documents_path" not in inp:
+        raise ConfigError("input must set documents_path")
+    if not raw.get("out_root"):
+        raise ConfigError("out_root is required")
+    cur = raw.get("curation", {})
+    if cur.get("temperature_alpha") is not None and cur.get("sample_rates"):
+        raise ConfigError("set temperature_alpha OR sample_rates, not both")
+    if (cur.get("temperature_alpha") is not None or cur.get("sample_rates")) and not cur.get("strata_col"):
+        raise ConfigError("sampling requires strata_col")
+    return raw
+
+
 def to_pipeline_config(raw: dict) -> PipelineConfig:
     seq = raw.get("sequence", {})
     return PipelineConfig(
@@ -96,10 +130,62 @@ def to_pipeline_config(raw: dict) -> PipelineConfig:
     )
 
 
+def to_curation_config(raw: dict):
+    from .plans.curation import CurationConfig
+
+    cur = raw.get("curation", {})
+    return CurationConfig(
+        out_root=raw["out_root"],
+        run_id=raw.get("run_id"),
+        quality_threshold=float(cur.get("quality_threshold", 0.3)),
+        lang=cur.get("lang", "en"),
+        dedup_n=int(cur.get("dedup_n", 3)),
+        num_hashes=int(cur.get("num_hashes", 12)),
+        bands=int(cur.get("bands", 3)),
+        decontaminate_n=int(cur.get("decontaminate_n", 8)),
+        strata_col=cur.get("strata_col"),
+        temperature_alpha=cur.get("temperature_alpha"),
+        target_frac=float(cur.get("target_frac", 1.0)),
+        sample_rates=cur.get("sample_rates", {}),
+        pack_budget=int(cur.get("pack_budget", 512)),
+        pack_shards=int(cur.get("pack_shards", 8)),
+    )
+
+
+def _run_curation_job(raw: dict) -> dict:
+    from .plans import curation
+    from .session import get_spark
+
+    cfg = to_curation_config(raw)
+    sp = raw.get("spark", {})
+    spark = get_spark(
+        master=sp.get("master"),
+        shuffle_partitions=sp.get("shuffle_partitions"),
+        extra=sp.get("extra"),
+        app_name=f"otel2pv-curation-{cfg.run_id or 'job'}",
+    )
+    docs = spark.read.parquet(raw["input"]["documents_path"])
+    ev = raw.get("eval")
+    if ev and "documents_path" in ev:
+        eval_df = spark.read.parquet(ev["documents_path"])
+    else:
+        # no eval set configured: the contamination gate never fires
+        eval_df = spark.createDataFrame([], "doc_id long, text string")
+    res = curation.run_curation(spark, docs, eval_df, cfg)
+    print(json.dumps(res))
+    return res
+
+
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--config", required=True)
     args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        head = json.load(f)
+    kind = head.get("job", "pipeline") if isinstance(head, dict) else "pipeline"
+    if kind == "curation":
+        return _run_curation_job(load_curation_config(args.config))
 
     raw = load_config(args.config)
     cfg = to_pipeline_config(raw)

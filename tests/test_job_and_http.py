@@ -172,3 +172,50 @@ def test_job_config_rejects_bad_incremental(tmp_path):
     }))
     with pytest.raises(job.ConfigError):
         job.load_config(str(cfg_path))
+
+
+def test_curation_job_end_to_end(spark, tmp_path):
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text", "source"
+    ).write.parquet(docs_path)
+    eval_path = str(tmp_path / "eval.parquet")
+    spark.read.parquet(docs_path).filter("doc_id % 50 = 0").select(
+        "doc_id", "text"
+    ).write.parquet(eval_path)
+
+    cfgp = tmp_path / "cur.json"
+    cfgp.write_text(json.dumps({
+        "job": "curation",
+        "input": {"documents_path": docs_path},
+        "eval": {"documents_path": eval_path},
+        "out_root": str(tmp_path / "out"),
+        "run_id": "cj1",
+        "curation": {"strata_col": "source", "temperature_alpha": 0.5,
+                     "target_frac": 0.5},
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }))
+    res = job.main(["--config", str(cfgp)])
+    assert res["committed"] == ["audit", "clean", "stats"]
+    assert res["n_in"] == 500 and 0 < res["n_kept"] < 500
+    assert spark.read.parquet(str(tmp_path / "out" / "clean_docs")).count() == res["n_kept"]
+
+
+def test_curation_job_config_validation(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"job": "curation", "input": {}, "out_root": "x"}))
+    with pytest.raises(job.ConfigError, match="documents_path"):
+        job.load_curation_config(str(bad))
+    bad.write_text(json.dumps({
+        "job": "curation", "input": {"documents_path": "d"}, "out_root": "x",
+        "curation": {"temperature_alpha": 0.5},
+    }))
+    with pytest.raises(job.ConfigError, match="strata_col"):
+        job.load_curation_config(str(bad))
+    bad.write_text(json.dumps({
+        "job": "curation", "input": {"documents_path": "d"}, "out_root": "x",
+        "curation": {"temperature_alpha": 0.5, "sample_rates": {"a": 1.0},
+                     "strata_col": "s"},
+    }))
+    with pytest.raises(job.ConfigError, match="not both"):
+        job.load_curation_config(str(bad))
