@@ -318,6 +318,7 @@ def connected_components(
         return row["n"], row["h"]
 
     prev = _checksum(e)
+    converged = False
     for _ in range(max_iters):
         # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
         s = _sym(e)
@@ -331,7 +332,10 @@ def connected_components(
             .join(mn, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        e = _canon(large).localCheckpoint()
+        # one checkpoint per ROUND (after small-star): the large-star
+        # half stays lazy inside the round, so lineage is still bounded
+        # at two steps while saving a materialization job per round
+        e = _canon(large)
 
         # small-star: every neighbor v < u (and u itself) links to the
         # min of u's smaller neighborhood
@@ -347,8 +351,16 @@ def connected_components(
 
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # wrong labels are worse than a loud failure: a star forest is
+        # only guaranteed at the fixpoint
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+            " — raise max_iters (expected O(log n) rounds)"
+        )
 
     # at the fixpoint e is a star forest: (member, component-min) edges
     labels = (
