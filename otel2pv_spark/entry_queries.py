@@ -122,6 +122,13 @@ def q_dedup_incremental(spark, sf_dir):
     return dd.minhash_lsh_candidates_incremental(new, dd.minhash_band_table(old))
 
 
+def q_dedup_jaccard_est(spark, sf_dir):
+    """Signature-based Jaccard estimates for the LSH candidate pairs —
+    the cheap verification tier (no shingle re-explosion)."""
+    fix = docs_fixture(spark, sf_dir)
+    return dd.minhash_jaccard_estimate(fix, dd.minhash_lsh_candidates(fix))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Full dedup chain: LSH candidates → connected components →
     per-doc cluster id / size / canonical flag (singletons included)."""
@@ -166,6 +173,10 @@ def q_text_repetition(spark, sf_dir):
 
 def q_text_corpus_stats(spark, sf_dir):
     return ts.corpus_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality_percentiles(spark, sf_dir):
+    return ts.quality_percentiles(_docs(spark, sf_dir))
 
 
 def q_text_subwords(spark, sf_dir):
@@ -402,6 +413,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_jaccard_est": q_dedup_jaccard_est,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -410,6 +422,7 @@ QUERIES = {
     "text_winnow": q_text_winnow,
     "text_repetition": q_text_repetition,
     "text_corpus_stats": q_text_corpus_stats,
+    "text_quality_percentiles": q_text_quality_percentiles,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -920,6 +933,32 @@ SELECT doc_id,
              x -> CAST(ceil(length(x) / 4.0) AS BIGINT) - 1)) AS BIGINT), 0)
          AS n_subwords_bpe
 FROM documents"""
+
+ORACLES["dedup_jaccard_est"] = f"""WITH {_DOCS_CTE},
+{_SHINGLE_CTE},
+{_LSH_CTES}
+SELECT c.doc_a, c.doc_b,
+       round(CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 12.0, 6) AS jaccard_est
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+GROUP BY c.doc_a, c.doc_b"""
+
+_QUALITY_EXPR = f"""round(least(len({_TOKS}) / 100.0, 1.0) * 0.4
+    + (len(list_filter({_TOKS}, x -> list_contains({_EN}, x)))
+       / greatest(len({_TOKS}), 1)) * 0.3
+    + (len(list_distinct({_TOKS})) / greatest(len({_TOKS}), 1)) * 0.3, 4)"""
+
+ORACLES["text_quality_percentiles"] = f"""WITH t AS (
+  SELECT doc_id, source, {_QUALITY_EXPR} AS quality FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(quality, 0.25), 6) AS p25,
+       round(quantile_cont(quality, 0.5), 6) AS p50,
+       round(quantile_cont(quality, 0.75), 6) AS p75,
+       round(quantile_cont(quality, 0.9), 6) AS p90
+FROM t GROUP BY source"""
 
 # incremental dedup: a band-sharing pair has >=1 new side iff it is a
 # full-corpus candidate pair touching a seeded (+100000/+200000) id

@@ -257,6 +257,47 @@ def minhash_lsh_candidates_incremental(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Signature-based Jaccard ESTIMATE for candidate pairs: the
+    fraction of equal minhash components (the unbiased minhash
+    estimator). At 100 TB this is the cheap verification tier between
+    LSH candidate generation and exact ``ngram_jaccard_pairs``: two
+    wide-signature broadcast-or-equi joins and a pure projection — no
+    shingle re-explosion, no per-pair intersection job. In production
+    the signatures are the stored index, so this costs one narrow join
+    per side."""
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    a = wide.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    b = wide.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0))
+        for i in range(num_hashes)
+    )
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",

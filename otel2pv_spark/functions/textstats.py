@@ -234,6 +234,35 @@ def repetition_scores(
     return scored.select("*", flag.alias("is_repetitive"))
 
 
+def quality_percentiles(
+    df: DataFrame,
+    by: str = "source",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain exact percentiles of the quality score — how a
+    curation run CALIBRATES its quality threshold instead of guessing
+    one (a global cutoff over-filters low-scoring-but-fine domains).
+    Exact percentile with linear interpolation (matches DuckDB's
+    quantile_cont), one sort-based aggregation per group; at 100 TB
+    swap F.percentile for percentile_approx(t-digest) — same plan
+    shape, bounded memory — and recalibrate on a sample."""
+    q = quality_score(df, id_col=id_col, text_col=text_col).select(
+        id_col, "quality"
+    )
+    tagged = df.select(id_col, by).join(q, id_col)
+    return tagged.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.round(F.percentile("quality", F.lit(p)), 6).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in ps
+        ],
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     by: tuple[str, ...] = ("source", "lang"),

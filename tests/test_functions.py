@@ -313,3 +313,21 @@ def test_incremental_dedup_equals_full_minus_old_pairs(spark, sf_dir):
     }
     want = {p for p in full if p[0] >= 100000 or p[1] >= 100000}
     assert inc == want and len(inc) > 0
+
+
+def test_jaccard_estimate_exact_copies_score_one(spark, sf_dir):
+    """Exact copies share every minhash -> estimate 1.0; the estimate
+    correlates with the exact Jaccard on near-dup pairs (within the
+    resolution of a 12-hash signature)."""
+    fix = docs_fixture(spark, sf_dir)
+    cand = dd.minhash_lsh_candidates(fix)
+    est = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est"]
+        for r in dd.minhash_jaccard_estimate(fix, cand).collect()
+    }
+    assert len(est) > 0
+    # (a, a+100000) with a < 100000 are the EXACT copies; (100k, 200k)
+    # pairs also differ by 100000 but are exact-vs-near copies
+    exact_pairs = [(a, b) for (a, b) in est if a < 100000 and b == a + 100000]
+    assert exact_pairs and all(est[p] == 1.0 for p in exact_pairs)
+    assert all(0.0 <= v <= 1.0 for v in est.values())
