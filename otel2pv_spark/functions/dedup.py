@@ -91,10 +91,14 @@ def _minhash_wide(
     one shuffle (the groupBy on id)."""
     # per-doc shingle dedup BEFORE the explode (array_distinct) — the
     # (doc, shingle) pairs are then already distinct, so no shuffle
-    # happens until the tiny map-side-combined min aggregation
-    sh = df.select(
+    # happens until the tiny map-side-combined min aggregation.
+    # Tokens are BOUND TO A COLUMN first: an expression referenced
+    # inside shingles' per-position lambda is re-evaluated per element
+    # (measured 6x the whole stage at sf0.1) — a column ref is free.
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("_w"))
+    sh = tokd.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
+        F.explode(F.array_distinct(shingles(F.col("_w"), n))).alias("shingle"),
     )
     base = sh.withColumn("h0", _hash_shingle(F.col("shingle"), F.lit(0)))
     return base.groupBy(id_col).agg(
@@ -465,9 +469,10 @@ def ngram_jaccard_pairs(
     ONLY for those pairs — candidate-bounded equi-joins, the scale path
     (the shingle self-join never happens). Without, all-pairs via
     shared-shingle join (test/small-corpus mode only)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
+    tokd = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_w"))
+    sh = tokd.select(
+        "doc",
+        F.explode(F.array_distinct(shingles(F.col("_w"), n))).alias("shingle"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:

@@ -219,17 +219,18 @@ def decontaminate(
     one explode + broadcast hash join + one map-side-combined groupBy,
     so the only shuffle is the per-doc hit count. The corpus is never
     shuffled by content and never self-joined."""
+    # tokens bound to a column before shingling: expressions referenced
+    # inside the shingle lambda re-evaluate per element (see dedup.py)
     ev = (
-        eval_df.select(
-            F.explode(
-                F.array_distinct(shingles(tokens(eval_text_col), n))
-            ).alias("ngram")
+        eval_df.select(tokens(eval_text_col).alias("_w"))
+        .select(
+            F.explode(F.array_distinct(shingles(F.col("_w"), n))).alias("ngram")
         )
         .distinct()
     )
-    doc_ng = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("ngram"),
+    doc_ng = df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
+        id_col,
+        F.explode(F.array_distinct(shingles(F.col("_w"), n))).alias("ngram"),
     )
     hits = (
         doc_ng.join(F.broadcast(ev), "ngram")

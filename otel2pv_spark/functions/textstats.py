@@ -126,10 +126,10 @@ def winnow_fingerprint(
     # single fused expression would let Catalyst inline (= recompute)
     # the whole tokenize+shingle+md5 chain per window — O(n²) md5 work
     # per document instead of O(n·w) array scans.
-    hashed = df.select(
+    hashed = df.select(id_col, tokens(text_col).alias("_w")).select(
         id_col,
         F.transform(
-            shingles(tokens(text_col), k), lambda s: _hash_shingle(s, F.lit(0))
+            shingles(F.col("_w"), k), lambda s: _hash_shingle(s, F.lit(0))
         ).alias("_h"),
     )
     h = F.col("_h")
