@@ -13,4 +13,5 @@ from .stream_pipeline import (  # noqa: F401
     run_stream_dedup,
     run_stream_pipeline,
     stateful_group_verify,
+    stream_windowed_metrics,
 )

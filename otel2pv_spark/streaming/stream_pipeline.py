@@ -119,6 +119,48 @@ def run_stream_pipeline(
     return writer.start()
 
 
+def stream_windowed_metrics(
+    stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Event-time metrics over the live turn stream: per (window, role)
+    turn counts + distinct-ish conversation bounds, with a watermark so
+    state is bounded and late data has defined semantics — rows later
+    than ``watermark_delay`` behind the max seen ``ts`` are dropped
+    (the streaming analog of the batch `_metrics` table; the reference
+    logs per-message success counts, producers.go:882-884).
+
+    Append output mode: a window emits ONCE, when the watermark passes
+    its end — late-but-within-delay rows still count (they arrive
+    before finalization), later ones don't. State per (window, role) is
+    a handful of aggregates; the watermark is what makes that state
+    droppable at 100 TB/day ingest instead of growing forever.
+
+    Timing note (measured on 4.1): stateful operators apply the
+    watermark COMMITTED at query start, so within one availableNow run
+    late rows a batch behind the data max still land; across restarts
+    (or in a long-running query, across triggers) the bound is
+    enforced — see test_stream_windowed_metrics_watermark_drops_late_rows."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("conv_id").alias("min_conv_id"),
+            F.max("conv_id").alias("max_conv_id"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "min_conv_id",
+            "max_conv_id",
+        )
+    )
+
+
 DOC_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -190,3 +190,59 @@ def test_stream_dedup_gate(spark, tmp_path):
     # index grew by exactly the kept docs' bands (3 bands each)
     idx_ids = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
     assert {1000, 1001, 2002} <= idx_ids and 1002 not in idx_ids
+
+
+def test_stream_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windows finalize once the watermark passes, and a row
+    arriving later than the watermark delay is dropped. Run as three
+    availableNow runs over one checkpoint (restart-resume, the
+    production shape): within a single run Spark applies the watermark
+    committed at run start, so cross-RUN lateness is what's enforced."""
+    from otel2pv_spark.streaming import read_transcripts_stream, stream_windowed_metrics
+
+    src = str(tmp_path / "wm_src")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _f(name, rows, offset):
+        pd.DataFrame(
+            [{"conv_id": c, "turn_idx": 0, "role": "user", "text": "t",
+              "tool": None, "ts": pd.Timestamp(f"2026-01-01 {ts}")}
+             for c, ts in rows]
+        ).to_parquet(f"{src}/{name}.parquet", index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(f"{src}/{name}.parquet", (time.time() + offset,) * 2)
+
+    def _run():
+        q = (
+            stream_windowed_metrics(read_transcripts_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: two rows in [10:00,10:01) + a max-ts row at 10:04
+    # -> committed watermark = 10:02, strictly past the 10:00 window
+    _f("b1", [("c1", "10:00:10"), ("c2", "10:00:20"), ("c4", "10:04:00")], 0)
+    _run()
+    # run 2: a LATE row for the watermark-passed 10:00 window (dropped)
+    # + a pusher; the 10:00 window finalizes WITHOUT the late row
+    _f("b2", [("c5", "10:00:30"), ("c7", "10:30:00")], 1)
+    _run()
+    # run 3: far-future row so every earlier window finalizes
+    _f("b3", [("c8", "11:00:00")], 2)
+    _run()
+
+    got = {
+        r["window_start"].strftime("%H:%M"): r["n_turns"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["10:00"] == 2, got   # late c5 did NOT count
+    assert got["10:04"] == 1, got
+    assert got["10:30"] == 1, got
+    assert "11:00" not in got, got  # its window never finalized
