@@ -179,6 +179,12 @@ def q_text_quality_percentiles(spark, sf_dir):
     return ts.quality_percentiles(_docs(spark, sf_dir))
 
 
+def q_text_winnow_candidates(spark, sf_dir):
+    """Passage-overlap (containment) candidate pairs over the seeded
+    dup fixture — the MOSS-style complement to whole-doc MinHash."""
+    return ts.winnow_candidates(docs_fixture(spark, sf_dir))
+
+
 def q_text_subwords(spark, sf_dir):
     return ts.subword_count(_docs(spark, sf_dir))
 
@@ -423,6 +429,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_corpus_stats": q_text_corpus_stats,
     "text_quality_percentiles": q_text_quality_percentiles,
+    "text_winnow_candidates": q_text_winnow_candidates,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -978,6 +985,32 @@ SELECT source, lang,
        round(avg(nt), 4) AS avg_tokens,
        round(avg(nc), 4) AS avg_chars
 FROM t GROUP BY ROLLUP (source, lang)"""
+
+ORACLES["text_winnow_candidates"] = f"""WITH {_DOCS_CTE},
+tok AS (SELECT doc_id, {_TOKS} AS w FROM docs),
+shl AS (SELECT doc_id, {_SHINGLES3} AS sh FROM tok),
+h AS (
+  SELECT doc_id,
+         list_transform(sh, s -> (('0x' || substr(md5(s || '#0'), 1, 8)))::BIGINT) AS hs
+  FROM shl
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs) - 2)]
+              ELSE hs END AS mins
+  FROM h
+),
+fps AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m),
+rare AS (
+  SELECT f.doc_id, f.fp
+  FROM fps f JOIN (SELECT fp FROM (SELECT fp, count(*) AS c FROM fps GROUP BY fp)
+                   WHERE c <= 20) r USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2"""
 
 # repetition: independent construction from the Spark side's sorted-
 # array run-length fold — per-(doc, n-gram) counts via unnest+GROUP BY

@@ -296,6 +296,71 @@ def corpus_stats(
     )
 
 
+def winnow_fingerprint_set(
+    df: DataFrame, id_col="doc_id", text_col="text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Exploded winnowing fingerprints: one (id, fp) row per distinct
+    selected min-hash — the joinable form of ``winnow_fingerprint``
+    (which digests the same set). This is the stored index for
+    passage-overlap detection."""
+    from .dedup import _hash_shingle, shingles, tokens
+
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("_w"))
+    hashed = tokd.select(
+        id_col,
+        F.transform(
+            shingles(F.col("_w"), k), lambda s: _hash_shingle(s, F.lit(0))
+        ).alias("_h"),
+    )
+    h = F.col("_h")
+    n = F.size(h)
+    mins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        ),
+    ).otherwise(h)
+    return hashed.select(
+        id_col, F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Passage-overlap candidate pairs (MOSS-style): documents sharing
+    ≥ ``min_shared`` winnowing fingerprints. Catches CONTAINMENT — a
+    paragraph lifted into a larger document — which whole-document
+    MinHash-Jaccard misses (the union term drowns a small shared
+    passage).
+
+    Scale shape: same bucketed-join family as LSH — fingerprints are
+    the buckets. ``max_df`` drops fingerprints appearing in more
+    documents than that (boilerplate phrases; one tiny df-count agg),
+    which is what bounds bucket size and keeps the self-join from
+    going quadratic on common n-grams. Output: (doc_a, doc_b,
+    n_shared_fps)."""
+    fps = winnow_fingerprint_set(df, id_col, text_col, k, w)
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    rare = fps.join(dfreq.filter(F.col("_df") <= max_df).select("fp"), "fp")
+    a = rare.select(F.col(id_col).alias("doc_a"), "fp")
+    b = rare.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def fingerprint(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (robust to reordering/duplication — the cheap
