@@ -335,6 +335,25 @@ def q_prep_pack(spark, sf_dir):
     return pp.pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
 
 
+def q_prep_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle via distributed
+    rank (range partition + local rank + broadcast offsets)."""
+    return pp.shuffle_deterministic(_docs(spark, sf_dir))
+
+
+def q_prep_split_by_cluster(spark, sf_dir):
+    """Leakage-proof splits: split assignment hashed on the near-dup
+    CLUSTER id, so no near-duplicate pair ever straddles train/test —
+    the composition dedup_clusters → assign_split."""
+    labels = dd.dedup_clusters(docs_fixture(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+    sp = pp.assign_split(
+        labels.select("cluster_id").distinct(), id_col="cluster_id"
+    ).select("cluster_id", "split")
+    return labels.join(sp, "cluster_id").select("doc_id", "cluster_id", "split")
+
+
 def eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic held-out 'benchmark' slice: every 50th document."""
     return _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0).select(
@@ -410,6 +429,8 @@ QUERIES = {
     "prep_split": q_prep_split,
     "prep_pack": q_prep_pack,
     "prep_decontaminate": q_prep_decontaminate,
+    "prep_shuffle": q_prep_shuffle,
+    "prep_split_by_cluster": q_prep_split_by_cluster,
     "prep_sample_stratified": q_prep_sample_stratified,
     "prep_sample_temperature": q_prep_sample_temperature,
     "dedup_exact": q_dedup_exact,
@@ -744,6 +765,39 @@ SELECT d.doc_id,
        coalesce(h, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM docs) d LEFT JOIN hits USING (doc_id)"""
 
+ORACLES["prep_shuffle"] = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#shuffle-v1'), doc_id
+       ) AS INT) AS shuffle_rank
+FROM documents"""
+
+# cluster-aware split: same recursive closure as dedup_clusters, split
+# hash taken on the cluster id. Defined as a template here (the shared
+# shingle/LSH CTE fragments are defined further down, next to the
+# dedup oracles) and .format()-ed right after they are.
+_SPLIT_BY_CLUSTER_TMPL = """WITH RECURSIVE {docs_cte},
+{shingle_cte},
+{lsh_ctes},
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN sym e ON e.u = r.node
+),
+lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CASE WHEN frac < 0.9 THEN 'train'
+            WHEN frac < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             (('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '#split-v1'), 1, 8)))::BIGINT
+               / 4294967296.0 AS frac
+      FROM lab)"""
+
 ORACLES["prep_sample_stratified"] = f"""WITH h AS (
   SELECT doc_id, source, {_SAMPLE_FRAC} AS frac,
          CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
@@ -810,6 +864,10 @@ cand AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 )"""
+
+ORACLES["prep_split_by_cluster"] = _SPLIT_BY_CLUSTER_TMPL.format(
+    docs_cte=_DOCS_CTE, shingle_cte=_SHINGLE_CTE, lsh_ctes=_LSH_CTES
+)
 
 ORACLES["dedup_minhash_lsh"] = f"""WITH {_DOCS_CTE},
 {_SHINGLE_CTE},

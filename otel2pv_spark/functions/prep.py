@@ -197,6 +197,49 @@ def curate(
     )
 
 
+def shuffle_deterministic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: rank every row by
+    md5(id, salt) — reproducible across runs/partitionings, re-rolled
+    by changing the salt. Output: (id, shuffle_rank), dense from 1.
+
+    Scale shape — distributed rank, NOT a global window (a
+    ``row_number() OVER (ORDER BY ...)`` with no partition key ships
+    every row to ONE task): range-partition on the hash (one sample
+    pass + one range exchange; the md5 key is uniform so ranges
+    balance), rank locally within each ordered range, then add the
+    broadcast cumulative count of all earlier ranges. Per-task work is
+    n/P at any scale."""
+    h = F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt)))
+    base = df.select(F.col(id_col), h.alias("_h"))
+    if num_partitions:
+        base = base.repartitionByRange(num_partitions, "_h", id_col)
+    else:
+        base = base.repartitionByRange("_h", id_col)
+    withpid = base.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy("_h", id_col)
+    local = withpid.withColumn("_lr", F.row_number().over(w))
+    # range partition i holds strictly earlier keys than i+1, so the
+    # global rank is local rank + count of all earlier partitions
+    # (config-sized table, cumulated and broadcast back)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .select("_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            id_col, (F.col("_lr") + F.col("_off")).cast("int").alias("shuffle_rank")
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

@@ -119,3 +119,22 @@ def test_temperature_sample_broadcasts_rate_table(spark, sf_dir):
             # only the tiny counts agg may hash-exchange, on the corpus
             # side nothing repartitions by source with doc rows attached
             assert "doc_id" not in line, line
+
+
+def test_shuffle_deterministic_no_global_window(spark, sf_dir):
+    """The global rank must range-partition the DATA and rank within
+    partitions — the only single-partition window allowed is the
+    offsets cumsum over the config-sized (≤ P rows) counts table."""
+    from otel2pv_spark.functions import prep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(prep.shuffle_deterministic(docs))
+    assert "rangepartitioning" in plan, plan
+    # the full-data window is partitioned by the range-partition id
+    assert "windowspecdefinition(_pid" in plan, plan
+    # single-partition exchanges exist only downstream of the tiny
+    # per-partition-count aggregate, never directly over the scan
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in line:
+            tail = "\n".join(plan.splitlines()[i:i + 4])
+            assert "HashAggregate" in tail, plan

@@ -187,3 +187,32 @@ def test_temperature_sample_upweights_small_strata(spark):
     uni = prep.temperature_sample(df, alpha=1.0, target_frac=0.5)
     urates = {r["source"]: r["rate"] for r in uni.select("source", "rate").distinct().collect()}
     assert abs(urates["rare"] - urates["common"]) < 1e-9
+
+
+def test_shuffle_deterministic_rank_is_dense_and_stable(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = prep.shuffle_deterministic(df, num_partitions=7)
+    got = {r["doc_id"]: r["shuffle_rank"] for r in a.collect()}
+    assert sorted(got.values()) == list(range(1, 501))  # dense 1..n
+    b = prep.shuffle_deterministic(df.repartition(3), num_partitions=4)
+    assert got == {r["doc_id"]: r["shuffle_rank"] for r in b.collect()}
+    # matches the single-window reference order
+    import hashlib
+    want_order = sorted(range(500), key=lambda i: (hashlib.md5(f"{i}#shuffle-v1".encode()).hexdigest(), i))
+    assert [got[i] for i in want_order] == list(range(1, 501))
+
+
+def test_split_by_cluster_never_straddles(spark):
+    """Leakage guard: every member of a near-dup cluster gets the same
+    split (a dup pair can never land in train AND test)."""
+    from otel2pv_spark.entry_queries import q_prep_split_by_cluster
+
+    out = q_prep_split_by_cluster(spark, "/root/testdata/sf0.01").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # fixture dup chains exist, so some clusters have >1 member
+    from collections import Counter
+    sizes = Counter(r["cluster_id"] for r in out)
+    assert max(sizes.values()) >= 2
