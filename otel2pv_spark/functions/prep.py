@@ -209,26 +209,25 @@ def shuffle_deterministic(
 
     Scale shape — distributed rank, NOT a global window (a
     ``row_number() OVER (ORDER BY ...)`` with no partition key ships
-    every row to ONE task): range-partition on the hash (one sample
-    pass + one range exchange; the md5 key is uniform so ranges
-    balance), rank locally within each ordered range, then add the
-    broadcast cumulative count of all earlier ranges. Per-task work is
-    n/P at any scale."""
+    every row to ONE task): the hash key-space is cut into EXPLICIT
+    contiguous ranges (the first two hex digits — md5 is uniform, so
+    ranges balance), rows rank locally within their range, and the
+    global rank adds the broadcast cumulative count of all earlier
+    ranges. The range id is a pure function of the key — unlike
+    ``repartitionByRange`` (sampled, nondeterministic boundaries) or
+    ``spark_partition_id()``, it cannot diverge between the rank branch
+    and the offsets branch of the self-join. Per-task work is n/P."""
+    P = num_partitions or 64
     h = F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt)))
-    base = df.select(F.col(id_col), h.alias("_h"))
-    if num_partitions:
-        base = base.repartitionByRange(num_partitions, "_h", id_col)
-    else:
-        base = base.repartitionByRange("_h", id_col)
-    withpid = base.withColumn("_pid", F.spark_partition_id())
+    # fixed-width lowercase hex: lexicographic order == numeric order,
+    # so bucket(first-two-digits) ranges are ordered by the full key
+    pid = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") * P / 256).cast("int")
+    base = df.select(F.col(id_col), h.alias("_h"), pid.alias("_pid"))
     w = Window.partitionBy("_pid").orderBy("_h", id_col)
-    local = withpid.withColumn("_lr", F.row_number().over(w))
-    # range partition i holds strictly earlier keys than i+1, so the
-    # global rank is local rank + count of all earlier partitions
-    # (config-sized table, cumulated and broadcast back)
+    local = base.withColumn("_lr", F.row_number().over(w))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        local.groupBy("_pid")
+        base.groupBy("_pid")
         .agg(F.count("*").alias("_n"))
         .select("_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
     )
@@ -344,28 +343,48 @@ def temperature_sample(
     Scale shape: per-stratum counts are one map-side-combined groupBy
     producing a config-sized table (#domains rows) that broadcasts back
     onto the corpus — the corpus itself is never shuffled."""
-    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_s"))
-    w = F.pow(F.col("n_s").cast("double"), F.lit(float(alpha)))
-    weights = counts.select(strata_col, "n_s", w.alias("w"))
-    # ONE config-sized action yields both normalizers (no second corpus
-    # pass for the total — it's the sum of the per-stratum counts)
-    norm = weights.agg(
-        F.sum("w").alias("sw"), F.sum("n_s").alias("total")
-    ).head()
-    sum_w, total = norm["sw"], norm["total"]
-    rates = weights.select(
-        strata_col,
-        "n_s",
-        F.least(
-            F.lit(1.0),
-            F.col("w") / F.lit(float(sum_w)) * F.lit(float(target_frac) * total)
-            / F.col("n_s"),
-        ).alias("rate"),
+    # ONE config-sized action: per-stratum counts collected once (the
+    # total is their sum — no second corpus pass), rates computed
+    # driver-side and shipped back as a literal broadcast table. This
+    # also means downstream consumers never re-run the corpus groupBy
+    # hiding in a lazy rate plan.
+    counts = sorted(
+        df.groupBy(strata_col).agg(F.count("*").alias("n_s")).collect(),
+        key=lambda r: (r[strata_col] is None, r[strata_col]),
+    )  # deterministic summation order: collect() order is not stable
+    spark = df.sparkSession
+    if not counts:
+        return df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.lit(None).cast("double").alias("hash_frac"),
+            F.lit(None).cast("double").alias("rate"),
+            F.lit(False).alias("sampled"),
+        )
+    total = sum(r["n_s"] for r in counts)
+    sum_w = sum(r["n_s"] ** alpha for r in counts)
+    rates = spark.createDataFrame(
+        [
+            (
+                r[strata_col],
+                min(
+                    1.0,
+                    (r["n_s"] ** alpha) / sum_w * (target_frac * total) / r["n_s"],
+                ),
+            )
+            for r in counts
+        ],
+        "_st string, rate double",
     )
     frac = _hash_frac(id_col, salt)
+    # eqNullSafe: a NULL stratum is still a stratum — a plain equi-join
+    # would silently drop those rows from the audited output
     return (
         df.select(id_col, strata_col)
-        .join(F.broadcast(rates), strata_col)
+        .join(
+            F.broadcast(rates),
+            F.col(strata_col).eqNullSafe(F.col("_st")),
+        )
         .select(
             id_col,
             strata_col,
@@ -383,6 +402,7 @@ def pack_sequences(
     budget: int = 512,
     n_shards: int = 8,
     salt: str = "pack-v1",
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: documents are hashed into
     ``n_shards`` independent shards, ordered by id within the shard,
@@ -392,6 +412,10 @@ def pack_sequences(
 
     Output: (id, shard, pack_id, pack_offset, n_tokens). pack_offset is
     the document's start position inside its pack, always < budget.
+
+    ``partition_cols`` prepend extra packing boundaries (e.g.
+    ``("split",)`` so a pack never mixes train/val/test text — packing
+    across that boundary is test-set leakage at training time).
 
     Scale shape: one shuffle on the shard key; the running-sum window
     sees exactly one shard per partition, so per-task memory is
@@ -406,17 +430,19 @@ def pack_sequences(
     ).cast("bigint")
     base = df.select(
         F.col(id_col),
+        *partition_cols,
         (h % n_shards).cast("int").alias("shard"),
         F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*partition_cols, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
     return base.select(
         id_col,
+        *partition_cols,
         "shard",
         F.floor(cum / budget).cast("int").alias("pack_id"),
         (cum % budget).cast("int").alias("pack_offset"),

@@ -211,7 +211,10 @@ def ivf_train(
     (anchor_rank, vec) shaped exactly like ``make_anchors`` so the
     trained centroids plug into ivf_assign/ivf_topk unchanged."""
     cent = make_anchors(df, k, id_col, vec_col)
-    dim = len(df.select(vec_col).head()[0])
+    head = df.select(vec_col).head()
+    if head is None:
+        raise ValueError("ivf_train: empty corpus")
+    dim = len(head[0])
     v = df.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col)
     )
@@ -367,7 +370,15 @@ def pq_train(
     of m; the codebook table is m×ksub rows and stays broadcast-sized.
     """
     if dim is None:
-        dim = len(df.select(vec_col).head()[0])
+        head = df.select(vec_col).head()
+        if head is None:
+            raise ValueError("pq_train: empty corpus")
+        dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_train: m={m} must divide dim={dim} — trailing components"
+            " would be silently excluded from every distance"
+        )
     d = dim // m
     sv = _subvectors(df, m, dim, id_col, vec_col, "_id")
 

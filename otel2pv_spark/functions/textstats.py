@@ -110,22 +110,19 @@ def subword_count(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
-def winnow_fingerprint(
-    df: DataFrame, id_col="doc_id", text_col="text", k: int = 3, w: int = 4
+def _winnow_mins(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
 ) -> DataFrame:
-    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
-    SIGMOD'03): hash every k-gram (rolling shingle hash), keep the MIN
-    of each sliding window of w hashes, fingerprint = the distinct min
-    set. Near-identical documents share most fingerprints; the md5 of
-    the sorted set gives an indexable digest. All higher-order column
-    functions — zero UDFs, embarrassingly parallel, no shuffle."""
+    """(id, mins) — the selected window-min hashes per document, shared
+    by the digest and the exploded-index forms.
+
+    Each stage is materialized as its own projection: the hash array
+    is referenced several times by the windowing expression, and a
+    single fused expression would let Catalyst inline (= recompute)
+    the whole tokenize+shingle+md5 chain per window — O(n²) md5 work
+    per document instead of O(n·w) array scans."""
     from .dedup import _hash_shingle, shingles
 
-    # Each stage is materialized as its own projection: the hash array
-    # is referenced several times by the windowing expression, and a
-    # single fused expression would let Catalyst inline (= recompute)
-    # the whole tokenize+shingle+md5 chain per window — O(n²) md5 work
-    # per document instead of O(n·w) array scans.
     hashed = df.select(id_col, tokens(text_col).alias("_w")).select(
         id_col,
         F.transform(
@@ -141,8 +138,20 @@ def winnow_fingerprint(
             lambda i: F.array_min(F.slice(h, i, w)),
         ),
     ).otherwise(h)
-    windowed = hashed.select(
-        id_col, F.array_sort(F.array_distinct(mins)).alias("_fp")
+    return hashed.select(id_col, mins.alias("mins"))
+
+
+def winnow_fingerprint(
+    df: DataFrame, id_col="doc_id", text_col="text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram (rolling shingle hash), keep the MIN
+    of each sliding window of w hashes, fingerprint = the distinct min
+    set. Near-identical documents share most fingerprints; the md5 of
+    the sorted set gives an indexable digest. All higher-order column
+    functions — zero UDFs, embarrassingly parallel, no shuffle."""
+    windowed = _winnow_mins(df, id_col, text_col, k, w).select(
+        id_col, F.array_sort(F.array_distinct("mins")).alias("_fp")
     )
     return windowed.select(
         id_col,
@@ -303,26 +312,8 @@ def winnow_fingerprint_set(
     selected min-hash — the joinable form of ``winnow_fingerprint``
     (which digests the same set). This is the stored index for
     passage-overlap detection."""
-    from .dedup import _hash_shingle, shingles, tokens
-
-    tokd = df.select(F.col(id_col), tokens(text_col).alias("_w"))
-    hashed = tokd.select(
-        id_col,
-        F.transform(
-            shingles(F.col("_w"), k), lambda s: _hash_shingle(s, F.lit(0))
-        ).alias("_h"),
-    )
-    h = F.col("_h")
-    n = F.size(h)
-    mins = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - (w - 1)),
-            lambda i: F.array_min(F.slice(h, i, w)),
-        ),
-    ).otherwise(h)
-    return hashed.select(
-        id_col, F.explode(F.array_distinct(mins)).alias("fp")
+    return _winnow_mins(df, id_col, text_col, k, w).select(
+        id_col, F.explode(F.array_distinct("mins")).alias("fp")
     )
 
 

@@ -51,7 +51,10 @@ class ConfigError(ValueError):
 
 def load_config(path: str) -> dict:
     with open(path) as f:
-        raw = json.load(f)
+        return validate_config(json.load(f))
+
+
+def validate_config(raw) -> dict:
     if not isinstance(raw, dict):
         raise ConfigError("config root must be a JSON object")
     inp = raw.get("input")
@@ -97,7 +100,10 @@ def load_curation_config(path: str) -> dict:
         }
     """
     with open(path) as f:
-        raw = json.load(f)
+        return validate_curation_config(json.load(f))
+
+
+def validate_curation_config(raw) -> dict:
     if not isinstance(raw, dict) or raw.get("job") != "curation":
         raise ConfigError("curation config must set job = 'curation'")
     inp = raw.get("input")
@@ -185,9 +191,9 @@ def main(argv: list[str] | None = None) -> dict:
         head = json.load(f)
     kind = head.get("job", "pipeline") if isinstance(head, dict) else "pipeline"
     if kind == "curation":
-        return _run_curation_job(load_curation_config(args.config))
+        return _run_curation_job(validate_curation_config(head))
 
-    raw = load_config(args.config)
+    raw = validate_config(head)
     cfg = to_pipeline_config(raw)
 
     from . import datagen

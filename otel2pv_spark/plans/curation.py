@@ -167,11 +167,16 @@ def run_curation(
             .select("doc_id", F.col("scrubbed").alias("text"))
             .join(kept, "doc_id")
         )
+        # pack WITHIN each split: a pack mixing train and test text is
+        # test-set leakage the moment sequences are assembled
         packed = prep.pack_sequences(
-            clean, budget=cfg.pack_budget, n_shards=cfg.pack_shards
+            clean,
+            budget=cfg.pack_budget,
+            n_shards=cfg.pack_shards,
+            partition_cols=("split",),
         )
         cat.write(
-            clean.join(packed, "doc_id").select(
+            clean.join(packed.drop("split"), "doc_id").select(
                 "doc_id", "text", "split", "shard",
                 "pack_id", "pack_offset", "n_tokens",
             ),

@@ -204,12 +204,20 @@ def run_stream_dedup(
     from ..functions import dedup as dd
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         batch = batch.localCheckpoint()  # stabilize: read twice below
+        # only PATH_NOT_FOUND means "no index yet" — any other read
+        # failure (transient FS error, corrupt footer, permissions)
+        # must abort the batch, or known duplicates would be silently
+        # admitted and appended to the index forever
         try:
             idx = spark.read.parquet(index_path)
             have_index = True
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             have_index = False
 
         if have_index:

@@ -129,8 +129,9 @@ def test_shuffle_deterministic_no_global_window(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(prep.shuffle_deterministic(docs))
-    assert "rangepartitioning" in plan, plan
-    # the full-data window is partitioned by the range-partition id
+    # the full-data window is partitioned by the deterministic range id
+    # (an explicit hex-prefix bucket, exchanged by hash on _pid)
+    assert "Exchange hashpartitioning(_pid" in plan, plan
     assert "windowspecdefinition(_pid" in plan, plan
     # single-partition exchanges exist only downstream of the tiny
     # per-partition-count aggregate, never directly over the scan
