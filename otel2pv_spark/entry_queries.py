@@ -335,6 +335,11 @@ def q_prep_pack(spark, sf_dir):
     return pp.pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
 
 
+def q_prep_chunks(spark, sf_dir):
+    """Fixed-token chunks with overlap (64-token chunks, 16 overlap)."""
+    return pp.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 def q_prep_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle via distributed
     rank (range partition + local rank + broadcast offsets)."""
@@ -429,6 +434,7 @@ QUERIES = {
     "prep_split": q_prep_split,
     "prep_pack": q_prep_pack,
     "prep_decontaminate": q_prep_decontaminate,
+    "prep_chunks": q_prep_chunks,
     "prep_shuffle": q_prep_shuffle,
     "prep_split_by_cluster": q_prep_split_by_cluster,
     "prep_sample_stratified": q_prep_sample_stratified,
@@ -764,6 +770,20 @@ SELECT d.doc_id,
        CAST(coalesce(h, 0) AS BIGINT) AS n_eval_ngrams,
        coalesce(h, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM docs) d LEFT JOIN hits USING (doc_id)"""
+
+# chunking: stride = 64 - 16 = 48, 1-based inclusive DuckDB slices
+ORACLES["prep_chunks"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         unnest(range(0, 1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS INT))) AS k
+  FROM t
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       array_to_string(w[k*48 + 1 : k*48 + 64], ' ') AS chunk_text,
+       CAST(len(w[k*48 + 1 : k*48 + 64]) AS INT) AS n_chunk_tokens
+FROM c"""
 
 ORACLES["prep_shuffle"] = """
 SELECT doc_id,

@@ -395,6 +395,51 @@ def temperature_sample(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size token chunks with overlap — the retrieval/context
+    side of sequence prep (packing concatenates small docs; chunking
+    splits large ones). Chunk k covers tokens [k·stride, k·stride +
+    chunk_tokens) with stride = chunk_tokens − overlap; the final
+    partial chunk is kept (min length 1 token), and a doc shorter than
+    one chunk yields exactly one chunk.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens). Pure
+    projection over a bound token column (no shuffle, no lambda
+    re-evaluation of the tokenizer); chunk_text re-joins tokens with
+    single spaces — token-level, not byte-level, fidelity."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("_w"))
+    n = F.size("_w")
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / stride
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.slice(F.col("_w"), k * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return (
+        tokd.select(id_col, F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.concat_ws(" ", F.col("_c.toks")).alias("chunk_text"),
+            F.size("_c.toks").cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -216,3 +216,23 @@ def test_split_by_cluster_never_straddles(spark):
     from collections import Counter
     sizes = Counter(r["cluster_id"] for r in out)
     assert max(sizes.values()) >= 2
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    toks = [f"w{i}" for i in range(130)]
+    df = spark.createDataFrame([(1, " ".join(toks)), (2, "a b"), (3, "")],
+                               ["doc_id", "text"])
+    rows = {(r["doc_id"], r["chunk_idx"]): r
+            for r in prep.chunk_documents(df, chunk_tokens=64, overlap=16).collect()}
+    # doc 1: 130 tokens -> chunks at 0, 48, 96 (stride 48)
+    c0, c1, c2 = rows[(1, 0)], rows[(1, 1)], rows[(1, 2)]
+    assert c0["n_chunk_tokens"] == 64 and c1["n_chunk_tokens"] == 64
+    assert c2["n_chunk_tokens"] == 130 - 96
+    # consecutive chunks share exactly the 16-token overlap
+    t0, t1 = c0["chunk_text"].split(), c1["chunk_text"].split()
+    assert t0[-16:] == t1[:16] and t1 == toks[48:112]
+    # full coverage: union of chunk tokens == doc tokens in order
+    assert t0 + t1[16:] + c2["chunk_text"].split()[16:] == toks
+    # short doc: one chunk, verbatim; empty doc: one empty chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b" and (2, 1) not in rows
+    assert rows[(3, 0)]["n_chunk_tokens"] == 0
