@@ -46,9 +46,14 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_incremental",
+    "dedup_jaccard_est",
     "text_repetition",
+    "text_quality_percentiles",
     "prep_decontaminate",
     "prep_sample_temperature",
+    "prep_shuffle",
+    "prep_chunks",
     "ann_pq_topk",
     "text_quality",
     "text_token_count",
