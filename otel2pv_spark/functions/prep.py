@@ -216,12 +216,18 @@ def shuffle_deterministic(
     ranges. The range id is a pure function of the key — unlike
     ``repartitionByRange`` (sampled, nondeterministic boundaries) or
     ``spark_partition_id()``, it cannot diverge between the rank branch
-    and the offsets branch of the self-join. Per-task work is n/P."""
-    P = num_partitions or 64
+    and the offsets branch of the self-join. Per-task work is n/P for
+    P up to 65536 ranges (the 4-hex-digit prefix resolution; widen the
+    prefix for more)."""
+    P = num_partitions if num_partitions is not None else int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    if not 1 <= P <= 65536:
+        raise ValueError(f"num_partitions must be in [1, 65536], got {P}")
     h = F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt)))
     # fixed-width lowercase hex: lexicographic order == numeric order,
-    # so bucket(first-two-digits) ranges are ordered by the full key
-    pid = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") * P / 256).cast("int")
+    # so bucket(first-four-digits) ranges are ordered by the full key
+    pid = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") * P / 65536).cast("int")
     base = df.select(F.col(id_col), h.alias("_h"), pid.alias("_pid"))
     w = Window.partitionBy("_pid").orderBy("_h", id_col)
     local = base.withColumn("_lr", F.row_number().over(w))
@@ -353,14 +359,8 @@ def temperature_sample(
         key=lambda r: (r[strata_col] is None, r[strata_col]),
     )  # deterministic summation order: collect() order is not stable
     spark = df.sparkSession
-    if not counts:
-        return df.select(
-            F.col(id_col),
-            F.col(strata_col),
-            F.lit(None).cast("double").alias("hash_frac"),
-            F.lit(None).cast("double").alias("rate"),
-            F.lit(False).alias("sampled"),
-        )
+    # empty input needs no special case: the rate list is empty, the
+    # join of two empty frames yields the same five-column result
     total = sum(r["n_s"] for r in counts)
     sum_w = sum(r["n_s"] ** alpha for r in counts)
     rates = spark.createDataFrame(
@@ -413,8 +413,11 @@ def chunk_documents(
     projection over a bound token column (no shuffle, no lambda
     re-evaluation of the tokenizer); chunk_text re-joins tokens with
     single spaces — token-level, not byte-level, fidelity."""
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+            " — a negative overlap would silently skip tokens"
+        )
     stride = chunk_tokens - overlap
     tokd = df.select(F.col(id_col), tokens(text_col).alias("_w"))
     n = F.size("_w")
@@ -460,7 +463,10 @@ def pack_sequences(
 
     ``partition_cols`` prepend extra packing boundaries (e.g.
     ``("split",)`` so a pack never mixes train/val/test text — packing
-    across that boundary is test-set leakage at training time).
+    across that boundary is test-set leakage at training time). A
+    pack's identity is then (*partition_cols, shard, pack_id) —
+    pack_id restarts at 0 within each boundary group, so consumers
+    MUST group by the full key, never by (shard, pack_id) alone.
 
     Scale shape: one shuffle on the shard key; the running-sum window
     sees exactly one shard per partition, so per-task memory is

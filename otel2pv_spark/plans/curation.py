@@ -168,7 +168,8 @@ def run_curation(
             .join(kept, "doc_id")
         )
         # pack WITHIN each split: a pack mixing train and test text is
-        # test-set leakage the moment sequences are assembled
+        # test-set leakage the moment sequences are assembled. Pack
+        # identity in clean_docs is therefore (split, shard, pack_id).
         packed = prep.pack_sequences(
             clean,
             budget=cfg.pack_budget,
