@@ -155,3 +155,62 @@ def test_pack_matches_python_reference(spark, tok_counts, budget):
             want.append((shard, i, cum // budget, cum % budget, tok_counts[i]))
             cum += tok_counts[i]
     assert got == sorted(want)
+
+
+def _py_repetition(tokens_list, n):
+    """Reference top/dup n-gram fractions via collections.Counter."""
+    from collections import Counter
+
+    grams = [" ".join(tokens_list[i:i + n]) for i in range(len(tokens_list) - n + 1)]
+    if not grams:
+        return 0, 0.0, 0.0
+    c = Counter(grams)
+    top = max(c.values())
+    dup = sum(v for v in c.values() if v >= 2)
+    return len(grams), round(top / len(grams), 6), round(dup / len(grams), 6)
+
+
+@SET
+@given(st.lists(st.lists(st.sampled_from("ab c dd e".split()), min_size=0, max_size=30), min_size=1, max_size=20))
+def test_repetition_matches_counter_reference(spark, docs):
+    from otel2pv_spark.functions import textstats as ts
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in ts.repetition_scores(df).collect()}
+    for i, toks in enumerate(docs):
+        for n in (2, 3, 4):
+            n_g, top, dup = _py_repetition(toks, n)
+            assert got[i][f"n_{n}grams"] == n_g, (toks, n)
+            assert abs(got[i][f"top{n}_frac"] - top) < 1e-9, (toks, n)
+            assert abs(got[i][f"dup{n}_frac"] - dup) < 1e-9, (toks, n)
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=15),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=0, max_value=40),
+)
+def test_chunks_match_python_reference(spark, doc_lens, chunk_tokens, overlap):
+    from hypothesis import assume
+
+    from otel2pv_spark.functions import prep
+
+    assume(overlap < chunk_tokens)
+    stride = chunk_tokens - overlap
+    rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in prep.chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    )
+    want = []
+    for i, n in enumerate(doc_lens):
+        toks = [f"t{j}" for j in range(n)]
+        n_chunks = 1 + max(0, -(-(n - chunk_tokens) // stride)) if n > chunk_tokens else 1
+        for k in range(n_chunks):
+            piece = toks[k * stride: k * stride + chunk_tokens]
+            want.append((i, k, " ".join(piece), len(piece)))
+    assert got == sorted(want)
