@@ -331,3 +331,25 @@ def test_jaccard_estimate_exact_copies_score_one(spark, sf_dir):
     exact_pairs = [(a, b) for (a, b) in est if a < 100000 and b == a + 100000]
     assert exact_pairs and all(est[p] == 1.0 for p in exact_pairs)
     assert all(0.0 <= v <= 1.0 for v in est.values())
+
+
+def test_validation_guards_raise(spark, sf_dir):
+    """The new fail-loudly guards: m must divide dim (PQ), overlap in
+    [0, chunk_tokens) (chunking), num_partitions in [1, 65536]
+    (deterministic shuffle)."""
+    from otel2pv_spark.functions import prep
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="must divide dim"):
+        sim.pq_train(emb, m=6, ksub=4, iters=1)
+    with pytest.raises(ValueError, match="overlap"):
+        prep.chunk_documents(docs, chunk_tokens=64, overlap=-8)
+    with pytest.raises(ValueError, match="overlap"):
+        prep.chunk_documents(docs, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="num_partitions"):
+        prep.shuffle_deterministic(docs, num_partitions=-5)
+    with pytest.raises(ValueError, match="num_partitions"):
+        prep.shuffle_deterministic(docs, num_partitions=0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        sim.pq_train(emb.filter("vec_id < 0"), m=4, ksub=4, iters=1)
