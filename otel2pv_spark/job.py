@@ -210,6 +210,22 @@ def main(argv: list[str] | None = None) -> dict:
     inp = raw["input"]
     if "events_dir" in inp:
         transcripts = datagen.transcripts_from_events(spark, inp["events_dir"])
+    elif inp.get("format", "parquet") != "parquet":
+        # jsonl/csv arrive through the decode gate: undecodable rows
+        # land in {out_root}/source_rejects with the raw record, the
+        # decoded remainder feeds the normal DAG
+        from .sources import formats
+
+        transcripts, src_rejects = formats.read_with_dlq(
+            spark,
+            inp["transcripts_path"],
+            fmt=inp["format"],
+            schema=formats.TRANSCRIPT_SCHEMA,
+            key_col="conv_id",
+        )
+        src_rejects.write.mode("overwrite").parquet(
+            f"{raw['out_root']}/source_rejects"
+        )
     else:
         transcripts = spark.read.parquet(inp["transcripts_path"])
     incr = raw.get("incremental")

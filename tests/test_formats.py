@@ -53,3 +53,35 @@ def test_unknown_format_raises(spark):
 
     with pytest.raises(ValueError, match="unsupported format"):
         formats.read_with_dlq(spark, "/tmp/x", fmt="avro")
+
+
+def test_pipeline_job_reads_jsonl_source(spark, tmp_path):
+    """job config with input.format=jsonl: corrupt lines land in
+    source_rejects, decoded rows run the full DAG."""
+    import json as _json
+
+    from otel2pv_spark import datagen, job
+
+    tr = datagen.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "turns.jsonl"
+    lines = [
+        _json.dumps(
+            {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "role": r["role"],
+             "text": r["text"], "tool": r["tool"], "ts": str(r["ts"])}
+        )
+        for r in tr.collect()
+    ]
+    lines.insert(3, "garbled non-json line")
+    src.write_text("\n".join(lines) + "\n")
+
+    cfgp = tmp_path / "job.json"
+    cfgp.write_text(_json.dumps({
+        "input": {"transcripts_path": str(src), "format": "jsonl"},
+        "out_root": str(tmp_path / "out"), "run_id": "fmt1",
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }))
+    res = job.main(["--config", str(cfgp)])
+    assert res["rows"] > 0
+    rej = spark.read.parquet(str(tmp_path / "out" / "source_rejects")).collect()
+    assert len(rej) == 1 and rej[0]["reject_reason"] == "decode_error"
+    assert rej[0]["raw_record"] == "garbled non-json line"
