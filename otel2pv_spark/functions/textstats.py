@@ -31,9 +31,9 @@ def token_count(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     tok = tokens(text_col)
     return df.select(
         id_col,
-        F.size(tok).alias("n_tokens"),
+        F.size(tok).cast("bigint").alias("n_tokens"),
         F.ceil(F.length(text_col) / 4).cast("bigint").alias("n_subwords_est"),
-        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+        F.size(F.array_distinct(tok)).cast("bigint").alias("n_unique_tokens"),
     )
 
 
@@ -54,8 +54,8 @@ def quality_score(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
     return df.select(
         id_col,
-        n_chars.alias("n_chars"),
-        n_tok.alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
         F.round(stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
         F.round(uniq / F.greatest(n_tok, F.lit(1)), 4).alias("unique_ratio"),
@@ -79,7 +79,7 @@ def lang_id(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
     sel = [F.col(id_col)]
     for lang in LANG_MARKERS:
-        sel.append(counts[lang].alias(f"n_{lang}"))
+        sel.append(counts[lang].cast("bigint").alias(f"n_{lang}"))
     sel.append(pred.alias("lang_pred"))
     return df.select(*sel)
 
@@ -155,7 +155,7 @@ def winnow_fingerprint(
     )
     return windowed.select(
         id_col,
-        F.size("_fp").alias("n_fingerprints"),
+        F.size("_fp").cast("bigint").alias("n_fingerprints"),
         F.md5(
             F.concat_ws(",", F.transform("_fp", lambda x: x.cast("string")))
         ).alias("winnow_hash"),
