@@ -28,10 +28,12 @@ from otel2pv_spark.operators import sequence as seq_op  # noqa: E402
 from otel2pv_spark.operators import validate as validate_op  # noqa: E402
 from otel2pv_spark.operators import verify as verify_op  # noqa: E402
 from otel2pv_spark.plans import pipeline  # noqa: E402
+from otel2pv_spark.operators import sessionize as session_op  # noqa: E402
 from otel2pv_spark.portable_sql import (  # noqa: E402
     PARSED_CTE,
     ROLE_META_CTE,
     TOOL_META_CTE,
+    TOOL_VERSIONS_CTE,
     with_transcripts,
 )
 
@@ -102,6 +104,46 @@ def q_enrich_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _enriched(spark, sf_dir).select(
         "conv_id", "turn_idx", "role", "tool",
         "tool_category", "owner", "role_kind", "sink",
+    )
+
+
+def q_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive) against the versioned tool-config
+    dim — the SCD-2 enrichment Spark has no operator for; union+window
+    construction, one shuffle, no range explosion. Turns before the
+    first version (and non-tool turns) get nulls."""
+    out = enrich_op.asof_join(
+        _tr(spark, sf_dir),
+        datagen.tool_versions(spark),
+        key_col="tool",
+        left_ts="ts",
+        right_ts="valid_from",
+    )
+    return out.select("conv_id", "turn_idx", "tool", "version", "config_rev")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the raw event log (2 h inactivity
+    closes a session) — the batch analog of the reference's per-tree
+    verification timeout (groupandverify.go:873-919)."""
+    ev = datagen.load_events(spark, sf_dir)
+    out = session_op.sessionize(ev, gap_sec=7200)
+    return out.select("event_id", "user_id", "session_n", "session_id")
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup over sessionize output; the groupBy reuses the
+    window's hash partitioning (subset rule) — no second shuffle.
+    Boundaries emitted as epoch micros: raw timestamps round-trip as
+    datetime64[ns] from Spark but datetime64[us] from DuckDB, and the
+    driver's value hash is type-sensitive."""
+    ev = datagen.load_events(spark, sf_dir)
+    out = session_op.session_stats(session_op.sessionize(ev, gap_sec=7200))
+    return out.select(
+        "user_id", "session_id", "n_events",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "duration_sec", "n_event_types",
     )
 
 
@@ -312,6 +354,49 @@ ORACLES["route_counts"] = with_transcripts(
     [PARSED_CTE, TOOL_META_CTE, ROLE_META_CTE, _ENRICHED_CTE],
 )
 
+ORACLES["enrich_asof"] = with_transcripts(
+    """SELECT t.conv_id, t.turn_idx, t.tool, v.version, v.config_rev
+FROM transcripts t ASOF LEFT JOIN tool_versions v
+  ON t.tool = v.tool AND t.ts >= v.valid_from""",
+    [TOOL_VERSIONS_CTE],
+)
+
+_SESSION_CTE = """lagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > CAST(7200 AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+),
+sessions AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+  FROM flagged
+)"""
+
+ORACLES["sessionize"] = f"""WITH {_SESSION_CTE}
+SELECT event_id, user_id, session_n,
+       CAST(user_id AS VARCHAR) || '-' || CAST(session_n AS VARCHAR) AS session_id
+FROM sessions"""
+
+ORACLES["session_stats"] = f"""WITH {_SESSION_CTE}
+SELECT user_id,
+       CAST(user_id AS VARCHAR) || '-' || CAST(session_n AS VARCHAR) AS session_id,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0) AS BIGINT)
+         AS duration_sec,
+       count(DISTINCT event_type) AS n_event_types
+FROM sessions GROUP BY user_id, session_n"""
+
 ORACLES["sequence_prev"] = with_transcripts(
     f"""SELECT conv_id, turn_idx, event_id,
        CASE WHEN turn_idx - lag(turn_idx) OVER w = 1 THEN lag(event_id) OVER w END
@@ -478,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_extract_json_pandas": q_parse_extract_json_pandas,
         "parse_rejects": q_parse_rejects,
         "enrich_route": q_enrich_route,
+        "enrich_asof": q_enrich_asof,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,
         "sequence_prev_salted": q_sequence_prev_salted,

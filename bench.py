@@ -35,6 +35,8 @@ HEADLINE = [
     "extract_fanout",
     "validate_events",
     "enrich_route",
+    "enrich_asof",
+    "sessionize",
     "route_counts",
     "sequence_prev",
     "chain_verify",
@@ -46,6 +48,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_lines",
+    "embedding_semdedup",
     "dedup_incremental",
     "dedup_jaccard_est",
     "text_repetition",
@@ -86,11 +90,19 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     qs = entry.queries()
     out: dict[str, float] = {}
+    # min of 2 runs per query: this guest sees multi-x throughput swings
+    # from hypervisor neighbors (measured in BENCH/BASELINE.md), and a
+    # single timed run conflates that noise with plan cost — e.g. one
+    # round recorded enrich_route at 11.5 s where steady state is 2.8 s.
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -111,11 +123,16 @@ def main_bench() -> None:
 
     t0 = time.time()
     queries = run_queries(spark, SF_DIR)
-    out_root = f"/tmp/otel2pv_bench_{os.getpid()}"
-    e2e = run_e2e(spark, SF_DIR, out_root=out_root)
+    # e2e min-of-2 too (fresh out_root each run — same run_id would
+    # resume from the manifest and skip all writes).
+    e2e = None
+    for i in range(2):
+        out_root = f"/tmp/otel2pv_bench_{os.getpid()}_{i}"
+        r = run_e2e(spark, SF_DIR, out_root=out_root)
+        shutil.rmtree(out_root, ignore_errors=True)
+        e2e = r if e2e is None or r["wall_sec"] < e2e["wall_sec"] else e2e
     queries["pipeline_e2e"] = round(e2e["wall_sec"], 3)
     total = round(time.time() - t0, 3)
-    shutil.rmtree(out_root, ignore_errors=True)
 
     print(json.dumps({
         "metric": "total_bench_sec",

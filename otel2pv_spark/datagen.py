@@ -51,6 +51,16 @@ def role_meta(spark: SparkSession) -> DataFrame:
     )
 
 
+def tool_versions(spark: SparkSession) -> DataFrame:
+    """Versioned tool-config dim (SCD-2) for the as-of join — built via
+    the shared portable CTE so Spark and DuckDB parse the exact same
+    TIMESTAMP literals (createDataFrame with naive datetimes would go
+    through the driver's local tz instead of the session tz)."""
+    from .portable_sql import TOOL_VERSIONS_CTE
+
+    return spark.sql("WITH " + TOOL_VERSIONS_CTE + " SELECT * FROM tool_versions")
+
+
 def synth_transcripts(
     spark: SparkSession,
     n_convs: int = 1000,

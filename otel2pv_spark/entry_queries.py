@@ -135,6 +135,23 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.dedup_clusters(docs_fixture(spark, sf_dir))
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4-style line-level boilerplate removal: 10-token lines occurring
+    >2 times corpus-wide dropped from every doc (the seeded doc_id%77
+    triples put most of their lines at count 3)."""
+    return dd.line_dedup(docs_fixture(spark, sf_dir), line_tokens=10, max_count=2)
+
+
+def q_embedding_semdedup(spark, sf_dir):
+    """SemDeDup: k-means clusters bound the pairwise search; a vector is
+    a semantic dup iff a lower-id same-cluster vector has cosine ≥ 0.95
+    (catches the seeded ×1.01 and +0.05 copies, keeps the originals)."""
+    emb = emb_fixture(spark, sf_dir)
+    return sim.semantic_dedup(
+        emb, sim.ivf_train(emb, k=4, iters=2), threshold=0.95
+    )
+
+
 def q_text_token_count(spark, sf_dir):
     return ts.token_count(_docs(spark, sf_dir))
 
@@ -445,6 +462,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_lines": q_dedup_lines,
     "dedup_incremental": q_dedup_incremental,
     "dedup_jaccard_est": q_dedup_jaccard_est,
     "text_token_count": q_text_token_count,
@@ -468,6 +486,7 @@ QUERIES = {
     "ann_pq_codes": q_ann_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_semdedup": q_embedding_semdedup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -888,6 +907,28 @@ cand AS (
 ORACLES["prep_split_by_cluster"] = _SPLIT_BY_CLUSTER_TMPL.format(
     docs_cte=_DOCS_CTE, shingle_cte=_SHINGLE_CTE, lsh_ctes=_LSH_CTES
 )
+
+ORACLES["dedup_lines"] = f"""WITH {_DOCS_CTE},
+t AS (SELECT doc_id, {_TOKS} AS w FROM docs),
+ln AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS pos,
+         w
+  FROM t WHERE len(w) > 0
+),
+lines AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(w[pos * 10 + 1 : pos * 10 + 10], ' ') AS line
+  FROM ln
+),
+cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+j AS (SELECT l.doc_id, l.pos, l.line, c.c FROM lines l JOIN cnt c USING (line))
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN c > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped,
+       coalesce(string_agg(CASE WHEN c <= 2 THEN line END, ' ' ORDER BY pos), '')
+         AS text_kept
+FROM j GROUP BY doc_id"""
 
 ORACLES["dedup_minhash_lsh"] = f"""WITH {_DOCS_CTE},
 {_SHINGLE_CTE},
@@ -1425,6 +1466,36 @@ p AS (
   FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(s, 4) AS cosine FROM p WHERE s >= 0.9"""
+
+# SemDeDup: k-means (same unrolled Lloyd CTEs as ann_ivf_train, over the
+# seeded-near-dup fixture), assign to trained centroids, then within-
+# cluster pairwise cosine — dup iff a lower-id neighbor scores ≥ 0.95.
+_KMEANS_FIX_CTES = _KMEANS_CTES.replace(_V, _VFIX)
+
+ORACLES["embedding_semdedup"] = f"""WITH {_KMEANS_FIX_CTES},
+sfin AS (
+  SELECT v.vec_id, c2.cid,
+         list_dot_product(v.e, c2.ce) /
+         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c2.ce, c2.ce))) AS s
+  FROM v CROSS JOIN c2
+),
+asg AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM sfin)
+  WHERE rn = 1
+),
+va AS (SELECT v.vec_id, v.e, a.cluster FROM v JOIN asg a USING (vec_id)),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM va a JOIN va b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+              6) >= 0.95
+)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       (d.vec_id IS NOT NULL) AS is_semdup
+FROM asg a LEFT JOIN dups d USING (vec_id)"""
 
 # resize: output bytes = md5 digest of (hex(media) || 'WxH') where
 # hex(media) == md5(text) — so hex(output) == md5(md5(text) || 'WxH')

@@ -508,3 +508,60 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 10,
+    max_count: int = 2,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: any "line" occurring more
+    than ``max_count`` times across the corpus is dropped from EVERY
+    document that contains it (C4 discards lines repeated 3+ times —
+    navigation chrome, cookie banners, license headers).
+
+    The fixture corpus has no newlines, so a line is a run of
+    ``line_tokens`` consecutive tokens (non-overlapping, last one
+    partial) — the structure-free analog; with real documents pass the
+    text through split('\\n') instead.
+
+    Scale shape: two shuffles and no joins — (1) corpus-wide occurrence
+    counts via a window over the line hash (shuffles narrow
+    (id, pos, hash) triples; line text itself stays in the row but
+    could be dropped to the hash for very wide lines), (2) groupBy(doc)
+    to rebuild the kept text in line order. Both are map-side-combined
+    hash aggregations; hot boilerplate lines are bounded per-partition
+    by AQE skew split since the count is a window over the hash only.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n_lines = F.ceil(F.size("_toks") / F.lit(line_tokens)).cast("int")
+    lines_arr = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("_toks", i * line_tokens + 1, line_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = toks.select(
+        id_col, F.posexplode(lines_arr).alias("pos", "line")
+    )
+    w = Window.partitionBy("line")
+    counted = exploded.withColumn("_n", F.count("*").over(w))
+    kept = F.when(F.col("_n") <= max_count, F.struct("pos", "line"))
+    return (
+        counted.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum((F.col("_n") > max_count).cast("int")).cast("bigint").alias("n_lines_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+            ).alias("text_kept"),
+        )
+    )

@@ -560,3 +560,60 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", round_to).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    search for near-duplicates ONLY within each cluster — the cluster
+    count k is the knob that bounds the quadratic term (SemDeDup's
+    whole point: corpus-wide all-pairs is impossible at scale, within-
+    cluster all-pairs with |cluster| ≈ n/k is routine).
+
+    A vector is flagged ``is_semdup`` iff some LOWER-id vector in the
+    same cluster has cosine ≥ threshold — the deterministic keep-first
+    rule (the min-id member of every near-dup group survives; same
+    canonical-by-min-id convention as exact_dedup).
+
+    Scale shape: assignment is a broadcast projection (k rows); the
+    candidate join co-partitions both sides on ``cluster`` (one
+    shuffle); AQE skew-split handles an oversized cluster. The pair
+    filter keeps only (lower, higher) so each pair is scored once.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    v = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+    ).join(assigned, id_col)
+    a = v.select(
+        F.col(id_col).alias("_keep_id"), F.col(vec_col).alias("_avec"), "cluster"
+    )
+    b = v.select(
+        F.col(id_col).alias("_cand_id"), F.col(vec_col).alias("_bvec"), "cluster"
+    )
+    cos = F.round(
+        _dot(F.col("_avec"), F.col("_bvec"))
+        / (_norm(F.col("_avec")) * _norm(F.col("_bvec"))),
+        round_to,
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("_keep_id") < F.col("_cand_id"))
+        .filter(cos >= threshold)
+        .select(F.col("_cand_id").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dups.withColumn("_is_dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce("_is_dup", F.lit(False)).alias("is_semdup"),
+    )

@@ -8,7 +8,7 @@ verified in tests via the physical plan containing BroadcastHashJoin).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,3 +30,91 @@ def enrich(
         )
     )
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "valid_from",
+    value_cols: list[str] | None = None,
+    skip_empty_key: bool = True,
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the LATEST right row
+    with ``right[right_ts] <= left[left_ts]`` for its key (SCD-2 dim
+    lookup — "which tool-config version was live at this turn's ts").
+
+    Spark has no as-of join operator, so this is the scalable union-
+    window construction rather than a range join:
+
+      1. union left rows (side=1, null payload) with right rows (side=0,
+         payload packed into one struct), aligned on (key, ts);
+      2. ONE shuffle on the key, sort within partition by (ts, side) —
+         a right row at ts == left ts sorts first, so it is visible
+         (inclusive backward semantics, same as DuckDB ASOF JOIN);
+      3. running ``last(payload, ignorenulls=True)`` carries the most
+         recent version forward onto every left row.
+
+    No row explosion (a naive range join produces |left| × versions
+    candidates then filters), no broadcast requirement — the dim may be
+    arbitrarily large. Rows whose key is null/'' can never match; with
+    ``skip_empty_key`` they bypass the shuffle entirely (in transcripts
+    2/3 of turns carry no tool — shipping them through the window would
+    put most of the table into one hot '' partition).
+
+    Right rows must be unique per (key, right_ts) — true for any sane
+    version table; ties among LEFT rows are safe (each left row's own
+    payload is null, so ignorenulls skips neighbours).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key_col, right_ts)]
+    left_cols = list(left.columns)
+    ldt = dict(left.dtypes)
+
+    r = right.select(
+        F.col(key_col),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_asof_vals"),
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in left_cols if c != key_col],
+    )
+    vals_type = r.schema["_asof_vals"].dataType
+
+    if skip_empty_key:
+        keyed = left.filter(
+            F.col(key_col).isNotNull() & (F.col(key_col) != F.lit(""))
+        )
+        unkeyed = left.filter(
+            F.col(key_col).isNull() | (F.col(key_col) == F.lit(""))
+        )
+    else:
+        keyed, unkeyed = left, None
+
+    l = keyed.select(
+        *left_cols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast(vals_type).alias("_asof_vals"),
+    )
+    u = l.unionByName(r.select(*l.columns))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        u.withColumn("_asof_carry", F.last("_asof_vals", ignorenulls=True).over(w))
+        .filter(F.col("_asof_side") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"_asof_carry.{c}").alias(c) for c in value_cols],
+        )
+    )
+    if unkeyed is None:
+        return matched
+    rdt = dict(right.dtypes)
+    passthrough = unkeyed.select(
+        *left_cols, *[F.lit(None).cast(rdt[c]).alias(c) for c in value_cols]
+    )
+    return matched.unionByName(passthrough)

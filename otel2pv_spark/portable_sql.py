@@ -107,6 +107,31 @@ ROLE_META_CTE = "role_meta AS (\n  " + _union_values(
     ROLE_META_ROWS, ["role", "role_kind", "default_sink"]
 ) + "\n)"
 
+# Versioned tool-config dimension for the as-of join (SCD-2 style: each
+# tool has versions v1/v2/v3 becoming effective at staggered timestamps
+# inside the events window, so turns before 2024-01-03 match nothing and
+# v1→v2→v3 boundaries land mid-corpus). TIMESTAMP literals parse
+# identically in Spark SQL (session TZ UTC) and DuckDB (naive).
+TOOL_VERSION_ROWS: list[tuple[str, str, str, int]] = [
+    (f"tool-{k}", f"2024-01-{day:02d} {hh:02d}:00:00", ver, base + k)
+    for k in range(8)
+    for day, hh, ver, base in (
+        (3, k, "v1", 100),
+        (11, 2 * k, "v2", 200),
+        (21, 3 * k, "v3", 300),
+    )
+]
+
+TOOL_VERSIONS_CTE = "tool_versions AS (\n  " + "\n  UNION ALL ".join(
+    (
+        f"SELECT '{t}' AS tool, TIMESTAMP '{vf}' AS valid_from, "
+        f"'{v}' AS version, CAST({rev} AS BIGINT) AS config_rev"
+        if i == 0
+        else f"SELECT '{t}', TIMESTAMP '{vf}', '{v}', CAST({rev} AS BIGINT)"
+    )
+    for i, (t, vf, v, rev) in enumerate(TOOL_VERSION_ROWS)
+) + "\n)"
+
 # Grok extraction regexes — one per named "query key", the analog of the
 # fused JQ program (jqTransformer.go:304-327). Portable RE2 ∩ Java-regex
 # subset; group 1 is the captured value; '' (no match) == extraction miss.

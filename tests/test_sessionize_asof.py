@@ -1,0 +1,181 @@
+"""Golden-case tests for the as-of join, sessionization, line-level
+dedup, and SemDeDup operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from otel2pv_spark.functions import dedup as dd
+from otel2pv_spark.functions import similarity as sim
+from otel2pv_spark.operators.enrich import asof_join
+from otel2pv_spark.operators.sessionize import session_stats, sessionize
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ------------------------------------------------------------- as-of join
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            ("t1", _ts("2024-01-05 00:00:00"), "v1", 1),
+            ("t1", _ts("2024-01-10 00:00:00"), "v2", 2),
+            ("t2", _ts("2024-01-07 00:00:00"), "v1", 10),
+        ],
+        "tool string, valid_from timestamp, version string, rev int",
+    )
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            # before any version → null
+            ("a", "t1", _ts("2024-01-04 23:59:59")),
+            # exactly at a version boundary → that version (inclusive)
+            ("b", "t1", _ts("2024-01-05 00:00:00")),
+            # between versions → earlier one
+            ("c", "t1", _ts("2024-01-09 12:00:00")),
+            # after the last → latest
+            ("d", "t1", _ts("2024-02-01 00:00:00")),
+            # other key
+            ("e", "t2", _ts("2024-01-08 00:00:00")),
+            # key absent from dim → null
+            ("f", "t9", _ts("2024-01-08 00:00:00")),
+            # empty key bypasses the shuffle → null
+            ("g", "", _ts("2024-01-08 00:00:00")),
+        ],
+        "row_id string, tool string, ts timestamp",
+    )
+    out = asof_join(left, _dim(spark), key_col="tool")
+    got = {r["row_id"]: (r["version"], r["rev"]) for r in out.collect()}
+    assert got == {
+        "a": (None, None),
+        "b": ("v1", 1),
+        "c": ("v1", 1),
+        "d": ("v2", 2),
+        "e": ("v1", 10),
+        "f": (None, None),
+        "g": (None, None),
+    }
+
+
+def test_asof_no_broadcast_no_cartesian(spark):
+    """The construction must not depend on dim size: no BroadcastExchange
+    of the right side, no cartesian/range-explosion join — one hash
+    exchange on the key feeding a window."""
+    left = spark.createDataFrame(
+        [("a", "t1", _ts("2024-01-06 00:00:00"))],
+        "row_id string, tool string, ts timestamp",
+    )
+    plan = asof_join(left, _dim(spark), key_col="tool")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------- sessionization
+def _events(spark):
+    rows = [
+        # user 1: 3 events tightly spaced, then a >gap jump, then 1 more
+        (1, 1, _ts("2024-01-01 00:00:00"), "view"),
+        (2, 1, _ts("2024-01-01 00:10:00"), "click"),
+        # gap == gap_sec exactly (1800 s): stays in-session
+        (3, 1, _ts("2024-01-01 00:40:00"), "view"),
+        # gap 1801 s: new session
+        (4, 1, _ts("2024-01-01 01:10:01"), "purchase"),
+        # user 2: single event
+        (5, 2, _ts("2024-01-01 09:00:00"), "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    out = sessionize(_events(spark), gap_sec=1800)
+    got = {r["event_id"]: (r["session_n"], r["session_id"]) for r in out.collect()}
+    assert got == {
+        1: (1, "1-1"),
+        2: (1, "1-1"),
+        3: (1, "1-1"),
+        4: (2, "1-2"),
+        5: (1, "2-1"),
+    }
+
+
+def test_session_stats_rollup(spark):
+    out = session_stats(sessionize(_events(spark), gap_sec=1800))
+    got = {
+        r["session_id"]: (r["n_events"], r["duration_sec"], r["n_event_types"])
+        for r in out.collect()
+    }
+    assert got == {
+        "1-1": (3, 2400, 2),
+        "1-2": (1, 0, 1),
+        "2-1": (1, 0, 1),
+    }
+
+
+def test_sessionize_single_exchange(spark):
+    """sessionize + session_stats must share ONE exchange: the rollup
+    groups on (key, session_id), a superset of the window's hash
+    partitioning on key."""
+    plan = (
+        session_stats(sessionize(_events(spark), gap_sec=1800))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+# ------------------------------------------------------------- line dedup
+def test_line_dedup_drops_boilerplate(spark):
+    boiler = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta"),
+            (2, boiler + " gamma delta"),
+            (3, boiler + " epsilon zeta"),
+            (4, "totally unique words here nothing repeated at all ok fine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.line_dedup(docs, line_tokens=10, max_count=2)
+    got = {r["doc_id"]: (r["n_lines"], r["n_lines_dropped"], r["text_kept"]) for r in out.collect()}
+    # the 10-token boilerplate line occurs 3x (> max_count 2) → dropped
+    # everywhere; the 2-token tails are unique → kept
+    assert got[1] == (2, 1, "alpha beta")
+    assert got[2] == (2, 1, "gamma delta")
+    assert got[3] == (2, 1, "epsilon zeta")
+    assert got[4] == (1, 0, "totally unique words here nothing repeated at all ok fine")
+
+
+# ---------------------------------------------------------------- semdedup
+def test_semantic_dedup_flags_within_cluster(spark):
+    # two well-separated clusters; 10/11 near-identical (cos ≈ 1),
+    # 20 isolated, 12 orthogonal-ish to 10 within its cluster
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0, 0.0]),   # dup of 10 (lower id kept)
+        (12, [0.7, 0.7, 0.0, 0.0]),      # same side, cos(10,12)≈0.7 → kept
+        (20, [0.0, 0.0, 1.0, 0.0]),
+        (21, [0.0, 0.0, 0.99, 0.1]),     # dup of 20
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "anchor_rank int, embedding array<double>",
+    )
+    out = sim.semantic_dedup(df, cents, threshold=0.95)
+    got = {r["vec_id"]: (r["cluster"], r["is_semdup"]) for r in out.collect()}
+    assert got == {
+        10: (0, False),
+        11: (0, True),
+        12: (0, False),
+        20: (1, False),
+        21: (1, True),
+    }
