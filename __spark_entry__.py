@@ -147,6 +147,25 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregation (the
+    Structured-Streaming-compatible form — the same expression works
+    under readStream with a watermark). Independent implementation of
+    the same gap rule as sessionize (probe-verified: an event exactly
+    ``gap`` after the previous one merges; > gap starts a new session),
+    checked against the same oracle construction."""
+    ev = datagen.load_events(spark, sf_dir)
+    out = ev.groupBy(
+        "user_id", F.session_window(F.col("ts").cast("timestamp"), "2 hours")
+    ).agg(F.count("*").alias("n_events"))
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("end_us"),
+        "n_events",
+    )
+
+
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: per-sink aggregate counts — the primary correctness anchor."""
     return (
@@ -397,6 +416,13 @@ SELECT user_id,
        count(DISTINCT event_type) AS n_event_types
 FROM sessions GROUP BY user_id, session_n"""
 
+ORACLES["session_window_stats"] = f"""WITH {_SESSION_CTE}
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) + CAST(7200 AS BIGINT) * 1000000 AS end_us,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_n"""
+
 ORACLES["sequence_prev"] = with_transcripts(
     f"""SELECT conv_id, turn_idx, event_id,
        CASE WHEN turn_idx - lag(turn_idx) OVER w = 1 THEN lag(event_id) OVER w END
@@ -566,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_asof": q_enrich_asof,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "session_window_stats": q_session_window_stats,
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,
         "sequence_prev_salted": q_sequence_prev_salted,

@@ -60,6 +60,7 @@ HEADLINE = [
     "prep_chunks",
     "ann_pq_topk",
     "text_quality",
+    "text_classifier",
     "text_token_count",
     "text_winnow",
     "prep_scrub",

@@ -202,6 +202,13 @@ def q_text_winnow_candidates(spark, sf_dir):
     return ts.winnow_candidates(docs_fixture(spark, sf_dir))
 
 
+def q_text_classifier(spark, sf_dir):
+    """fastText-style quality-classifier inference, hashing-trick path —
+    a pure codegen projection (token weights computed inside one
+    F.aggregate fold, no shuffle, no UDF, no model table)."""
+    return ts.classifier_score(_docs(spark, sf_dir))
+
+
 def q_text_subwords(spark, sf_dir):
     return ts.subword_count(_docs(spark, sf_dir))
 
@@ -469,6 +476,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_classifier": q_text_classifier,
     "text_subwords": q_text_subwords,
     "text_winnow": q_text_winnow,
     "text_repetition": q_text_repetition,
@@ -907,6 +915,23 @@ cand AS (
 ORACLES["prep_split_by_cluster"] = _SPLIT_BY_CLUSTER_TMPL.format(
     docs_cte=_DOCS_CTE, shingle_cte=_SHINGLE_CTE, lsh_ctes=_LSH_CTES
 )
+
+ORACLES["text_classifier"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+s AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         CASE WHEN len(w) > 0 THEN
+           list_sum(list_transform(w, x ->
+             ((('0x' || substr(md5(x || '#clf-v1'), 1, 8))::BIGINT % 2001) - 1000)
+               / 1000.0)) / len(w)
+         ELSE 0.0 END AS mw
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 / (1.0 + exp(-mw)), 6) AS score,
+       round(1.0 / (1.0 + exp(-mw)), 6) >= 0.5 AS label
+FROM s"""
 
 ORACLES["dedup_lines"] = f"""WITH {_DOCS_CTE},
 t AS (SELECT doc_id, {_TOKS} AS w FROM docs),

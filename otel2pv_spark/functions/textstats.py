@@ -362,3 +362,74 @@ def fingerprint(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
         F.md5(F.col(text_col)).alias("content_hash"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok)))).alias("token_set_hash"),
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: DataFrame | None = None,
+    bias: float = 0.0,
+    salt: str = "clf-v1",
+    round_to: int = 6,
+) -> DataFrame:
+    """fastText-style linear classifier inference (token features →
+    mean weight → sigmoid) — the standard quality-classifier shape
+    (e.g. the CCNet/GPT-3 "looks like reference corpus" filters).
+
+    Two execution paths:
+
+    - ``weights=None`` (hashing trick, the fastText vocabulary layout):
+      each token's weight is a deterministic hash of (token, salt)
+      mapped to [-1, 1]. A trained hashed model differs only in the
+      values; the DATAFLOW is identical — and here it is a pure
+      whole-stage-codegen projection: zero shuffle, zero UDFs, the
+      per-token weight computed inside one F.aggregate fold.
+    - ``weights`` = (token, weight) table: explode tokens → broadcast
+      join the weight table (OOV tokens weigh 0) → one groupBy(doc)
+      mean. One shuffle on the doc id; the model broadcasts — at
+      fastText-scale vocabularies (2M buckets × 8 bytes) that is a
+      16 MB broadcast, fine on any executor.
+
+    Output: (id, n_tokens, score, label) with score = round(sigmoid(
+    bias + mean(w)), round_to), label = score >= 0.5.
+    """
+    tok = tokens(text_col)
+
+    if weights is None:
+        # hash → [-1, 1]: int(md5(tok '#' salt)[:8], 16) % 2001 → ±1000/1000
+        w_of = lambda t: (  # noqa: E731
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", t, F.lit(salt))), 1, 8), 16, 10
+            ).cast("bigint")
+            % 2001
+            - 1000
+        ) / 1000.0
+        n_tok = F.size(tok)
+        total = F.aggregate(tok, F.lit(0.0), lambda acc, t: acc + w_of(t))
+        mean_w = F.when(n_tok > 0, total / n_tok).otherwise(F.lit(0.0))
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean_w))), round_to)
+        return df.select(
+            F.col(id_col),
+            n_tok.cast("bigint").alias("n_tokens"),
+            score.alias("score"),
+            (score >= 0.5).alias("label"),
+        )
+
+    exploded = df.select(F.col(id_col), F.explode(tok).alias("token"))
+    scored = exploded.join(F.broadcast(weights), "token", "left").select(
+        id_col, F.coalesce("weight", F.lit(0.0)).alias("w")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.avg("w").alias("_mean_w"),
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("_mean_w")))), round_to
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        score.alias("score"),
+        (score >= 0.5).alias("label"),
+    )

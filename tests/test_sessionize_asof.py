@@ -179,3 +179,32 @@ def test_semantic_dedup_flags_within_cluster(spark):
         20: (1, False),
         21: (1, True),
     }
+
+
+# ------------------------------------------------------------- classifier
+def test_classifier_weight_table_path(spark):
+    import math
+
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unknown words only")],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 2.0), ("bad", -1.0)], "token string, weight double"
+    )
+    out = ts.classifier_score(docs, weights=weights)
+    got = {r["doc_id"]: (r["n_tokens"], r["score"], r["label"]) for r in out.collect()}
+    # doc 1: mean(2, 2, -1) = 1.0 → sigmoid(1.0); doc 2: all OOV → 0.5
+    s1 = round(1.0 / (1.0 + math.exp(-1.0)), 6)
+    assert got == {1: (3, s1, True), 2: (3, 0.5, True)}
+
+
+def test_classifier_hash_path_no_shuffle(spark):
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    plan = ts.classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF: codegen only
