@@ -527,13 +527,19 @@ def line_dedup(
     partial) — the structure-free analog; with real documents pass the
     text through split('\\n') instead.
 
-    Scale shape: two shuffles and no joins — (1) corpus-wide occurrence
-    counts via a window over the line hash (shuffles narrow
-    (id, pos, hash) triples; line text itself stays in the row but
-    could be dropped to the hash for very wide lines), (2) groupBy(doc)
-    to rebuild the kept text in line order. Both are map-side-combined
-    hash aggregations; hot boilerplate lines are bounded per-partition
-    by AQE skew split since the count is a window over the hash only.
+    Scale shape: the occurrence count is a map-side-combined
+    groupBy(line-hash).count() — NOT a count-over-window: a window
+    partitioned by the line would ship every occurrence of a hot
+    boilerplate line (by definition present in a large fraction of
+    documents) into ONE task, and AQE's skew handling does not split
+    window partitions. With the groupBy, each input task emits one
+    partial count per distinct line it saw, so the hot key moves
+    O(tasks) rows, and the join back onto the exploded lines is a
+    plain equi-join AQE can skew-split. Then one groupBy(doc) rebuilds
+    the kept text in line order. Lines join on a 64-bit hash (counts
+    keyed by 8 bytes, not the line text); as with every hash-keyed
+    dedup op here, a collision conflates two distinct lines — the
+    standard trade at corpus scale.
     """
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     n_lines = F.ceil(F.size("_toks") / F.lit(line_tokens)).cast("int")
@@ -548,9 +554,9 @@ def line_dedup(
     ).otherwise(F.array().cast("array<string>"))
     exploded = toks.select(
         id_col, F.posexplode(lines_arr).alias("pos", "line")
-    )
-    w = Window.partitionBy("line")
-    counted = exploded.withColumn("_n", F.count("*").over(w))
+    ).withColumn("_h", F.xxhash64("line"))
+    counts = exploded.groupBy("_h").agg(F.count("*").alias("_n"))
+    counted = exploded.join(counts, "_h")
     kept = F.when(F.col("_n") <= max_count, F.struct("pos", "line"))
     return (
         counted.groupBy(id_col)

@@ -70,6 +70,13 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key_col, right_ts)]
     left_cols = list(left.columns)
+    clash = set(value_cols) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"asof_join: carried columns {sorted(clash)} already exist on the "
+            "left side — rename them on one side (fail loudly rather than "
+            "emit ambiguous duplicate columns)"
+        )
     ldt = dict(left.dtypes)
 
     r = right.select(
