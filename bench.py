@@ -133,14 +133,20 @@ def main_bench() -> None:
         shutil.rmtree(out_root, ignore_errors=True)
         e2e = r if e2e is None or r["wall_sec"] < e2e["wall_sec"] else e2e
     queries["pipeline_e2e"] = round(e2e["wall_sec"], 3)
-    total = round(time.time() - t0, 3)
+    wall = round(time.time() - t0, 3)
 
+    # headline value = sum of the reported per-query minimums: the
+    # comparable "how fast are the queries" number under min-of-2
+    # (raw wall doubles with the repeat count and includes the noisy
+    # discarded runs; it is still reported as wall_sec).
+    total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": _sf_of(SF_DIR),
+        "wall_sec": wall,
         "e2e_rows": e2e["rows"],
         "e2e_turns_per_sec": round(e2e["turns_per_sec"], 1),
     }))

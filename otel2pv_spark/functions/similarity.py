@@ -586,21 +586,38 @@ def semantic_dedup(
     candidate join co-partitions both sides on ``cluster`` (one
     shuffle); AQE skew-split handles an oversized cluster. The pair
     filter keeps only (lower, higher) so each pair is scored once.
+    Join parallelism equals the number of distinct clusters — in
+    production SemDeDup runs with k ≈ √n (the paper uses 10^5 clusters
+    on LAION), so tasks are plentiful and each cluster's quadratic is
+    tiny; the k=4 of the driver fixture (pinned by the unrolled-Lloyd
+    oracle) is a correctness fixture, not the scale configuration.
     """
     assigned = ivf_assign(df, centroids, id_col, vec_col)
-    v = df.select(
-        F.col(id_col),
-        F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
-    ).join(assigned, id_col)
+    # Precompute each vector's norm ONCE (n rows) instead of inside the
+    # pair expression (2× per pair): cos stays dot/(na*nb) — the exact
+    # same value the oracle computes, just with the norm factored out.
+    v = (
+        df.select(
+            F.col(id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+        )
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+        .join(assigned, id_col)
+    )
     a = v.select(
-        F.col(id_col).alias("_keep_id"), F.col(vec_col).alias("_avec"), "cluster"
+        F.col(id_col).alias("_keep_id"),
+        F.col(vec_col).alias("_avec"),
+        F.col("_nrm").alias("_anrm"),
+        "cluster",
     )
     b = v.select(
-        F.col(id_col).alias("_cand_id"), F.col(vec_col).alias("_bvec"), "cluster"
+        F.col(id_col).alias("_cand_id"),
+        F.col(vec_col).alias("_bvec"),
+        F.col("_nrm").alias("_bnrm"),
+        "cluster",
     )
     cos = F.round(
-        _dot(F.col("_avec"), F.col("_bvec"))
-        / (_norm(F.col("_avec")) * _norm(F.col("_bvec"))),
+        _dot(F.col("_avec"), F.col("_bvec")) / (F.col("_anrm") * F.col("_bnrm")),
         round_to,
     )
     dups = (
