@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .portable_sql import (
     ROLE_META_ROWS,
     TOOL_META_ROWS,
+    TOOL_VERSIONS_CTE,
     with_transcripts,
 )
 
@@ -56,8 +57,6 @@ def tool_versions(spark: SparkSession) -> DataFrame:
     the shared portable CTE so Spark and DuckDB parse the exact same
     TIMESTAMP literals (createDataFrame with naive datetimes would go
     through the driver's local tz instead of the session tz)."""
-    from .portable_sql import TOOL_VERSIONS_CTE
-
     return spark.sql("WITH " + TOOL_VERSIONS_CTE + " SELECT * FROM tool_versions")
 
 

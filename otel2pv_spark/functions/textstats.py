@@ -416,13 +416,18 @@ def classifier_score(
             (score >= 0.5).alias("label"),
         )
 
-    exploded = df.select(F.col(id_col), F.explode(tok).alias("token"))
+    # explode_outer, not explode: a zero-token (or null-text) document
+    # must still appear in the output — with mean weight 0, exactly as
+    # the hashing path scores it.
+    exploded = df.select(F.col(id_col), F.explode_outer(tok).alias("token"))
     scored = exploded.join(F.broadcast(weights), "token", "left").select(
-        id_col, F.coalesce("weight", F.lit(0.0)).alias("w")
+        id_col,
+        F.col("token").isNotNull().cast("int").alias("is_tok"),
+        F.coalesce("weight", F.lit(0.0)).alias("w"),
     )
     agg = scored.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.avg("w").alias("_mean_w"),
+        F.sum("is_tok").cast("bigint").alias("n_tokens"),
+        (F.sum("w") / F.greatest(F.sum("is_tok"), F.lit(1))).alias("_mean_w"),
     )
     score = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("_mean_w")))), round_to

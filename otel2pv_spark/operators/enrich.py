@@ -70,12 +70,13 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key_col, right_ts)]
     left_cols = list(left.columns)
-    clash = set(value_cols) & set(left_cols)
+    _RESERVED = ("_asof_ts", "_asof_side", "_asof_vals", "_asof_carry")
+    clash = (set(value_cols) & set(left_cols)) | (set(_RESERVED) & set(left_cols))
     if clash:
         raise ValueError(
-            f"asof_join: carried columns {sorted(clash)} already exist on the "
-            "left side — rename them on one side (fail loudly rather than "
-            "emit ambiguous duplicate columns)"
+            f"asof_join: columns {sorted(clash)} collide (carried right "
+            "columns and the internal _asof_* names must not exist on the "
+            "left side) — rename them rather than emit an ambiguous plan"
         )
     ldt = dict(left.dtypes)
 
@@ -89,12 +90,15 @@ def asof_join(
     vals_type = r.schema["_asof_vals"].dataType
 
     if skip_empty_key:
-        keyed = left.filter(
-            F.col(key_col).isNotNull() & (F.col(key_col) != F.lit(""))
-        )
-        unkeyed = left.filter(
-            F.col(key_col).isNull() | (F.col(key_col) == F.lit(""))
-        )
+        # '' only means "no key" for string keys; comparing a numeric
+        # key against '' would coerce to NULL and silently drop every
+        # row from BOTH branches (NULL is neither true nor false).
+        if ldt[key_col] == "string":
+            no_key = F.col(key_col).isNull() | (F.col(key_col) == F.lit(""))
+        else:
+            no_key = F.col(key_col).isNull()
+        keyed = left.filter(~no_key)
+        unkeyed = left.filter(no_key)
     else:
         keyed, unkeyed = left, None
 

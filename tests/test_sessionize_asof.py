@@ -208,3 +208,48 @@ def test_classifier_hash_path_no_shuffle(spark):
     plan = ts.classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF: codegen only
+
+
+def test_asof_numeric_key_not_dropped(spark):
+    """Regression: with a non-string key, skip_empty_key must only
+    null-check — comparing a bigint against '' coerces to NULL and
+    silently dropped every row from both branches."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-06 00:00:00")), (2, None, _ts("2024-01-06 00:00:00"))],
+        "row_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts("2024-01-01 00:00:00"), "v1")],
+        "k long, valid_from timestamp, version string",
+    )
+    out = asof_join(left, right, key_col="k")
+    got = {r["row_id"]: r["version"] for r in out.collect()}
+    assert got == {1: "v1", 2: None}
+
+
+def test_asof_reserved_name_clash_fails_loudly(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("a", "t1", _ts("2024-01-06 00:00:00"), 0)],
+        "row_id string, tool string, ts timestamp, _asof_ts int",
+    )
+    with pytest.raises(ValueError, match="_asof_ts"):
+        asof_join(left, _dim(spark), key_col="tool")
+
+
+def test_classifier_weight_table_covers_empty_docs(spark):
+    """Regression: the weights-table path must emit zero-token docs
+    (score 0.5, like the hashing path) — explode() dropped them."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame([("good", 2.0)], "token string, weight double")
+    out = ts.classifier_score(docs, weights=weights)
+    got = {r["doc_id"]: (r["n_tokens"], r["score"]) for r in out.collect()}
+    assert got[2] == (0, 0.5)
+    assert got[3] == (0, 0.5)
+    assert got[1][0] == 2
