@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_pq_topk",
     "text_quality",
     "text_classifier",
+    "text_ngram_lm",
     "text_token_count",
     "text_winnow",
     "prep_scrub",

@@ -209,6 +209,18 @@ def q_text_classifier(spark, sf_dir):
     return ts.classifier_score(_docs(spark, sf_dir))
 
 
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary: per-token term frequency + document
+    frequency (tokenizer-training input)."""
+    return ts.vocab_counts(_docs(spark, sf_dir))
+
+
+def q_text_ngram_lm(spark, sf_dir):
+    """Count-based trigram LM table: pruned n-gram counts, context
+    counts, MLE conditional probabilities."""
+    return ts.ngram_lm(_docs(spark, sf_dir), n=3, min_count=2)
+
+
 def q_text_subwords(spark, sf_dir):
     return ts.subword_count(_docs(spark, sf_dir))
 
@@ -477,6 +489,8 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_classifier": q_text_classifier,
+    "text_vocab": q_text_vocab,
+    "text_ngram_lm": q_text_ngram_lm,
     "text_subwords": q_text_subwords,
     "text_winnow": q_text_winnow,
     "text_repetition": q_text_repetition,
@@ -932,6 +946,35 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(1.0 / (1.0 + exp(-mw)), 6) AS score,
        round(1.0 / (1.0 + exp(-mw)), 6) >= 0.5 AS label
 FROM s"""
+
+ORACLES["text_vocab"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+u AS (SELECT doc_id, unnest(w) AS token FROM t)
+SELECT token, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM u GROUP BY token"""
+
+ORACLES["text_ngram_lm"] = f"""WITH t AS (
+  SELECT {_TOKS} AS w FROM documents
+),
+g AS (
+  SELECT unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ngram
+  FROM t WHERE len(w) >= 3
+),
+gc AS (SELECT ngram, count(*) AS count FROM g GROUP BY ngram HAVING count(*) >= 2),
+c AS (
+  SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS context
+  FROM t WHERE len(w) >= 2
+),
+cc AS (SELECT context, count(*) AS context_count FROM c GROUP BY context),
+g2 AS (
+  SELECT ngram, count,
+         array_to_string((string_split(ngram, ' '))[1:2], ' ') AS context
+  FROM gc
+)
+SELECT g2.ngram, g2.count, cc.context_count,
+       round(g2.count / cc.context_count, 6) AS cond_prob
+FROM g2 JOIN cc USING (context)"""
 
 ORACLES["dedup_lines"] = f"""WITH {_DOCS_CTE},
 t AS (SELECT doc_id, {_TOKS} AS w FROM docs),

@@ -438,3 +438,62 @@ def classifier_score(
         score.alias("score"),
         (score >= 0.5).alias("label"),
     )
+
+
+def vocab_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary induction (tokenizer-training input): per
+    token, total term frequency and document frequency. One explode +
+    one groupBy; both aggregates partial-aggregate map-side (the
+    distinct-count dedups (token, doc) pairs per task), so hot tokens
+    ('the') shuffle partial state, not per-occurrence rows."""
+    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    return exploded.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct(id_col).alias("df"),
+    )
+
+
+def ngram_lm(
+    df: DataFrame,
+    n: int = 3,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Count-based n-gram LM estimation (the distributed half of a
+    KenLM-style pipeline): corpus n-gram counts, (n-1)-gram context
+    counts, MLE conditional probability, and count pruning (n-grams
+    below ``min_count`` dropped — the standard trim that keeps web-
+    scale count tables manageable).
+
+    Scale shape: two exploded map-side-combined groupBys (the explode
+    inflates rows n× but each task pre-aggregates, so hot n-grams
+    shuffle partial counts) + ONE equi-join of the pruned n-gram table
+    against the context table (AQE-skew-splittable; both sides keyed
+    by the context string). No driver-side state, no vocabulary
+    assumption.
+    """
+    from .dedup import shingles
+
+    toks = df.select(tokens(text_col).alias("_w"))
+    grams = (
+        toks.select(F.explode(shingles(F.col("_w"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    contexts = (
+        toks.select(F.explode(shingles(F.col("_w"), n - 1)).alias("context"))
+        .groupBy("context")
+        .agg(F.count("*").alias("context_count"))
+    )
+    joined = grams.withColumn(
+        "context", F.substring_index("ngram", " ", n - 1)
+    ).join(contexts, "context")
+    return joined.select(
+        "ngram",
+        "count",
+        "context_count",
+        F.round(F.col("count") / F.col("context_count"), round_to).alias("cond_prob"),
+    )

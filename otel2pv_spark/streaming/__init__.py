@@ -13,5 +13,6 @@ from .stream_pipeline import (  # noqa: F401
     run_stream_dedup,
     run_stream_pipeline,
     stateful_group_verify,
+    stream_session_stats,
     stream_windowed_metrics,
 )

@@ -161,6 +161,34 @@ def stream_windowed_metrics(
     )
 
 
+def stream_session_stats(
+    stream: DataFrame,
+    key_col: str = "conv_id",
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Sessionization over the live stream via Spark's native
+    session_window — the streaming form of operators/sessionize (same
+    gap rule: an event exactly ``gap`` after the previous one merges).
+    Dynamic-gap session state is exactly what hand-rolled streaming
+    sessionizers get wrong; here the engine owns merge + eviction: a
+    session's state is dropped (and its one append-mode row emitted)
+    when the watermark passes session end. Same bounded-state argument
+    as stream_windowed_metrics, but per (key, session) instead of per
+    fixed window."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.col(key_col), F.session_window("ts", gap).alias("sess"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 DOC_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -253,3 +253,30 @@ def test_classifier_weight_table_covers_empty_docs(spark):
     assert got[2] == (0, 0.5)
     assert got[3] == (0, 0.5)
     assert got[1][0] == 2
+
+
+# ----------------------------------------------------------- ngram LM / vocab
+def test_ngram_lm_golden(spark):
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d")],
+        "doc_id long, text string",
+    )
+    out = ts.ngram_lm(docs, n=3, min_count=2)
+    got = {r["ngram"]: (r["count"], r["context_count"], r["cond_prob"]) for r in out.collect()}
+    # trigrams: doc1 = [a b c, b c a, c a b, a b c], doc2 = [a b d]
+    # pruned to count >= 2: only "a b c" (2). context "a b" occurs 3x
+    # (twice doc1, once doc2) -> P(c | a b) = 2/3
+    assert got == {"a b c": (2, 3, round(2 / 3, 6))}
+
+
+def test_vocab_counts_golden(spark):
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: (r["tf"], r["df"]) for r in ts.vocab_counts(docs).collect()}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}

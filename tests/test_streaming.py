@@ -246,3 +246,59 @@ def test_stream_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
     assert got["10:04"] == 1, got
     assert got["10:30"] == 1, got
     assert "11:00" not in got, got  # its window never finalized
+
+
+def test_stream_session_stats_merges_and_finalizes(spark, tmp_path):
+    """Native session_window over the stream: events within the gap of
+    each other merge into one session (even across availableNow runs,
+    while the session is still open w.r.t. the watermark); a session
+    finalizes once the watermark passes its end."""
+    from otel2pv_spark.streaming import read_transcripts_stream, stream_session_stats
+
+    src = str(tmp_path / "ss_src")
+    out = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _f(name, rows, offset):
+        pd.DataFrame(
+            [{"conv_id": c, "turn_idx": 0, "role": "user", "text": "t",
+              "tool": None, "ts": pd.Timestamp(f"2026-01-01 {ts}")}
+             for c, ts in rows]
+        ).to_parquet(f"{src}/{name}.parquet", index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(f"{src}/{name}.parquet", (time.time() + offset,) * 2)
+
+    def _run():
+        q = (
+            stream_session_stats(
+                read_transcripts_stream(spark, src),
+                gap="10 minutes", watermark_delay="1 minute",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # c1: two events 5 min apart -> ONE session [10:00, 10:15)
+    _f("b1", [("c1", "10:00:00"), ("c1", "10:05:00")], 0)
+    _run()
+    # c1 again 30 min later (> gap) -> a NEW session; pusher event far
+    # ahead so the watermark passes both session ends
+    _f("b2", [("c1", "10:45:00"), ("c2", "12:00:00")], 1)
+    _run()
+    _f("b3", [("c2", "13:00:00")], 2)
+    _run()
+
+    rows = spark.read.parquet(out).collect()
+    sessions = sorted(
+        (r["conv_id"], r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_turns"])
+        for r in rows
+    )
+    assert ("c1", "10:00", "10:15", 2) in sessions   # merged pair, end = last+gap
+    assert ("c1", "10:45", "10:55", 1) in sessions   # new session after > gap
