@@ -73,6 +73,23 @@ def build_audit(
     differing only in redacted PII are duplicates) and each stage sees
     only the previous stage's survivors, so drop_reason is the first
     gate that fired."""
+    if (cfg.temperature_alpha is not None) and cfg.sample_rates:
+        raise ValueError(
+            "CurationConfig: temperature_alpha and sample_rates are "
+            "mutually exclusive — configure exactly one"
+        )
+    if cfg.strata_col and not (
+        cfg.temperature_alpha is not None or cfg.sample_rates
+    ):
+        raise ValueError(
+            "CurationConfig: strata_col is set but neither "
+            "temperature_alpha nor sample_rates is — sampling would "
+            "silently no-op (every survivor kept)"
+        )
+    if (cfg.temperature_alpha is not None or cfg.sample_rates) and not cfg.strata_col:
+        raise ValueError(
+            "CurationConfig: temperature_alpha/sample_rates require strata_col"
+        )
     cur = prep.curate(
         docs, quality_threshold=cfg.quality_threshold, lang=cfg.lang
     )
@@ -162,11 +179,12 @@ def run_curation(
 
     if not man.is_committed("clean"):
         kept = cat.read("audit").filter("kept").select("doc_id", "split")
-        clean = (
-            prep.scrub_text(docs)
-            .select("doc_id", F.col("scrubbed").alias("text"))
-            .join(kept, "doc_id")
-        )
+        # join FIRST, scrub the survivors: the multi-regex scrub over
+        # dropped documents would be wasted work (at the target scale
+        # the drop rate is the point of curation)
+        clean = prep.scrub_text(docs.join(kept.select("doc_id"), "doc_id")).select(
+            "doc_id", F.col("scrubbed").alias("text")
+        ).join(kept, "doc_id")
         # pack WITHIN each split: a pack mixing train and test text is
         # test-set leakage the moment sequences are assembled. Pack
         # identity in clean_docs is therefore (split, shard, pack_id).

@@ -106,7 +106,9 @@ def _apply_sequence(
         out_col=cfg.seq_out_col,
         array_mode=cfg.seq_array_mode,
         gap_reset=cfg.gap_reset,
-        dup_compare_cols=("role", "text", "tool"),
+        # parent_event_id included so the conflict definition matches
+        # tree_mode's kernel deep-compare (child_ids + payload, Q1)
+        dup_compare_cols=("role", "text", "tool", "parent_event_id"),
     )
     if cfg.hot_block_size:
         seq = seq_op.sequence_window_salted(
@@ -127,11 +129,22 @@ def _apply_tree_sequence(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Tree orientation: each turn's CHILD list is its declared previous
     event (the OTel parent span ends last; the earlier turn is the
     child that finishes first), so post-order DFS emission IS turn
-    order and the prev link is the previous valid turn — bit-identical
-    to the window fast path, including the missing-turn prev reset
+    order and the prev link is the previous valid turn — matching the
+    window fast path, including the missing-turn prev reset
     (the dummy-child semantics, sequencer.go:519-529,761-763). A turn
     whose text encodes real tool-call subtree links gets genuine tree
     sequencing through the same path.
+
+    Node mapping for duplicate semantics: app_json carries the parsed
+    payload (event_id/event_type/job/app/text/tool), node_type the
+    role, and timestamp is 0 — "absent" per the reference (optional
+    field, sequencer.go:975-977): the carrier has no event-claimed
+    time, and mapping arrival position into it would make a
+    redelivered duplicate spuriously unequal under the kernel's deep
+    compare (Q1). With this mapping both modes flag a duplicate
+    conflict iff payload or parent linkage differs (the kernel
+    compares child_ids + app_json; the window path compares
+    role/text/tool/parent_event_id).
 
     Scale shape: one conv-bucket shuffle into the Arrow kernel, then a
     (conv_id, node_id) equi-join back — AQE broadcasts the link side
@@ -144,6 +157,20 @@ def _apply_tree_sequence(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     payloads."""
     from ..operators import sequence_tree as tree_seq_op
 
+    if not cfg.gap_reset:
+        raise ValueError(
+            "tree_mode: gap_reset=False is not expressible — the DFS "
+            "kernel's missing-child dummy ALWAYS resets prev "
+            "(sequencer.go:519-529); use the window path for that config"
+        )
+    _APP_FIELDS = (
+        "event_id", "event_type", "job_name", "application_name", "text", "tool"
+    )
+    if cfg.seq_id_map_col is not None and cfg.seq_id_map_col not in _APP_FIELDS:
+        raise ValueError(
+            f"tree_mode: seq_id_map_col={cfg.seq_id_map_col!r} is not a "
+            f"payload field the kernel nodes carry ({_APP_FIELDS})"
+        )
     nodes = parsed.filter(F.col("parse_ok")).select(
         "conv_id",
         F.col("event_id").alias("node_id"),
@@ -152,8 +179,15 @@ def _apply_tree_sequence(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.col("parent_event_id") != "", F.array("parent_event_id")
         ).otherwise(F.array().cast("array<string>")).alias("child_ids"),
         F.col("role").alias("node_type"),
-        (F.col("turn_idx").cast("long") + F.lit(1)).alias("timestamp"),
-        F.create_map(F.lit("event_id"), F.col("event_id")).alias("app_json"),
+        F.lit(0).cast("long").alias("timestamp"),
+        F.create_map(
+            F.lit("event_id"), F.col("event_id"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("job_name"), F.col("job_name"),
+            F.lit("application_name"), F.col("application_name"),
+            F.lit("text"), F.col("text"),
+            F.lit("tool"), F.col("tool"),
+        ).alias("app_json"),
         F.col("turn_idx").cast("long").alias("arrival_pos"),
     )
     buckets = cfg.tree_buckets
@@ -161,8 +195,9 @@ def _apply_tree_sequence(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
         buckets = 8 * int(
             parsed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    kcfg = tree_seq_op.TreeSequencerConfig(seq_id_map_field=cfg.seq_id_map_col)
     links = (
-        tree_seq_op.sequence_tree(nodes, buckets=buckets)
+        tree_seq_op.sequence_tree(nodes, cfg=kcfg, buckets=buckets)
         .filter(~F.col("is_duplicate"))  # canonical link per (conv, node)
         .select(
             F.col("conv_id").alias("_lc"),
@@ -263,6 +298,71 @@ def build_sequenced(
     return routable, rejects
 
 
+def _metrics_rows(cat: Catalog, run_id: str) -> int:
+    """Total rows from _metrics for THIS run. _metrics is replaced by
+    whichever run wrote last, so a resume must filter on run_id rather
+    than sum another run's counts; an empty match (legacy table without
+    this run's rows) falls back to the unfiltered sum."""
+    rows = cat.read("_metrics").collect()
+    mine = [r for r in rows if r.run_id == run_id]
+    return sum(r.rows for r in (mine or rows))
+
+
+def _derive_metrics_lineage(
+    spark: SparkSession, cat: Catalog, man: RunManifest, run_id: str
+) -> int:
+    """ONE column-pruned readback aggregation of the written output →
+    per-sink _metrics + per-input-partition _lineage (≤ #sinks ×
+    #input-partitions groups, finalized driver-side — the reference's
+    per-message success log, producers.go:882-884, batched into
+    tables). Shared by run() and run_incremental() so the two paths
+    cannot drift; returns the total row count."""
+    per = (
+        cat.read("sequenced_events")
+        .groupBy("sink", "src_partition_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.min("conv_id").alias("min_conv_id"),
+            F.max("conv_id").alias("max_conv_id"),
+        )
+    ).collect()
+    if not man.is_committed("metrics"):
+        by_sink: dict[str, int] = {}
+        for r in per:
+            by_sink[r.sink] = by_sink.get(r.sink, 0) + r.rows
+        cat.write(
+            spark.createDataFrame(
+                [(run_id, s, n) for s, n in sorted(by_sink.items())],
+                "run_id string, sink string, rows bigint",
+            ),
+            "_metrics",
+        )
+        man.commit("metrics")
+    if not man.is_committed("lineage"):
+        by_pid: dict[int, list] = {}
+        for r in per:
+            cur = by_pid.get(r.src_partition_id)
+            if cur is None:
+                by_pid[r.src_partition_id] = [r.rows, r.min_conv_id, r.max_conv_id]
+            else:
+                cur[0] += r.rows
+                cur[1] = min(cur[1], r.min_conv_id)
+                cur[2] = max(cur[2], r.max_conv_id)
+        cat.write(
+            spark.createDataFrame(
+                [
+                    (run_id, "sequence", pid, n, lo, hi)
+                    for pid, (n, lo, hi) in sorted(by_pid.items())
+                ],
+                "run_id string, stage string, partition_id int, "
+                "rows bigint, min_conv_id string, max_conv_id string",
+            ),
+            "_lineage",
+        )
+        man.commit("lineage")
+    return sum(r.rows for r in per)
+
+
 def run(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -285,7 +385,7 @@ def run(
     steps = ("fanout", "rejects", "metrics", "lineage")
     if all(man.is_committed(s) for s in steps):
         # fully-resumed run: nothing to recompute — answer from _metrics
-        n_rows = sum(r.rows for r in cat.read("_metrics").collect())
+        n_rows = _metrics_rows(cat, run_id)
         return {
             "run_id": run_id,
             "rows": n_rows,
@@ -312,58 +412,9 @@ def run(
         man.commit("rejects", {"path": cat.path("rejects")})
 
     if man.is_committed("metrics") and man.is_committed("lineage"):
-        n_rows = sum(r.rows for r in cat.read("_metrics").collect())
+        n_rows = _metrics_rows(cat, run_id)
     else:
-        # metrics + lineage from ONE column-pruned readback aggregation
-        # of the written output: ≤ #sinks × #input-partitions groups,
-        # finalized driver-side (the reference's per-message success
-        # log, producers.go:882-884, batched into tables).
-        per = (
-            cat.read("sequenced_events")
-            .groupBy("sink", "src_partition_id")
-            .agg(
-                F.count("*").alias("rows"),
-                F.min("conv_id").alias("min_conv_id"),
-                F.max("conv_id").alias("max_conv_id"),
-            )
-        ).collect()
-        if not man.is_committed("metrics"):
-            by_sink: dict[str, int] = {}
-            for r in per:
-                by_sink[r.sink] = by_sink.get(r.sink, 0) + r.rows
-            cat.write(
-                spark.createDataFrame(
-                    [(run_id, s, n) for s, n in sorted(by_sink.items())],
-                    "run_id string, sink string, rows bigint",
-                ),
-                "_metrics",
-            )
-            man.commit("metrics")
-        if not man.is_committed("lineage"):
-            by_pid: dict[int, list] = {}
-            for r in per:
-                cur = by_pid.get(r.src_partition_id)
-                if cur is None:
-                    by_pid[r.src_partition_id] = [
-                        r.rows, r.min_conv_id, r.max_conv_id
-                    ]
-                else:
-                    cur[0] += r.rows
-                    cur[1] = min(cur[1], r.min_conv_id)
-                    cur[2] = max(cur[2], r.max_conv_id)
-            cat.write(
-                spark.createDataFrame(
-                    [
-                        (run_id, "sequence", pid, n, lo, hi)
-                        for pid, (n, lo, hi) in sorted(by_pid.items())
-                    ],
-                    "run_id string, stage string, partition_id int, "
-                    "rows bigint, min_conv_id string, max_conv_id string",
-                ),
-                "_lineage",
-            )
-            man.commit("lineage")
-        n_rows = sum(r.rows for r in per)
+        n_rows = _derive_metrics_lineage(spark, cat, man, run_id)
 
     wall = time.time() - t0
     return {
@@ -432,41 +483,23 @@ def run_incremental(
         cat.replace_keys(
             "sequenced_events", "_incr_events", keys, partition_by=["sink"]
         )
-        if cat.exists("_incr_rejects") or cat.exists("rejects"):
-            if cat.exists("_incr_rejects"):
-                cat.replace_keys(
-                    "rejects", "_incr_rejects", keys, partition_by=["sink"]
-                )
-            else:
-                # no new rejects: just drop the replaced conversations'
-                # old reject rows
-                if cat.exists("rejects"):
-                    old = cat.read("rejects").join(keys, "conv_id", "left_anti")
-                    cat.write(old, "rejects", partition_by=["sink"])
+        # commit_fanout_split always materializes _incr_rejects (empty
+        # with full schema when the recompute produced none), so ONE
+        # replace_keys covers both cases: the changed conversations'
+        # old reject rows are anti-joined out and any new ones spliced
+        # in — a no-reject recompute correctly DROPS stale rejects.
+        cat.replace_keys("rejects", "_incr_rejects", keys, partition_by=["sink"])
         man.commit("incr_merge")
 
-    # metrics + lineage re-derived from the merged output (one
-    # column-pruned readback, same pattern as run())
-    per = (
-        cat.read("sequenced_events")
-        .groupBy("sink", "src_partition_id")
-        .agg(F.count("*").alias("rows"))
-    ).collect()
-    by_sink: dict[str, int] = {}
-    for r in per:
-        by_sink[r.sink] = by_sink.get(r.sink, 0) + r.rows
-    cat.write(
-        spark.createDataFrame(
-            [(run_id, s, n) for s, n in sorted(by_sink.items())],
-            "run_id string, sink string, rows bigint",
-        ),
-        "_metrics",
-    )
-    man.commit("metrics")
+    # metrics + lineage re-derived from the merged output — the same
+    # shared readback as run(), so a consumer reconciling the table
+    # against _metrics/_lineage always balances. (Post-merge,
+    # src_partition_id values describe the snapshot that produced each
+    # row — original run for untouched conversations, the incremental
+    # scan for recomputed ones.)
+    n_rows = _derive_metrics_lineage(spark, cat, man, run_id)
     cat.drop("_incr_events")
     cat.drop("_incr_rejects")
-
-    n_rows = sum(r.rows for r in per)
     wall = time.time() - t0
     return {
         "run_id": run_id,

@@ -45,10 +45,22 @@ class Catalog:
         return os.path.join(self.root, table)
 
     def exists(self, table: str) -> bool:
+        """True if the table has data files — directly, or one level
+        down inside hive-style ``key=value`` partition directories
+        (the layout commit_fanout_split's partition moves produce;
+        checking only the top level made such tables look absent)."""
         p = self.path(table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
-        )
+        if not os.path.isdir(p):
+            return False
+        for f in os.listdir(p):
+            if f.endswith(".parquet") or f == "_SUCCESS":
+                return True
+            sub = os.path.join(p, f)
+            if "=" in f and os.path.isdir(sub) and any(
+                g.endswith(".parquet") for g in os.listdir(sub)
+            ):
+                return True
+        return False
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
@@ -84,6 +96,14 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
+        if partition_by and not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(tmp) for f in fs
+        ):
+            # a partitioned write of an EMPTY DataFrame emits only
+            # _SUCCESS — an unreadable table (schema inference fails).
+            # Re-commit as an unpartitioned empty file with the schema
+            # (limit(0) optimizes to an empty relation: no-scan job).
+            df.limit(0).write.mode("overwrite").parquet(tmp)
         self._swap_in(tmp, table)
 
     def commit_fanout_split(
@@ -108,9 +128,17 @@ class Catalog:
 
         rej_tmp = self.path(rejects_table) + ".tmp-" + uuid.uuid4().hex[:8]
         os.makedirs(rej_tmp, exist_ok=True)
+        moved = False
         for d in os.listdir(tmp):
             if d.startswith(reject_prefix):
                 os.rename(os.path.join(tmp, d), os.path.join(rej_tmp, d))
+                moved = True
+        if not moved:
+            # zero rejects: commit an EMPTY table with the full schema
+            # (an empty directory is not a readable parquet table —
+            # any later read would fail schema inference). limit(0) is
+            # optimized to an empty relation, so this is a no-scan job.
+            routed_all.limit(0).write.mode("overwrite").parquet(rej_tmp)
 
         self._swap_in(rej_tmp, rejects_table)
         self._swap_in(tmp, table)

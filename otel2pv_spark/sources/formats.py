@@ -100,10 +100,19 @@ def read_with_dlq(
     good = flagged.filter(F.col("_reject_reason").isNull()).select(
         *[f.name for f in schema.fields]
     )
+    # "raw record preserved": the corrupt column only holds the raw
+    # text when the PARSER failed — a missing_key row decoded fine, so
+    # its raw form is reconstructed from the decoded columns (and for
+    # parquet, where no corrupt column exists, always is). to_json of
+    # the schema struct is lossless for replay/inspection.
+    decoded_json = F.to_json(F.struct(*[F.col(f.name) for f in schema.fields]))
+    raw = (
+        F.coalesce(corrupt, decoded_json)
+        if fmt != "parquet"
+        else decoded_json
+    )
     rejects = flagged.filter(F.col("_reject_reason").isNotNull()).select(
-        (corrupt if fmt != "parquet" else F.lit(None).cast("string")).alias(
-            "raw_record"
-        ),
+        raw.alias("raw_record"),
         F.col("_reject_reason").alias("reject_reason"),
     )
     return good, rejects

@@ -53,7 +53,19 @@ def _post_with_retry(
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 if 200 <= resp.status < 300:
                     return
+                # urlopen raises HTTPError for non-2xx, so this branch
+                # only sees exotic handlers; treat like a retryable error
                 last = HTTPSendError(f"status {resp.status}")
+        except urllib.error.HTTPError as e:
+            # Permanent client errors (4xx except 429) can never succeed
+            # on retry — fail the batch immediately instead of burning
+            # the backoff schedule and re-POSTing the partition's
+            # already-delivered earlier batches through task retries.
+            if 400 <= e.code < 500 and e.code != 429:
+                raise HTTPSendError(
+                    f"POST {url} rejected permanently: status {e.code}"
+                ) from e
+            last = e
         except (urllib.error.URLError, OSError) as e:
             last = e
         if attempt < retries:

@@ -61,10 +61,17 @@ def test_job_config_validation(tmp_path):
 class _Collector(BaseHTTPRequestHandler):
     bodies: list[bytes] = []
     fail_first = 0
+    respond_status = None
+    hits = 0
 
     def do_POST(self):
         body = self.rfile.read(int(self.headers["Content-Length"]))
         cls = type(self)
+        cls.hits += 1
+        if cls.respond_status is not None:
+            self.send_response(cls.respond_status)
+            self.end_headers()
+            return
         if cls.fail_first > 0:
             cls.fail_first -= 1
             self.send_response(503)
@@ -82,6 +89,8 @@ class _Collector(BaseHTTPRequestHandler):
 def http_server():
     _Collector.bodies = []
     _Collector.fail_first = 0
+    _Collector.respond_status = None
+    _Collector.hits = 0
     srv = HTTPServer(("127.0.0.1", 0), _Collector)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -219,3 +228,17 @@ def test_curation_job_config_validation(tmp_path):
     }))
     with pytest.raises(job.ConfigError, match="not both"):
         job.load_curation_config(str(bad))
+
+
+def test_http_sink_no_retry_on_permanent_4xx(http_server):
+    """A 400 can never succeed on retry: fail immediately (one attempt),
+    don't burn the backoff schedule. Direct _post_with_retry call so the
+    attempt count is observable via the server's hit counter."""
+    from otel2pv_spark.sources.http_sink import HTTPSendError, _post_with_retry
+
+    url, coll = http_server
+    coll.respond_status = 400
+    with pytest.raises(HTTPSendError, match="rejected permanently"):
+        _post_with_retry(url, b"[]", retries=3, timeout_s=2.0,
+                         backoff_s=0.05, multiplier=1.0)
+    assert coll.hits == 1  # exactly one attempt, no retries
