@@ -830,7 +830,7 @@ ORACLES["prep_shuffle"] = """
 SELECT doc_id,
        CAST(row_number() OVER (
          ORDER BY md5(CAST(doc_id AS VARCHAR) || '#shuffle-v1'), doc_id
-       ) AS INT) AS shuffle_rank
+       ) AS BIGINT) AS shuffle_rank
 FROM documents"""
 
 # cluster-aware split: same recursive closure as dedup_clusters, split
@@ -961,16 +961,19 @@ g AS (
   SELECT unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ngram
   FROM t WHERE len(w) >= 3
 ),
-gc AS (SELECT ngram, count(*) AS count FROM g GROUP BY ngram HAVING count(*) >= 2),
-c AS (
-  SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS context
-  FROM t WHERE len(w) >= 2
+ga AS (SELECT ngram, count(*) AS count FROM g GROUP BY ngram),
+cc AS (
+  -- MLE denominator: continuation mass, i.e. sum of the n-gram counts
+  -- sharing the context (NOT raw (n-1)-gram occurrences, which include
+  -- document-final positions with no continuation)
+  SELECT array_to_string((string_split(ngram, ' '))[1:2], ' ') AS context,
+         CAST(sum(count) AS BIGINT) AS context_count
+  FROM ga GROUP BY 1
 ),
-cc AS (SELECT context, count(*) AS context_count FROM c GROUP BY context),
 g2 AS (
   SELECT ngram, count,
          array_to_string((string_split(ngram, ' '))[1:2], ' ') AS context
-  FROM gc
+  FROM ga WHERE count >= 2
 )
 SELECT g2.ngram, g2.count, cc.context_count,
        round(g2.count / cc.context_count, 6) AS cond_prob
@@ -996,7 +999,11 @@ SELECT doc_id,
        CAST(sum(CASE WHEN c > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped,
        coalesce(string_agg(CASE WHEN c <= 2 THEN line END, ' ' ORDER BY pos), '')
          AS text_kept
-FROM j GROUP BY doc_id"""
+FROM j GROUP BY doc_id
+UNION ALL
+-- zero-token docs still appear (Spark: posexplode_outer)
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
+FROM t WHERE len(w) = 0"""
 
 ORACLES["dedup_minhash_lsh"] = f"""WITH {_DOCS_CTE},
 {_SHINGLE_CTE},
@@ -1019,7 +1026,10 @@ bits AS (
 SELECT doc_id,
        -- CAST: untyped DuckDB sum() yields HUGEINT; Spark emits BIGINT
        CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id"""
+FROM bits GROUP BY doc_id
+UNION ALL
+-- zero-token docs: no unnest rows, simhash 0 (Spark: explode_outer)
+SELECT doc_id, CAST(0 AS BIGINT) FROM docs WHERE len({_TOKS}) = 0"""
 
 ORACLES["dedup_ngram_jaccard"] = f"""WITH {_DOCS_CTE},
 {_SHINGLE_CTE},

@@ -57,9 +57,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def exact_dedup_keep_first(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """Row-level form: flag non-canonical copies."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    return df.withColumn("is_duplicate", F.row_number().over(w) > 1)
+    """Row-level form: flag non-canonical copies (is_duplicate iff a
+    smaller-id row has identical content).
+
+    groupBy(min) + join, NOT row_number over a content-hash window: a
+    boilerplate document repeated tens of millions of times would ship
+    every copy into ONE window task (AQE cannot split window
+    partitions), while the aggregate partial-combines map-side and the
+    join back is AQE-skew-splittable."""
+    hashed = df.withColumn("_ch", F.md5(F.col(text_col)))
+    canon = hashed.groupBy("_ch").agg(F.min(id_col).alias("_canon_id"))
+    return (
+        hashed.join(canon, "_ch")
+        .withColumn("is_duplicate", F.col(id_col) != F.col("_canon_id"))
+        .drop("_ch", "_canon_id")
+    )
 
 
 def _hash_shingle(shingle_col, i_col):
@@ -165,12 +177,16 @@ def simhash(
     and a single shuffle of ``bits`` partial sums per doc (the previous
     form shuffled bits× the token count). The final fingerprint folds
     the per-bit signs in a plain projection."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    # explode_outer so zero-token docs still emit a row (simhash 0 —
+    # every bit-sum empty) instead of silently vanishing from the output
+    tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok"))
     tok = tok.withColumn("h", _hash_shingle(F.col("tok"), F.lit(0)))
     sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+                F.when(F.col("tok").isNull(), 0)
+                .when(F.expr(f"(h >> {b}) & 1") == 1, 1)
+                .otherwise(-1)
             ).alias(f"s{b}")
             for b in range(bits)
         ]
@@ -194,6 +210,15 @@ def minhash_band_table(
     band_key): appending a batch means hashing only the batch and
     joining its bands against this table, never re-reading the corpus
     text."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # bands > num_hashes would give rows_per_band=0 and a CONSTANT
+        # band key (md5 of '') — the band self-join degenerates into a
+        # full corpus cross-product; a non-dividing bands silently
+        # ignores the trailing hashes. Same fail-loudly contract as
+        # pq_train's dim % m check.
+        raise ValueError(
+            f"minhash bands={bands} must divide num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
     bands_arr = F.array(
@@ -226,6 +251,7 @@ def minhash_lsh_candidates_incremental(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 3,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs for an APPENDED batch: every pair with
     at least one new-side document — new×old plus new×new — without
@@ -243,8 +269,14 @@ def minhash_lsh_candidates_incremental(
 
     Output: (doc_a, doc_b) with doc_a < doc_b, doc_b always new when
     exactly one side is new (ids don't order old vs new; both
-    orientations appear as the caller's ids dictate)."""
-    new_bands = minhash_band_table(new_df, id_col, text_col, n, num_hashes, bands)
+    orientations appear as the caller's ids dictate).
+
+    ``new_bands``: pass the batch's precomputed band table (from
+    :func:`minhash_band_table`) to avoid re-hashing — a streaming
+    caller needs the same bands again for the index append, and the
+    shingle+minhash pass is the dominant per-batch cost."""
+    if new_bands is None:
+        new_bands = minhash_band_table(new_df, id_col, text_col, n, num_hashes, bands)
     all_bands = old_bands.select(id_col, "band", "band_key").unionByName(new_bands)
     a = new_bands.select(
         F.col(id_col).alias("_na"), "band", "band_key"
@@ -290,15 +322,18 @@ def minhash_jaccard_estimate(
         (F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0))
         for i in range(num_hashes)
     )
+    # left joins: a candidate doc shorter than n tokens has no
+    # signature row — the pair must still come back (est 0.0: an empty
+    # shingle set shares nothing) instead of being silently dropped
+    # from the verification tier.
+    est = F.when(
+        F.col("a_0").isNull() | F.col("b_0").isNull(), F.lit(0.0)
+    ).otherwise(F.round(matches / F.lit(float(num_hashes)), 6))
     return (
         candidates.select("doc_a", "doc_b")
-        .join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
-        )
+        .join(a, "doc_a", "left")
+        .join(b, "doc_b", "left")
+        .select("doc_a", "doc_b", est.alias("jaccard_est"))
     )
 
 
@@ -552,17 +587,29 @@ def line_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # posexplode_outer: a zero-token doc still emits one (null-line)
+    # row so it appears in the output as (0 lines, '') instead of
+    # silently vanishing through the explode + join + groupBy chain
     exploded = toks.select(
-        id_col, F.posexplode(lines_arr).alias("pos", "line")
-    ).withColumn("_h", F.xxhash64("line"))
-    counts = exploded.groupBy("_h").agg(F.count("*").alias("_n"))
-    counted = exploded.join(counts, "_h")
-    kept = F.when(F.col("_n") <= max_count, F.struct("pos", "line"))
+        id_col, F.posexplode_outer(lines_arr).alias("pos", "line")
+    ).withColumn("_h", F.when(F.col("line").isNotNull(), F.xxhash64("line")))
+    counts = (
+        exploded.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.count("*").alias("_n"))
+    )
+    counted = exploded.join(counts, "_h", "left")
+    kept = F.when(
+        F.col("line").isNotNull() & (F.col("_n") <= max_count),
+        F.struct("pos", "line"),
+    )
     return (
         counted.groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_lines"),
-            F.sum((F.col("_n") > max_count).cast("int")).cast("bigint").alias("n_lines_dropped"),
+            F.count("line").cast("bigint").alias("n_lines"),
+            F.coalesce(
+                F.sum((F.col("_n") > max_count).cast("int")), F.lit(0)
+            ).cast("bigint").alias("n_lines_dropped"),
             F.concat_ws(
                 " ",
                 F.transform(

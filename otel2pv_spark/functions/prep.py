@@ -171,8 +171,17 @@ def curate(
         lang_pred.alias("lang_pred"),
     )
 
-    w_dup = Window.partitionBy(F.md5(F.col("scrubbed"))).orderBy(id_col)
-    flagged = scored.withColumn("is_duplicate", F.row_number().over(w_dup) > 1)
+    # groupBy(min)+join, not a content-hash window: a hot boilerplate
+    # document would pile every copy into one window task (AQE cannot
+    # split window partitions); the aggregate partial-combines map-side
+    # and the join back is skew-splittable (same shape as exact_dedup).
+    hashed = scored.withColumn("_ch", F.md5(F.col("scrubbed")))
+    canon = hashed.groupBy("_ch").agg(F.min(id_col).alias("_canon_id"))
+    flagged = (
+        hashed.join(canon, "_ch")
+        .withColumn("is_duplicate", F.col(id_col) != F.col("_canon_id"))
+        .drop("_ch", "_canon_id")
+    )
 
     drop_reason = (
         F.when(F.col("is_duplicate"), F.lit("duplicate"))
@@ -227,7 +236,12 @@ def shuffle_deterministic(
     h = F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt)))
     # fixed-width lowercase hex: lexicographic order == numeric order,
     # so bucket(first-four-digits) ranges are ordered by the full key
-    pid = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") * P / 65536).cast("int")
+    # bigint intermediate: prefix(<=65535) × P(<=65536) exceeds int32 —
+    # under ANSI (Spark 4 default) that's a runtime overflow exception,
+    # without it a wrapped-negative pid that breaks the range ordering
+    pid = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") * P / 65536
+    ).cast("int")
     base = df.select(F.col(id_col), h.alias("_h"), pid.alias("_pid"))
     w = Window.partitionBy("_pid").orderBy("_h", id_col)
     local = base.withColumn("_lr", F.row_number().over(w))
@@ -240,7 +254,10 @@ def shuffle_deterministic(
     return (
         local.join(F.broadcast(offsets), "_pid")
         .select(
-            id_col, (F.col("_lr") + F.col("_off")).cast("int").alias("shuffle_rank")
+            # bigint: a global rank over >2^31 rows is the advertised
+            # scale; per-range _lr stays int, the SUM is what overflows
+            id_col,
+            (F.col("_lr") + F.col("_off")).cast("bigint").alias("shuffle_rank"),
         )
     )
 

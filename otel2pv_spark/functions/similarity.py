@@ -135,7 +135,10 @@ def lsh_topk(
     then exact cosine within the bucket."""
     buckets = lsh_buckets(df, anchors, id_col, vec_col)
     corpus = df.join(buckets, id_col)
-    qb = queries.join(buckets, id_col).select(
+    # the query's bucket comes from its OWN vector (same deterministic
+    # anchor projection) — joining corpus buckets by id silently
+    # dropped any query not present in the corpus
+    qb = queries.join(lsh_buckets(queries, anchors, id_col, vec_col), id_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         "bucket",

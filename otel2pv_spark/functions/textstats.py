@@ -237,8 +237,12 @@ def repetition_scores(
         out.append(F.round(F.col(f"_s{n}.best") / denom, 6).alias(f"top{n}_frac"))
         out.append(F.round(F.col(f"_s{n}.dup") / denom, 6).alias(f"dup{n}_frac"))
     scored = stage.select(*out)
+    # the flag is defined on the shortest-n top fraction and the
+    # NEXT-n dup fraction (Gopher's 2-gram-top / 3-gram-dup rule under
+    # the default ns); with a single n, the dup fraction of that same n
+    # stands in — hard-indexing ns[1] crashed on one-element tuples
     flag = (F.col(f"top{ns[0]}_frac") > top_threshold) | (
-        F.col(f"dup{ns[1]}_frac") > dup_threshold
+        F.col(f"dup{ns[1] if len(ns) > 1 else ns[0]}_frac") > dup_threshold
     )
     return scored.select("*", flag.alias("is_repetitive"))
 
@@ -467,27 +471,34 @@ def ngram_lm(
     below ``min_count`` dropped — the standard trim that keeps web-
     scale count tables manageable).
 
-    Scale shape: two exploded map-side-combined groupBys (the explode
-    inflates rows n× but each task pre-aggregates, so hot n-grams
-    shuffle partial counts) + ONE equi-join of the pruned n-gram table
-    against the context table (AQE-skew-splittable; both sides keyed
-    by the context string). No driver-side state, no vocabulary
-    assumption.
+    The context denominator is the sum of the context's CONTINUATION
+    counts (sum over w of c(context·w)), not the raw (n-1)-gram
+    occurrence count — a context occurrence at a document end has no
+    continuation, and counting it would deflate every probability so
+    they no longer sum to 1 per context (proper MLE needs
+    P(w|h) = c(hw) / Σ_w c(hw)).
+
+    Scale shape: ONE exploded map-side-combined groupBy (hot n-grams
+    shuffle partial counts), the context table derived from it by a
+    second tiny aggregate over the distinct-n-gram rows, then one
+    AQE-skew-splittable equi-join of the pruned n-grams against the
+    contexts. No driver-side state, no vocabulary assumption.
     """
     from .dedup import shingles
 
     toks = df.select(tokens(text_col).alias("_w"))
-    grams = (
+    grams_all = (
         toks.select(F.explode(shingles(F.col("_w"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("count"))
-        .filter(F.col("count") >= min_count)
     )
     contexts = (
-        toks.select(F.explode(shingles(F.col("_w"), n - 1)).alias("context"))
-        .groupBy("context")
-        .agg(F.count("*").alias("context_count"))
+        grams_all.groupBy(
+            F.substring_index("ngram", " ", n - 1).alias("context")
+        )
+        .agg(F.sum("count").alias("context_count"))
     )
+    grams = grams_all.filter(F.col("count") >= min_count)
     joined = grams.withColumn(
         "context", F.substring_index("ngram", " ", n - 1)
     ).join(contexts, "context")

@@ -113,7 +113,7 @@ def _json_path_series(s: pd.Series, path: str) -> pd.Series:
     return s.map(one)
 
 
-def _pandas_extractor(rules: list[ExtractionRule]):
+def _pandas_extractor(rules: list[ExtractionRule], text_col: str = "text"):
     """Compile all rules into one Arrow-batched pandas UDF returning a
     struct — the vectorized grok path. ``pd.Series.str.extract`` is
     vectorized C under the hood; one UDF invocation per Arrow batch.
@@ -128,11 +128,23 @@ def _pandas_extractor(rules: list[ExtractionRule]):
     }
     schema = T.StructType([T.StructField(r.name, T.StringType()) for r in rules])
 
+    known: set[str] = {text_col}
+    for r in rules:
+        if r.source and r.source not in known:
+            # the UDF sees only the text column — a source naming any
+            # OTHER input column would silently extract from text
+            raise ValueError(
+                f"pandas grok: rule {r.name!r} source {r.source!r} is not "
+                "an earlier rule's output (the vectorized UDF receives "
+                "only the text column)"
+            )
+        known.add(r.name)
+
     @F.pandas_udf(schema)
     def grok(text: pd.Series) -> pd.DataFrame:
         out: dict[str, pd.Series] = {}
         for r in rules:
-            src = out[r.source] if (r.source and r.source in out) else text
+            src = out[r.source] if r.source and r.source != text_col else text
             if r.kind == "json":
                 col = _json_path_series(src, r.pattern)
             else:
@@ -155,7 +167,7 @@ def parse(
     ``parse_ok`` (all required rules matched)."""
     rules = rules if rules is not None else default_rules()
     if use_pandas:
-        grok = _pandas_extractor(rules)
+        grok = _pandas_extractor(rules, text_col)
         df = df.withColumn("_g", grok(F.col(text_col)))
         for r in rules:
             df = df.withColumn(r.name, F.col(f"_g.{r.name}"))
@@ -166,7 +178,12 @@ def parse(
     ok = F.lit(True)
     for r in rules:
         if r.required:
-            ok = ok & (F.col(r.name) != "")
+            # null-safe: a NULL text makes every extraction NULL, and a
+            # three-valued `NULL != ''` would leave parse_ok NULL — a row
+            # that is then invisible to BOTH split_rejects branches and
+            # falls through assign_reject_sinks' when(~ok) to a real
+            # sink. coalesce pins it to a definite reject.
+            ok = ok & (F.coalesce(F.col(r.name), F.lit("")) != "")
     return df.withColumn("parse_ok", ok)
 
 

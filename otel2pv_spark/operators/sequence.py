@@ -97,7 +97,10 @@ def sequence_window(
     else:
         df = df.withColumn("_dup_conflict", F.lit(False))
     df = df.drop("_gid")
-    self_ref = ok & (F.col(parent_col) == F.col(id_col))
+    # eqNullSafe: with NULL parent ids a three-valued `==` would make
+    # self_ref NULL, the max() over the conversation NULL, and
+    # sequenceable NULL — silently suppressing every prev link
+    self_ref = ok & F.col(parent_col).eqNullSafe(F.col(id_col))
     df = df.withColumn(
         "sequenceable",
         ~F.max(F.col("_dup_conflict") | self_ref).over(wc),
@@ -188,7 +191,10 @@ def sequence_window_salted(
     else:
         df = df.withColumn("_dup_conflict", F.lit(False))
     df = df.drop("_gid")
-    self_ref = ok & (F.col(parent_col) == F.col(id_col))
+    # eqNullSafe: with NULL parent ids a three-valued `==` would make
+    # self_ref NULL, the max() over the conversation NULL, and
+    # sequenceable NULL — silently suppressing every prev link
+    self_ref = ok & F.col(parent_col).eqNullSafe(F.col(id_col))
 
     # plain shuffle join, NOT broadcast: conv_flags has one row per
     # conversation (billions at full scale). The join key is the skewed

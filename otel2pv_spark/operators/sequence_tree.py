@@ -164,8 +164,14 @@ def _build(rows: list[dict], cfg: TreeSequencerConfig):
 
 
 def _dfs(root: str, nodes: dict):
-    """sequenceWithStack (:491-538): yields (node_id | None-for-dummy)."""
-    budget = 4 * (len(nodes) + 2)  # cycle guard (reference would hang)
+    """sequenceWithStack (:491-538): yields (node_id | None-for-dummy).
+
+    Cycle-guard budget counts loop iterations, which scale with total
+    child-id REFERENCES (each dangling/dummy child costs one), not just
+    node count — sizing it on len(nodes) alone falsely rejected
+    legitimate partial trees with many missing children as cycles."""
+    refs = sum(len(n["child_ids"]) for n in nodes.values())
+    budget = 2 * (len(nodes) + refs + 2)  # cycle guard (reference would hang)
     stack: list[list] = [[root, 0]]
     while stack:
         if budget <= 0:

@@ -131,7 +131,11 @@ def verify_trees(
     pvs_parents = canon.filter(is_pvs).select(
         F.col(conv_col), F.col(node_col).alias("parent"), "expected_children"
     )
-    balance = balance.join(F.broadcast(pvs_parents.select(conv_col, "parent").withColumn("_pvs", F.lit(True))),
+    # NOT broadcast: pvs_parents is data-sized (one row per pvs-typed
+    # node across the input, not per configured TYPE) — forcing it to
+    # the driver would OOM at scale. Both sides key on (conv, parent);
+    # AQE picks the strategy (and broadcasts small cases by itself).
+    balance = balance.join(pvs_parents.select(conv_col, "parent").withColumn("_pvs", F.lit(True)),
                            [conv_col, "parent"], "left")
     edge_ok = F.when(F.col("_pvs"), F.col("bwd")).otherwise(F.col("fwd") & F.col("bwd"))
 

@@ -51,7 +51,7 @@ from ..operators import parse as parse_op
 from ..operators import route as route_op
 from ..operators import sequence as seq_op
 from ..operators import verify as verify_op
-from ..plans.pipeline import KNOWN_SINKS, OUTPUT_COLS
+from ..plans.pipeline import KNOWN_SINKS, OUTPUT_COLS, REJECT_COLS
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [
@@ -101,10 +101,8 @@ def run_stream_pipeline(
             routable.select(*OUTPUT_COLS).write.mode("append").partitionBy(
                 "sink"
             ).parquet(f"{out_root}/sequenced_events")
-            parse_rejects.select(
-                "conv_id", "turn_idx", "text", "reject_reason"
-            ).unionByName(
-                route_rejects.select("conv_id", "turn_idx", "text", "reject_reason")
+            parse_rejects.select(*REJECT_COLS).unionByName(
+                route_rejects.select(*REJECT_COLS)
             ).write.mode("append").parquet(f"{out_root}/rejects")
         finally:
             parsed.unpersist()
@@ -248,12 +246,17 @@ def run_stream_dedup(
                 raise
             have_index = False
 
-        if have_index:
-            cand = dd.minhash_lsh_candidates_incremental(
-                batch, idx, id_col=id_col, text_col=text_col
-            )
-        else:
-            cand = dd.minhash_lsh_candidates(batch, id_col=id_col, text_col=text_col)
+        # band the batch ONCE: the same table feeds candidate probing
+        # AND the index append (the shingle+minhash pass is the
+        # dominant per-batch cost — recomputing it doubled it)
+        new_bands = dd.minhash_band_table(
+            batch, id_col=id_col, text_col=text_col
+        ).localCheckpoint()
+        if not have_index:
+            idx = new_bands.limit(0)  # empty index, same schema
+        cand = dd.minhash_lsh_candidates_incremental(
+            batch, idx, id_col=id_col, text_col=text_col, new_bands=new_bands
+        )
 
         new_ids = batch.select(F.col(id_col).alias("_nid")).distinct()
         nb = new_ids.select(
@@ -282,9 +285,11 @@ def run_stream_dedup(
         )
 
         kept.write.mode("append").parquet(f"{out_root}/clean")
-        dd.minhash_band_table(kept, id_col=id_col, text_col=text_col).write.mode(
-            "append"
-        ).parquet(index_path)
+        # index append reuses the batch's bands (no re-hash): keep only
+        # the surviving docs' rows
+        new_bands.join(
+            first_match.select(F.col("_dup").alias(id_col)), id_col, "left_anti"
+        ).write.mode("append").parquet(index_path)
         dropped.select(id_col, "matched_id").write.mode("append").parquet(
             f"{out_root}/dup_rejects"
         )
@@ -333,13 +338,19 @@ def _make_verify_group(timeout_ms: int):
             # G5: emit whatever was collected, flagged unverified
             turn_idxs, event_ids, parents, _ = state.get
             state.remove()
+            # first-delivery canonical + distinct-turn count, matching
+            # the verified branch's semantics for the same columns
+            first: dict[int, str] = {}
+            for k, eid in zip(turn_idxs, event_ids):
+                if k not in first:
+                    first[k] = eid
             yield pd.DataFrame(
                 {
                     "conv_id": [conv_id],
-                    "n_turns": [len(turn_idxs)],
+                    "n_turns": [len(first)],
                     "verified": [False],
                     "timed_out": [True],
-                    "event_ids": [[i for _, i in sorted(zip(turn_idxs, event_ids))]],
+                    "event_ids": [[first[k] for k in sorted(first)]],
                 }
             )
             return
@@ -350,14 +361,27 @@ def _make_verify_group(timeout_ms: int):
         turn_idxs, event_ids, parents = list(turn_idxs), list(event_ids), list(parents)
         for pdf in pdfs:
             for t in pdf.itertuples(index=False):
+                # a NULL turn_idx arrives as NaN through Arrow; int(nan)
+                # would raise and crash-loop the micro-batch (the
+                # checkpoint replays the same offsets forever) — skip
+                # the unplaceable row instead, like n_expected below
+                if t.turn_idx is None or pd.isna(t.turn_idx):
+                    continue
                 turn_idxs.append(int(t.turn_idx))
                 event_ids.append(t.event_id or "")
                 parents.append(t.parent_event_id or "")
                 if t.n_expected is not None and not pd.isna(t.n_expected):
                     n_expected = int(t.n_expected)
 
-        ids = dict(zip(turn_idxs, event_ids))
-        pmap = dict(zip(turn_idxs, parents))
+        # FIRST delivery is canonical (groupandverify.go:839-861): build
+        # the maps so earlier arrivals win — a corrupt re-delivery of an
+        # already-seen turn must not overwrite the good copy
+        ids: dict[int, str] = {}
+        pmap: dict[int, str] = {}
+        for k, eid, par in zip(turn_idxs, event_ids, parents):
+            if k not in ids:
+                ids[k] = eid
+                pmap[k] = par
         complete = (
             n_expected is not None
             and len(set(turn_idxs)) >= n_expected

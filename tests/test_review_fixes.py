@@ -213,3 +213,160 @@ def test_curation_sampling_misconfig_fails_loudly(spark):
         curation.build_audit(
             docs, ev, curation.CurationConfig(temperature_alpha=0.5)
         )
+
+
+def test_null_text_routes_to_rejects(spark):
+    """A NULL text row must be a definite reject, not a three-valued
+    parse_ok=NULL that vanishes from both DLQ branches and ships to a
+    real sink."""
+    from otel2pv_spark.operators import parse as parse_op
+
+    tr = _mk_transcripts(spark, [("c1", 0, "event=view id=c1:0 parent=- job=j app=a :: {}")])
+    tr = tr.unionByName(
+        _mk_transcripts(spark, [("c1", 1, "placeholder")]).withColumn(
+            "text", F.lit(None).cast("string")
+        )
+    )
+    parsed = parse_op.parse(tr)
+    good, bad = parse_op.split_rejects(parsed)
+    assert good.count() == 1
+    assert bad.count() == 1  # the NULL-text row is a reject, not lost
+    out = pipeline.build_single_pass(
+        tr, datagen.tool_meta(spark), datagen.role_meta(spark),
+        pipeline.PipelineConfig(),
+    )
+    rr = {r.turn_idx: r.reject_reason for r in out.collect()}
+    assert rr[1] is not None
+
+
+def test_dfs_budget_allows_many_missing_children(spark):
+    """A legitimate partial tree whose root lists many never-arrived
+    children must sequence (missing-child dummy), not be rejected as a
+    cycle by an iteration budget that ignored child references."""
+    from otel2pv_spark.operators import sequence_tree as st
+
+    rows = [
+        ("c1", "r", "", [f"m{i}" for i in range(20)] + ["k"], "t", 0, {"e": "r"}, 0),
+        ("c1", "k", "r", [], "t", 0, {"e": "k"}, 1),
+    ]
+    df = spark.createDataFrame(rows, st.NODE_SCHEMA)
+    out = {r.node_id: (r.reject_reason, r.prev) for r in st.sequence_tree(df).collect()}
+    assert out["r"][0] is None
+    # 20 dummies reset prev before 'k' is emitted last... k emits first
+    # (child), then r with prev=k? No: children visited in order, the
+    # 19 dummies come BEFORE k, the last dummy resets prev, k emits
+    # with no prev, then r with prev=k.
+    assert out["k"][1] is None
+    assert out["r"][1] == "k"
+
+
+def test_pandas_grok_unknown_source_fails_loudly(spark):
+    import pytest as _pytest
+
+    from otel2pv_spark.operators import parse as parse_op
+
+    rules = [parse_op.ExtractionRule("a_val", r"A=(\d)", source="other_col")]
+    tr = _mk_transcripts(spark, [("c1", 0, "A=1")])
+    with _pytest.raises(ValueError, match="other_col"):
+        parse_op.parse(tr, rules=rules, use_pandas=True)
+
+
+def test_sequence_null_parents_still_sequenceable(spark):
+    """NULL (vs '') parent ids must not poison sequenceable via
+    three-valued logic."""
+    from otel2pv_spark.operators import sequence as seq_op
+
+    df = spark.createDataFrame(
+        [("c1", 0, "c1:0", None), ("c1", 1, "c1:1", None)],
+        "conv_id string, turn_idx int, event_id string, parent_event_id string",
+    )
+    out = seq_op.sequence_window(df, array_mode=False, out_col="prev")
+    got = {r.turn_idx: (r.sequenceable, r.prev) for r in out.collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (True, "c1:0")
+
+
+# ---------------------------------------------------- functions-pass fixes
+def test_minhash_bands_must_divide(spark):
+    from otel2pv_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        dd.minhash_lsh_candidates(docs, num_hashes=12, bands=16).collect()
+    with pytest.raises(ValueError, match="must divide"):
+        dd.minhash_band_table(docs, num_hashes=12, bands=5).collect()
+
+
+def test_empty_docs_not_silently_dropped(spark):
+    from otel2pv_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j alpha"), (2, "!!! ---"), (3, "")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    assert sh[2] == 0 and sh[3] == 0 and len(sh) == 3
+    ld = {r.doc_id: (r.n_lines, r.text_kept) for r in dd.line_dedup(docs).collect()}
+    assert ld[2] == (0, "") and ld[3] == (0, "") and len(ld) == 3
+
+
+def test_jaccard_estimate_covers_short_docs(spark):
+    from otel2pv_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y")],  # doc 2: < 3 tokens, no shingles
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = dd.minhash_jaccard_estimate(docs, cands).collect()
+    assert len(got) == 1 and got[0].jaccard_est == 0.0
+
+
+def test_shuffle_rank_bigint_and_max_partitions(spark):
+    from otel2pv_spark.functions import prep
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = prep.shuffle_deterministic(docs, num_partitions=65536)
+    assert dict(out.dtypes)["shuffle_rank"] == "bigint"
+    ranks = sorted(r.shuffle_rank for r in out.collect())
+    assert ranks == list(range(1, 21))  # dense, no overflow corruption
+
+
+def test_lsh_topk_external_query(spark):
+    from otel2pv_spark.functions import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.1])
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    anchors = sim.make_anchors(corpus, 2)
+    # a query id NOT in the corpus must still produce neighbors
+    q = spark.createDataFrame(
+        [(999, [1.0, 0.05, 0.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    got = sim.lsh_topk(corpus, q, anchors, k=3).collect()
+    assert len(got) > 0
+    assert all(r.query_id == 999 for r in got)
+
+
+def test_repetition_single_n_no_crash(spark):
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame([(1, "a a a a a a")], "doc_id long, text string")
+    got = ts.repetition_scores(docs, ns=(3,)).collect()[0]
+    assert got.is_repetitive  # "a a a" dominates both fractions
+
+
+def test_ngram_lm_document_boundary_mle(spark):
+    """A context occurrence at a document end must not deflate the
+    conditional probability: P(b | a) = 1.0 even though 'a' also ends
+    another document."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "x a")], "doc_id long, text string"
+    )
+    got = {r.ngram: r.cond_prob for r in ts.ngram_lm(docs, n=2, min_count=1).collect()}
+    assert got["a b"] == 1.0
+    assert got["x a"] == 1.0
