@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from otel2pv_spark import datagen  # noqa: E402
 from otel2pv_spark.operators import enrich as enrich_op  # noqa: E402
+from otel2pv_spark.operators import grok as grok_op  # noqa: E402
 from otel2pv_spark.operators import parse as parse_op  # noqa: E402
 from otel2pv_spark.operators import sequence as seq_op  # noqa: E402
 from otel2pv_spark.operators import validate as validate_op  # noqa: E402
@@ -91,6 +92,43 @@ def q_parse_extract_json_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one UDF) — must agree with the native path AND the oracle."""
     df = parse_op.parse(_tr(spark, sf_dir), rules=_json_rules(), use_pandas=True)
     return df.filter(F.col("parse_ok")).select("conv_id", "turn_idx", "body", "body_k")
+
+
+# Grok expression over the transcript line format (FIXTURES.md §1):
+# the %{PATTERN:field} composition syntax compiled to ONE combined
+# regex (operators/grok.py), incl. a typed %{INT:..:int} capture.
+GROK_EXPR = (
+    "event=%{TOKEN:event_type} id=%{IDENT:event_id}"
+    " parent=%{IDENT:parent_event_id} job=job-%{INT:job_num:int}"
+    " app=%{NOTSPACE:application_name} :: %{GREEDYDATA:body}"
+)
+GROK_COLS = [
+    "conv_id", "turn_idx", "event_type", "event_id", "parent_event_id",
+    "job_num", "application_name", "body",
+]
+
+
+def _grok_rule_set() -> list:
+    return grok_op.grok_rules(
+        GROK_EXPR,
+        required=("event_type", "event_id", "job_num"),
+        null_sentinels={"parent_event_id": ("-",)},
+    )
+
+
+def q_parse_extract_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 via grok syntax: %{NAME:field} references compiled into one
+    fused native projection — the log-pipeline grok idiom (analog of the
+    reference's fused JQ program, jqTransformer.go:116-143)."""
+    df = parse_op.parse(_tr(spark, sf_dir), rules=_grok_rule_set())
+    return df.filter(F.col("parse_ok")).select(*GROK_COLS)
+
+
+def q_parse_extract_grok_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same grok rule set through the Arrow-vectorized pandas path —
+    must agree with the native path AND the oracle."""
+    df = parse_op.parse(_tr(spark, sf_dir), rules=_grok_rule_set(), use_pandas=True)
+    return df.filter(F.col("parse_ok")).select(*GROK_COLS)
 
 
 def q_parse_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +383,28 @@ FROM parsed WHERE parse_ok""",
 )
 ORACLES["parse_extract_json_pandas"] = ORACLES["parse_extract_json"]
 
+# Grok oracle: the SAME compiled pattern evaluated by DuckDB's RE2
+# regexp_extract (independent engine + extraction machinery; patterns
+# are written in the RE2 ∩ Java portable subset, so an engine-semantics
+# divergence would surface here as a value mismatch).
+_GROK_RE, _GROK_FIELDS = grok_op.compile_grok(GROK_EXPR)
+_GROK_LIT = _GROK_RE.replace("'", "''")
+ORACLES["parse_extract_grok"] = with_transcripts(
+    f"""SELECT conv_id, turn_idx,
+  regexp_extract(text, '{_GROK_LIT}', 1) AS event_type,
+  regexp_extract(text, '{_GROK_LIT}', 2) AS event_id,
+  CASE WHEN regexp_extract(text, '{_GROK_LIT}', 3) = '-' THEN ''
+       ELSE regexp_extract(text, '{_GROK_LIT}', 3) END AS parent_event_id,
+  TRY_CAST(nullif(regexp_extract(text, '{_GROK_LIT}', 4), '') AS BIGINT) AS job_num,
+  regexp_extract(text, '{_GROK_LIT}', 5) AS application_name,
+  regexp_extract(text, '{_GROK_LIT}', 6) AS body
+FROM transcripts
+WHERE regexp_extract(text, '{_GROK_LIT}', 1) <> ''
+  AND regexp_extract(text, '{_GROK_LIT}', 2) <> ''
+  AND TRY_CAST(nullif(regexp_extract(text, '{_GROK_LIT}', 4), '') AS BIGINT) IS NOT NULL"""
+)
+ORACLES["parse_extract_grok_pandas"] = ORACLES["parse_extract_grok"]
+
 ORACLES["parse_rejects"] = with_transcripts(
     "SELECT conv_id, turn_idx, text, 'invalid_parse' AS reject_reason "
     "FROM parsed WHERE NOT parse_ok",
@@ -587,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_extract_pandas": q_parse_extract_pandas,
         "parse_extract_json": q_parse_extract_json,
         "parse_extract_json_pandas": q_parse_extract_json_pandas,
+        "parse_extract_grok": q_parse_extract_grok,
+        "parse_extract_grok_pandas": q_parse_extract_grok_pandas,
         "parse_rejects": q_parse_rejects,
         "enrich_route": q_enrich_route,
         "enrich_asof": q_enrich_asof,

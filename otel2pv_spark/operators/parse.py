@@ -58,6 +58,12 @@ class ExtractionRule:
     null_sentinels: tuple[str, ...] = field(default_factory=tuple)
     kind: str = "regex"
     source: str | None = None
+    # capture-group index — grok-compiled rule sets share ONE combined
+    # pattern with one group per field (operators/grok.py); Catalyst
+    # CSEs the shared match so the fused-pass property is preserved
+    group: int = 1
+    # post-extraction cast ("long"/"double"); ''/no-match casts to NULL
+    dtype: str | None = None
 
 
 def default_rules() -> list[ExtractionRule]:
@@ -78,7 +84,7 @@ def _native_col(rule: ExtractionRule, text_col: str) -> Column:
         # '' on miss/invalid-JSON, matching regexp_extract's no-match
         c = F.coalesce(F.get_json_object(src, rule.pattern), F.lit(""))
     else:
-        c = F.regexp_extract(src, rule.pattern, 1)
+        c = F.regexp_extract(src, rule.pattern, rule.group)
     for s in rule.null_sentinels:
         c = F.when(c == s, F.lit("")).otherwise(c)
     return c.alias(rule.name)
@@ -148,7 +154,8 @@ def _pandas_extractor(rules: list[ExtractionRule], text_col: str = "text"):
             if r.kind == "json":
                 col = _json_path_series(src, r.pattern)
             else:
-                col = src.str.extract(compiled[r.name], expand=False).fillna("")
+                ext = src.str.extract(compiled[r.name], expand=True)
+                col = ext.iloc[:, r.group - 1].fillna("")
             for s in r.null_sentinels:
                 col = col.mask(col == s, "")
             out[r.name] = col
@@ -175,9 +182,16 @@ def parse(
     else:
         for r in rules:
             df = df.withColumn(r.name, _native_col(r, text_col))
+    for r in rules:
+        if r.dtype:
+            # ''/malformed (no match) → NULL; try_cast because ANSI-mode
+            # Spark 4 throws on cast('' AS BIGINT)
+            df = df.withColumn(r.name, F.col(r.name).try_cast(r.dtype))
     ok = F.lit(True)
     for r in rules:
-        if r.required:
+        if r.required and r.dtype:
+            ok = ok & F.col(r.name).isNotNull()
+        elif r.required:
             # null-safe: a NULL text makes every extraction NULL, and a
             # three-valued `NULL != ''` would leave parse_ok NULL — a row
             # that is then invisible to BOTH split_rejects branches and

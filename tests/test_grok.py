@@ -1,0 +1,101 @@
+"""Grok compiler: expansion, typing, and native/pandas/SQL parity."""
+
+import re
+
+import pytest
+
+from otel2pv_spark.operators import grok as G
+from otel2pv_spark.operators import parse as parse_op
+
+
+def test_compile_basic():
+    regex, fields = G.compile_grok("event=%{WORD:etype} id=%{NOTSPACE:eid}")
+    assert fields == [("etype", None), ("eid", None)]
+    m = re.search(regex, "event=start id=c1:0 rest")
+    assert m.group(1) == "start" and m.group(2) == "c1:0"
+
+
+def test_compile_nested_library():
+    # NUMBER references BASE10NUM; TIMESTAMP_ISO8601 nests 3 deep
+    regex, fields = G.compile_grok("%{TIMESTAMP_ISO8601:ts} v=%{NUMBER:v:float}")
+    m = re.search(regex, "2026-08-18T07:30:12.5Z v=-3.25")
+    assert m.group(1) == "2026-08-18T07:30:12.5Z" and m.group(2) == "-3.25"
+    assert fields[1] == ("v", "float")
+
+
+def test_compile_unnamed_is_noncapturing():
+    regex, fields = G.compile_grok("%{INT} then %{INT:n:int}")
+    assert [f for f, _ in fields] == ["n"]
+    m = re.search(regex, "12 then 34")
+    assert m.group(1) == "34"  # unnamed INT consumed without capturing
+
+
+def test_compile_errors():
+    with pytest.raises(KeyError):
+        G.compile_grok("%{NOPE:x}")
+    with pytest.raises(ValueError):
+        G.compile_grok("%{INT:a} %{INT:a}")
+    with pytest.raises(ValueError):
+        G.grok_rules("%{INT} only")
+    with pytest.raises(ValueError):
+        G.grok_rules("%{INT:a}", required=("b",))
+
+
+def test_rules_share_one_pattern():
+    rules = G.grok_rules("a=%{WORD:a} b=%{INT:b:int}")
+    assert len({r.pattern for r in rules}) == 1
+    assert [r.group for r in rules] == [1, 2]
+    assert rules[1].dtype == "long"
+
+
+def test_native_pandas_sql_parity(spark):
+    """The same grok rule set through the native codegen path, the
+    Arrow pandas path, and DuckDB's RE2 regexp_extract must agree on a
+    fixture with matches, partial text, sentinels, and misses."""
+    import duckdb
+
+    expr = (
+        "event=%{TOKEN:etype} id=%{IDENT:eid} parent=%{IDENT:par}"
+        " n=%{INT:n:int} :: %{GREEDYDATA:body}"
+    )
+    rows = [
+        ("event=start id=c:0 parent=- n=7 :: hello",),
+        ("event=a.b id=c:1 parent=c:0 n=-12 :: ",),
+        ("garbled nonsense",),
+        ("event=x id=y parent=z n=nope :: tail",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    rules = G.grok_rules(expr, null_sentinels={"par": ("-",)})
+    cols = ["etype", "eid", "par", "n", "body"]
+
+    nat = [tuple(r) for r in parse_op.parse(df, rules=rules).select(*cols).collect()]
+    pdn = [
+        tuple(r)
+        for r in parse_op.parse(df, rules=rules, use_pandas=True).select(*cols).collect()
+    ]
+    assert nat == pdn
+
+    regex, _ = G.compile_grok(expr)
+    con = duckdb.connect()
+    lit = regex.replace("'", "''")
+    sql_rows = []
+    for (t,) in rows:
+        tq = t.replace("'", "''")
+        r = con.execute(
+            f"""SELECT regexp_extract('{tq}', '{lit}', 1),
+                       regexp_extract('{tq}', '{lit}', 2),
+                       CASE WHEN regexp_extract('{tq}', '{lit}', 3) = '-' THEN ''
+                            ELSE regexp_extract('{tq}', '{lit}', 3) END,
+                       TRY_CAST(nullif(regexp_extract('{tq}', '{lit}', 4), '') AS BIGINT),
+                       regexp_extract('{tq}', '{lit}', 5)"""
+        ).fetchone()
+        sql_rows.append(tuple(r))
+    assert nat == sql_rows
+
+
+def test_required_typed_field_gates_parse_ok(spark):
+    df = spark.createDataFrame([("n=5 ok",), ("n=x bad",)], ["text"])
+    rules = G.grok_rules("n=%{INT:n:int}", required=("n",))
+    out = parse_op.parse(df, rules=rules).select("n", "parse_ok").collect()
+    got = {r["parse_ok"]: r["n"] for r in out}
+    assert got[True] == 5 and got[False] is None
