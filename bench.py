@@ -32,6 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "parse_extract",
     "parse_extract_json",
+    "parse_extract_grok",
     "extract_fanout",
     "validate_events",
     "enrich_route",
@@ -49,6 +50,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_lines",
+    "dedup_exact_substr",
     "embedding_semdedup",
     "dedup_incremental",
     "dedup_jaccard_est",

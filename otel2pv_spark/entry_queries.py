@@ -142,6 +142,13 @@ def q_dedup_lines(spark, sf_dir):
     return dd.line_dedup(docs_fixture(spark, sf_dir), line_tokens=10, max_count=2)
 
 
+def q_dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr-style duplicated-span removal: every token position
+    covered by a corpus-wide duplicated word 8-gram is dropped (the
+    seeded doc_id%7 exact copies make every gram of those docs dup)."""
+    return dd.exact_substring_dedup(docs_fixture(spark, sf_dir), k=8)
+
+
 def q_embedding_semdedup(spark, sf_dir):
     """SemDeDup: k-means clusters bound the pairwise search; a vector is
     a semantic dup iff a lower-id same-cluster vector has cosine ≥ 0.95
@@ -482,6 +489,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_lines": q_dedup_lines,
+    "dedup_exact_substr": q_dedup_exact_substr,
     "dedup_incremental": q_dedup_incremental,
     "dedup_jaccard_est": q_dedup_jaccard_est,
     "text_token_count": q_text_token_count,
@@ -1004,6 +1012,40 @@ UNION ALL
 -- zero-token docs still appear (Spark: posexplode_outer)
 SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
 FROM t WHERE len(w) = 0"""
+
+
+ORACLES["dedup_exact_substr"] = f"""WITH {_DOCS_CTE},
+t AS (SELECT doc_id, {_TOKS} AS w FROM docs),
+g0 AS (
+  SELECT doc_id, CAST(unnest(range(1, len(w) - 6)) AS INT) AS pos, w
+  FROM t WHERE len(w) >= 8
+),
+grams AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS g FROM g0),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+dstat AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM dup GROUP BY doc_id),
+cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS p FROM dup, range(0, 8) r(j)),
+cstat AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_removed FROM cov GROUP BY doc_id),
+tok AS (
+  SELECT doc_id, CAST(unnest(range(1, len(w) + 1)) AS INT) AS p, w
+  FROM t WHERE len(w) > 0
+),
+kept AS (
+  SELECT tk.doc_id,
+         coalesce(string_agg(CASE WHEN c.p IS NULL THEN tk.w[tk.p] END,
+                             ' ' ORDER BY tk.p), '') AS text_kept
+  FROM tok tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.p = c.p
+  GROUP BY tk.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       coalesce(ds.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(cs.n_tokens_removed, 0) AS n_tokens_removed,
+       coalesce(k.text_kept, '') AS text_kept
+FROM t
+LEFT JOIN dstat ds USING (doc_id)
+LEFT JOIN cstat cs USING (doc_id)
+LEFT JOIN kept k USING (doc_id)"""
 
 ORACLES["dedup_minhash_lsh"] = f"""WITH {_DOCS_CTE},
 {_SHINGLE_CTE},

@@ -618,3 +618,78 @@ def line_dedup(
             ).alias("text_kept"),
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token position covered by a word ``k``-gram occurring ≥ ``min_count``
+    times ANYWHERE in the corpus (other documents or elsewhere in the
+    same one — self-repetition counts, as in the paper) is removed; the
+    surviving tokens are re-joined in order.
+
+    The paper builds a suffix array; that is a single-machine
+    construction. The distributed equivalent used here: the union of
+    duplicated ≥k-token spans is exactly the union of duplicated
+    k-grams' [pos, pos+k) windows, so corpus-wide k-gram counting (the
+    same map-side-combined groupBy shape as ``line_dedup``) reproduces
+    the removal set without any global suffix structure.
+
+    Scale shape: grams travel as (doc_id, pos:int, hash:bigint) triples
+    — never the gram text; the count is a map-side-combined
+    groupBy(hash) (a hot boilerplate gram moves O(tasks) partials, and
+    the join back onto gram positions is AQE-skew-splittable — never a
+    count-over-window, which would ship every occurrence of a hot gram
+    to one task); duplicated positions then collapse per doc in ONE
+    groupBy(doc_id) bounded by document length. The kept-token rebuild
+    is per-row array work: O(len × covered) via array_contains — fine
+    for bounded-length documents (split longer ones upstream with
+    chunk_documents). Hash collisions (xxhash64) conflate two distinct
+    grams — the standard trade at corpus scale.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    gram_hashes = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = toks.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("_p0", "_gh")
+    ).select(id_col, (F.col("_p0") + 1).cast("int").alias("_pos"), "_gh")
+    counts = grams.groupBy("_gh").agg(F.count("*").alias("_n"))
+    dup = grams.join(
+        counts.filter(F.col("_n") >= min_count), "_gh"
+    ).select(id_col, "_pos")
+    cov = dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("_pos")).alias("_dup_pos")
+    )
+    joined = toks.join(cov, id_col, "left").withColumn(
+        "_dup_pos", F.coalesce("_dup_pos", F.array().cast("array<int>"))
+    )
+    # union of the [pos, pos+k) windows = the removed positions
+    joined = joined.withColumn(
+        "_cov",
+        F.array_distinct(
+            F.flatten(
+                F.transform("_dup_pos", lambda p: F.sequence(p, p + (k - 1)))
+            )
+        ),
+    )
+    kept = F.filter(
+        "_toks", lambda x, i: ~F.array_contains("_cov", (i + 1).cast("int"))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size("_dup_pos").cast("bigint").alias("n_dup_grams"),
+        F.size("_cov").cast("bigint").alias("n_tokens_removed"),
+        F.concat_ws(" ", kept).alias("text_kept"),
+    )

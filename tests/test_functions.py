@@ -353,3 +353,43 @@ def test_validation_guards_raise(spark, sf_dir):
         prep.shuffle_deterministic(docs, num_partitions=0)
     with pytest.raises(ValueError, match="empty corpus"):
         sim.pq_train(emb.filter("vec_id < 0"), m=4, ksub=4, iters=1)
+
+
+def test_exact_substring_dedup_golden(spark):
+    """Golden cases: cross-doc shared prefix, self-repetition, short and
+    empty docs; removal = union of duplicated 8-gram windows."""
+    rows = [
+        (1, "a b c d e f g h i j unique tail one"),
+        (2, "a b c d e f g h i j unique tail two"),
+        (3, "totally different words here nothing repeats at all"),
+        (4, "x y " * 6),  # 12 tokens of pure self-repetition
+        (5, ""),
+        (6, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dd.exact_substring_dedup(df, k=8).collect()
+    }
+    # docs 1/2 share tokens 1..12 ("a".."tail"): grams at pos 1..5 dup
+    for d, keep in [(1, "one"), (2, "two")]:
+        assert out[d]["n_dup_grams"] == 5
+        assert out[d]["n_tokens_removed"] == 12
+        assert out[d]["text_kept"] == keep
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["text_kept"].startswith("totally different")
+    assert out[4]["text_kept"] == "" and out[4]["n_tokens_removed"] == 12
+    assert out[5] ["n_tokens"] == 0 and out[5]["text_kept"] == ""
+    assert out[6]["n_tokens_removed"] == 0 and out[6]["text_kept"] == "short doc"
+
+
+def test_exact_substring_dedup_exact_copies_fully_removed(spark, sf_dir):
+    """A doc and its planted exact copy (doc_id%7) lose ALL tokens when
+    the doc has ≥ 8 tokens (every gram is duplicated)."""
+    out = dd.exact_substring_dedup(docs_fixture(spark, sf_dir), k=8)
+    copies = out.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+        & (F.col("n_tokens") >= 8)
+    )
+    assert copies.count() > 0
+    assert copies.filter(F.col("n_tokens_removed") != F.col("n_tokens")).count() == 0
