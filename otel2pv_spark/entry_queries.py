@@ -409,6 +409,16 @@ def eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prep_dsir_weights(spark, sf_dir):
+    """DSIR hashed-bigram importance weights of the raw corpus against
+    the eval slice as the target domain; integer micro-nat log-weights
+    so the per-doc sum is order-independent and hash-stable."""
+    return pp.dsir_weights(
+        docs_fixture(spark, sf_dir), eval_fixture(spark, sf_dir),
+        n=2, buckets=256,
+    )
+
+
 def q_prep_decontaminate(spark, sf_dir):
     """8-gram test-set-overlap check: the eval slice's own rows AND
     their +100000 exact copies from docs_fixture must both flag."""
@@ -477,6 +487,7 @@ QUERIES = {
     "prep_split": q_prep_split,
     "prep_pack": q_prep_pack,
     "prep_decontaminate": q_prep_decontaminate,
+    "prep_dsir_weights": q_prep_dsir_weights,
     "prep_chunks": q_prep_chunks,
     "prep_shuffle": q_prep_shuffle,
     "prep_split_by_cluster": q_prep_split_by_cluster,
@@ -821,6 +832,41 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM docs) d LEFT JOIN hits USING (doc_id)"""
 
 # chunking: stride = 64 - 16 = 48, 1-based inclusive DuckDB slices
+
+_SHINGLES2 = "[array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]"
+
+_DSIR_B = "(('0x' || substr(md5(g || '#dsir-v1'), 1, 8)))::BIGINT % 256"
+
+ORACLES["prep_dsir_weights"] = f"""WITH {_DOCS_CTE},
+rt AS (SELECT doc_id, {_TOKS} AS w FROM docs),
+rfe AS (
+  SELECT doc_id, {_DSIR_B} AS b
+  FROM (SELECT doc_id, unnest({_SHINGLES2}) AS g FROM rt)
+),
+et AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id % 50 = 0),
+efe AS (
+  SELECT doc_id, {_DSIR_B} AS b
+  FROM (SELECT doc_id, unnest({_SHINGLES2}) AS g FROM et)
+),
+rc AS (SELECT b, count(*) AS c FROM rfe GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM efe GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM rfe) AS nr, (SELECT count(*) FROM efe) AS nt),
+ratio AS (
+  SELECT coalesce(rc.b, tc.b) AS b,
+         CAST(round(1e6 * ( ln((coalesce(tc.c, 0) + 1.0) / (tot.nt + 256.0))
+                          - ln((coalesce(rc.c, 0) + 1.0) / (tot.nr + 256.0)) ))
+              AS BIGINT) AS r
+  FROM rc FULL JOIN tc ON rc.b = tc.b CROSS JOIN tot
+),
+dfc AS (SELECT doc_id, b, count(*) AS c FROM rfe GROUP BY doc_id, b)
+SELECT d.doc_id,
+       CAST(coalesce(sum(dfc.c), 0) AS BIGINT) AS n_features,
+       CAST(coalesce(sum(dfc.c * ratio.r), 0) AS BIGINT) AS log_weight_micro
+FROM docs d
+LEFT JOIN dfc ON d.doc_id = dfc.doc_id
+LEFT JOIN ratio ON dfc.b = ratio.b
+GROUP BY d.doc_id"""
+
 ORACLES["prep_chunks"] = f"""WITH t AS (
   SELECT doc_id, {_TOKS} AS w FROM documents
 ),

@@ -516,3 +516,104 @@ def pack_sequences(
         (cum % budget).cast("int").alias("pack_offset"),
         "n_tokens",
     )
+
+
+def _dsir_bucket(gram_col, buckets: int):
+    """Hashed-feature bucket: int(md5(g '#dsir-v1')[:8], 16) % buckets —
+    identical in DuckDB as ('0x'||substr(md5(g||'#dsir-v1'),1,8))::BIGINT
+    % buckets (the input is non-negative, so % == pmod)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(gram_col, F.lit("#dsir-v1"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % buckets
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw
+    document by how much more likely its hashed n-gram features are
+    under a target-domain bag-of-ngrams model than under the raw-corpus
+    model; resampling by these weights shifts the corpus toward the
+    target distribution.
+
+    Per feature bucket b (word n-grams hashed into ``buckets``):
+    p(b) = (count(b) + 1) / (N + buckets)  (add-one smoothing), and a
+    document's log-weight is Σ_f count_doc(f) · (ln p_target(b_f) −
+    ln p_raw(b_f)).
+
+    Emitted as ``log_weight_micro`` — the per-bucket log-ratio is
+    rounded to integer micro-nats FIRST, so the per-document sum is
+    pure BIGINT arithmetic: order-independent, exactly reproducible,
+    and hash-stable against the oracle (a float sum over a shuffled
+    corpus is none of those).
+
+    Scale shape: both bucket-count tables are map-side-combined
+    groupBys capped at ``buckets`` rows; the ratio table (≤ buckets
+    rows) BROADCASTS into the per-(doc, bucket) join (per-doc feature
+    counts, also map-side combined), and one groupBy(doc) sums. The
+    raw corpus is never self-joined and no driver-side state exists;
+    corpus totals ride along as a broadcast 1-row cross join.
+    """
+    def feats(d: DataFrame) -> DataFrame:
+        toks = d.select(F.col(id_col), tokens(text_col).alias("_w"))
+        return toks.select(
+            F.col(id_col),
+            F.explode(shingles(F.col("_w"), n)).alias("_g"),
+        ).select(id_col, _dsir_bucket(F.col("_g"), buckets).alias("_b"))
+
+    raw_f = feats(df)
+    tgt_f = feats(target)
+    raw_c = raw_f.groupBy("_b").agg(F.count("*").alias("_rc"))
+    tgt_c = tgt_f.groupBy("_b").agg(F.count("*").alias("_tc"))
+    totals = raw_f.agg(F.count("*").alias("_nr")).crossJoin(
+        tgt_f.agg(F.count("*").alias("_nt"))
+    )
+    ratio = (
+        raw_c.join(tgt_c, "_b", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.log(
+                        (F.coalesce("_tc", F.lit(0)) + F.lit(1.0))
+                        / (F.col("_nt") + F.lit(float(buckets)))
+                    )
+                    - F.log(
+                        (F.coalesce("_rc", F.lit(0)) + F.lit(1.0))
+                        / (F.col("_nr") + F.lit(float(buckets)))
+                    )
+                )
+            ).cast("bigint").alias("_r"),
+        )
+    )
+    doc_f = raw_f.groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+    scored = (
+        doc_f.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_features"),
+            F.sum(F.col("_c") * F.col("_r")).alias("log_weight_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).cast("bigint").alias("n_features"),
+            F.coalesce("log_weight_micro", F.lit(0)).cast("bigint").alias(
+                "log_weight_micro"
+            ),
+        )
+    )

@@ -241,3 +241,35 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # short doc: one chunk, verbatim; empty doc: one empty chunk
     assert rows[(2, 0)]["chunk_text"] == "a b" and (2, 1) not in rows
     assert rows[(3, 0)]["n_chunk_tokens"] == 0
+
+
+def test_dsir_weights_favor_target_like_docs(spark, sf_dir):
+    """Docs that ARE the target slice (doc_id%50==0 appear in both the
+    raw corpus and the eval target) must average a higher importance
+    weight than the rest — the defining DSIR property. Also: weights
+    and the ratio-table join must broadcast, never shuffle the corpus."""
+    from otel2pv_spark.entry_queries import docs_fixture, eval_fixture
+
+    out = prep.dsir_weights(
+        docs_fixture(spark, sf_dir), eval_fixture(spark, sf_dir),
+        n=2, buckets=256,
+    )
+    rows = out.collect()
+    tgt = [r.log_weight_micro for r in rows if r.doc_id % 50 == 0 and r.doc_id < 100000]
+    rest = [r.log_weight_micro for r in rows if r.doc_id % 50 != 0]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_weights_zero_feature_docs_present(spark):
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "one")], ["doc_id", "text"]
+    )
+    tgt = spark.createDataFrame([(9, "alpha beta")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in prep.dsir_weights(raw, tgt, n=2, buckets=16).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2].n_features == 0 and got[2].log_weight_micro == 0
+    assert got[3].n_features == 0  # single token < n
+    assert got[1].n_features == 2
