@@ -36,6 +36,7 @@ def _norm(a):
     )
 
 
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -244,9 +245,14 @@ def ivf_train(
                 F.coalesce("mvec", F.col(vec_col)).alias(vec_col),
             )
         )
-    # k-row result consumed by several downstream actions — materialize
-    # once instead of re-running the Lloyd chain per consumer
-    return cent.localCheckpoint()
+        # cut the lineage EVERY round (k rows): iteration i+1 references
+        # iteration i's plan from several places (assign + mean + the
+        # lost-cluster fallback), so an uncheckpointed chain re-executes
+        # earlier rounds a growing number of times per round — the same
+        # one-checkpoint-per-round rule as connected_components. Also
+        # makes the result reusable by downstream consumers for free.
+        cent = cent.localCheckpoint()
+    return cent
 
 
 def ivf_topk(
