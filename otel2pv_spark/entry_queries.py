@@ -228,6 +228,34 @@ def q_text_ngram_lm(spark, sf_dir):
     return ts.ngram_lm(_docs(spark, sf_dir), n=3, min_count=2)
 
 
+def q_text_lm_perplexity(spark, sf_dir):
+    """CCNet-style scoring: every document's perplexity under the
+    corpus trigram LM (pruned n-grams floor at unk_prob)."""
+    d = _docs(spark, sf_dir)
+    return ts.lm_perplexity(d, ts.ngram_lm(d, n=3, min_count=2))
+
+
+def q_prep_cap_per_group(spark, sf_dir):
+    """RefinedWeb-style per-domain cap: keep the 10 largest documents
+    per source (n_chars desc, doc_id tie-break), two-stage skew-safe
+    top-n, every row emitted with kept/rank."""
+    return pp.cap_per_group(
+        _docs(spark, sf_dir), group_col="source", cap=10, order_col="n_chars"
+    )
+
+
+def q_prep_mix_corpus(spark, sf_dir):
+    """Token-budget domain mixing: per-source sampling rates from a
+    DoReMi-style weight recipe (src0 upsamples past 1 epoch, src1-3
+    downsample, unlisted sources drop) and deterministic per-doc copy
+    counts."""
+    return pp.mix_corpus(
+        _docs(spark, sf_dir),
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=4000,
+    )
+
+
 def q_text_subwords(spark, sf_dir):
     return ts.subword_count(_docs(spark, sf_dir))
 
@@ -510,6 +538,9 @@ QUERIES = {
     "text_classifier": q_text_classifier,
     "text_vocab": q_text_vocab,
     "text_ngram_lm": q_text_ngram_lm,
+    "text_lm_perplexity": q_text_lm_perplexity,
+    "prep_cap_per_group": q_prep_cap_per_group,
+    "prep_mix_corpus": q_prep_mix_corpus,
     "text_subwords": q_text_subwords,
     "text_winnow": q_text_winnow,
     "text_repetition": q_text_repetition,
@@ -1032,6 +1063,82 @@ g2 AS (
 SELECT g2.ngram, g2.count, cc.context_count,
        round(g2.count / cc.context_count, 6) AS cond_prob
 FROM g2 JOIN cc USING (context)"""
+
+ORACLES["text_lm_perplexity"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+g AS (
+  SELECT doc_id, unnest({_SHINGLES3}) AS ngram
+  FROM t WHERE len(w) >= 3
+),
+ga AS (SELECT ngram, count(*) AS count FROM g GROUP BY ngram),
+cc AS (
+  SELECT array_to_string((string_split(ngram, ' '))[1:2], ' ') AS context,
+         CAST(sum(count) AS BIGINT) AS context_count
+  FROM ga GROUP BY 1
+),
+lm AS (
+  SELECT ga.ngram, round(ga.count / cc.context_count, 6) AS cond_prob
+  FROM ga JOIN cc
+    ON array_to_string((string_split(ga.ngram, ' '))[1:2], ' ') = cc.context
+  WHERE ga.count >= 2
+),
+-- per-ngram cost quantized row-locally to integer micro-bits so the
+-- per-doc sum is exact integer arithmetic (same contract as Spark)
+sc AS (
+  SELECT g.doc_id,
+         CAST(round(-log2(coalesce(lm.cond_prob, 1e-6)) * 1e6) AS BIGINT) AS bm
+  FROM g LEFT JOIN lm USING (ngram)
+),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(bm) AS BIGINT) AS bits_micro
+  FROM sc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(a.bits_micro, 0) AS BIGINT) AS bits_micro,
+       round(a.bits_micro / 1e6 / a.n_ngrams, 6) AS bits_per_ngram,
+       round(pow(CAST(2 AS DOUBLE), a.bits_micro / 1e6 / a.n_ngrams), 4)
+         AS perplexity
+FROM t LEFT JOIN a USING (doc_id)"""
+
+ORACLES["prep_cap_per_group"] = """WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CASE WHEN rn <= 10 THEN CAST(rn AS BIGINT) END AS rank,
+       rn <= 10 AS kept
+FROM r"""
+
+ORACLES["prep_mix_corpus"] = f"""WITH rows_t AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+avail AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail FROM rows_t GROUP BY source
+),
+rated AS (
+  SELECT r.doc_id, r.source, r.n_tokens,
+         CASE WHEN a.avail > 0 THEN
+           CAST(4000 AS DOUBLE) * (CASE r.source
+             WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+             WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+             WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+             WHEN 'src3' THEN CAST(0.1 AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END) / a.avail
+         ELSE CAST(0 AS DOUBLE) END AS rate
+  FROM rows_t r JOIN avail a USING (source)
+)
+SELECT doc_id, source, n_tokens, round(rate, 6) AS rate,
+       CAST(floor(rate) AS BIGINT)
+         + CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix-v1'), 1, 8))::BIGINT
+                        / 4294967296.0) < (rate - floor(rate))
+                THEN 1 ELSE 0 END AS n_copies
+FROM rated"""
 
 ORACLES["dedup_lines"] = f"""WITH {_DOCS_CTE},
 t AS (SELECT doc_id, {_TOKS} AS w FROM docs),

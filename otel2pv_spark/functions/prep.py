@@ -617,3 +617,106 @@ def dsir_weights(
             ),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    order_col: str = "quality",
+    id_col: str = "doc_id",
+    blocks: int = 32,
+) -> DataFrame:
+    """Per-group document cap (the RefinedWeb-style per-domain cap):
+    keep at most ``cap`` documents per group, best-first by
+    ``order_col`` (descending) with the id as a deterministic
+    tie-break. Every input row is emitted with a ``kept`` flag;
+    ``rank`` is populated only for kept rows (a pruned row's exact
+    global rank is unknowable cheaply at scale, and irrelevant).
+
+    Scale shape — a naive ``row_number() OVER (PARTITION BY group)``
+    piles a hot group (one domain with 10^9 pages) into ONE window
+    task, and AQE cannot split window partitions. Instead: a partial
+    top-cap per (group, block) — block a pure hash of the id, so the
+    pre-filter is deterministic and provably a superset of the global
+    top-cap — then the final window sees at most cap × blocks rows per
+    group. Same two-stage shape as the salted sequence window."""
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(blocks))
+    w_part = Window.partitionBy(group_col, "_blk").orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    w_final = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    kept = (
+        df.select(id_col, group_col, order_col, blk.alias("_blk"))
+        .withColumn("_prn", F.row_number().over(w_part))
+        .filter(F.col("_prn") <= cap)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= cap)
+        .select(id_col, F.col("rank").cast("bigint").alias("rank"))
+    )
+    return (
+        df.select(id_col, group_col, order_col)
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            group_col,
+            order_col,
+            "rank",
+            F.col("rank").isNotNull().alias("kept"),
+        )
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Static corpus mixing to a token budget: given target mixture
+    weights per source (a DoReMi/Pile-style domain recipe) and a total
+    training-token budget, compute each source's sampling rate
+    rate = budget × weight / available_tokens and assign every
+    document an integer copy count — floor(rate) full epochs plus one
+    more with probability frac(rate), decided by the deterministic
+    (id, salt) hash so re-runs and appends reproduce exactly. rate > 1
+    upsamples (multiple epochs), rate < 1 downsamples. Sources absent
+    from ``weights`` get weight 0 (dropped, n_copies = 0).
+
+    Scale shape: one map-side-combined groupBy(source) for the
+    available-token census (output rows = #sources, config-sized), the
+    rates broadcast back, then a pure projection — no second shuffle,
+    no skew surface. The copy explosion (one row per epoch) is left to
+    the caller (``F.explode(F.sequence(...))``) so the decision table
+    stays small."""
+    rows = df.select(
+        id_col, source_col, F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    avail = rows.groupBy(source_col).agg(F.sum("n_tokens").alias("_avail"))
+    w_expr = F.lit(0.0)
+    for src in sorted(weights):
+        w_expr = F.when(F.col(source_col) == src, F.lit(float(weights[src]))).otherwise(
+            w_expr
+        )
+    # guard _avail = 0 (a source whose every doc tokenizes empty):
+    # double x/0 semantics differ across engines, so pin the rate to 0
+    rate = F.when(
+        F.col("_avail") > 0, F.lit(float(token_budget)) * w_expr / F.col("_avail")
+    ).otherwise(F.lit(0.0))
+    extra = (_hash_frac(id_col, salt) < (rate - F.floor(rate))).cast("bigint")
+    n_copies = F.floor(rate).cast("bigint") + extra
+    return (
+        rows.join(F.broadcast(avail), source_col)
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            F.round(rate, 6).alias("rate"),
+            n_copies.alias("n_copies"),
+        )
+    )

@@ -508,3 +508,59 @@ def ngram_lm(
         "context_count",
         F.round(F.col("count") / F.col("context_count"), round_to).alias("cond_prob"),
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    lm: DataFrame,
+    n: int = 3,
+    unk_prob: float = 1e-6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an n-gram LM table (the scoring
+    half of a CCNet-style quality pipeline: score every document
+    against a reference-corpus LM, then filter/bucket on perplexity).
+    ``lm`` is an ``ngram_lm``-shaped table (ngram, cond_prob); n-grams
+    absent from it (pruned or unseen) score at the ``unk_prob`` floor.
+
+    Determinism contract: each n-gram's cost is quantized row-locally
+    to integer micro-bits (round(-log2(p) * 1e6)) BEFORE the per-doc
+    aggregate, so the cross-row sum is exact integer arithmetic —
+    immune to float summation order, which varies run-to-run with
+    partitioning (a raw avg(log2 p) would be ±1 ULP nondeterministic).
+
+    Scale shape: explode → ONE equi-join on ngram (the LM side is the
+    pruned count table, far smaller than the corpus but not broadcast-
+    sized at 100 TB; hot n-grams skew the join and AQE splits them) →
+    one map-side-combined groupBy(doc). Docs shorter than n tokens
+    emit n_ngrams = 0 with null perplexity (left join back), so the
+    operator is total over the corpus.
+    """
+    from .dedup import shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col), n)).alias("ngram"),
+    )
+    p = F.coalesce(F.col("cond_prob"), F.lit(float(unk_prob)))
+    scored = grams.join(lm.select("ngram", "cond_prob"), "ngram", "left").select(
+        id_col,
+        F.round(-F.log2(p) * F.lit(1e6)).cast("bigint").alias("_bits_micro"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum("_bits_micro").alias("bits_micro"),
+    )
+    avg_bits = F.col("bits_micro") / F.lit(1e6) / F.col("n_ngrams")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("bits_micro", F.lit(0)).cast("bigint").alias("bits_micro"),
+            F.round(avg_bits, 6).alias("bits_per_ngram"),
+            F.round(F.pow(F.lit(2.0), avg_bits), 4).alias("perplexity"),
+        )
+    )

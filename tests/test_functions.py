@@ -393,3 +393,36 @@ def test_exact_substring_dedup_exact_copies_fully_removed(spark, sf_dir):
     )
     assert copies.count() > 0
     assert copies.filter(F.col("n_tokens_removed") != F.col("n_tokens")).count() == 0
+
+
+def test_lm_perplexity_golden(spark):
+    """Hand-checkable LM scoring: a corpus where 'a b c' follows 'a b'
+    every time (cond_prob 1 → 0 bits) and docs with unseen trigrams
+    floor at unk_prob."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(4)] + [(10, "x y z"), (11, "a b")],
+        ["doc_id", "text"],
+    )
+    lm = ts.ngram_lm(docs, n=3, min_count=2)
+    assert {tuple(r) for r in lm.collect()} == {("a b c", 4, 4, 1.0)}
+    out = {r["doc_id"]: r.asDict() for r in ts.lm_perplexity(docs, lm).collect()}
+    # in-LM doc: P=1 → 0 bits, perplexity 1
+    assert out[0]["n_ngrams"] == 1 and out[0]["bits_micro"] == 0
+    assert out[0]["perplexity"] == 1.0
+    # unseen trigram: -log2(1e-6) ≈ 19.93 bits
+    assert out[10]["bits_micro"] == 19931569
+    assert abs(out[10]["perplexity"] - 1e6) < 1.0
+    # too short for a trigram: present with 0 ngrams and null scores
+    assert out[11]["n_ngrams"] == 0 and out[11]["perplexity"] is None
+
+
+def test_lm_perplexity_deterministic_under_repartition(spark, sf_dir):
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = ts.ngram_lm(docs, n=3, min_count=2)
+    a = ts.lm_perplexity(docs, lm).collect()
+    b = ts.lm_perplexity(docs.repartition(17), lm).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

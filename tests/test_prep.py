@@ -273,3 +273,89 @@ def test_dsir_weights_zero_feature_docs_present(spark):
     assert got[2].n_features == 0 and got[2].log_weight_micro == 0
     assert got[3].n_features == 0  # single token < n
     assert got[1].n_features == 2
+
+
+def test_cap_per_group_matches_naive_window(spark):
+    """Two-stage skew-safe top-n == the naive single global window, and
+    the kept count per group is min(cap, group size)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float((i * 37) % 50)) for i in range(200)],
+        ["doc_id", "source", "score"],
+    )
+    out = prep.cap_per_group(
+        df, group_col="source", cap=5, order_col="score", blocks=8
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.when(F.col("rn") <= 5, F.col("rn").cast("bigint")).alias("rank"),
+            (F.col("rn") <= 5).alias("kept"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+    kept = {
+        r["source"]: r["n"]
+        for r in out.filter("kept").groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept == {"g0": 5, "g1": 5, "g2": 5}
+
+
+def test_cap_per_group_small_group_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 9.0)], ["doc_id", "source", "score"]
+    )
+    out = prep.cap_per_group(df, group_col="source", cap=10, order_col="score")
+    assert out.filter("NOT kept").count() == 0
+    ranks = {r["doc_id"]: r["rank"] for r in out.collect()}
+    assert ranks == {1: 2, 2: 1, 3: 1}
+
+
+def test_mix_corpus_copy_counts_and_budget(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, "web" if i < 40 else "code", "tok " * 100)
+            for i in range(50)
+        ],
+        ["doc_id", "source", "text"],
+    )
+    # web avail = 4000 tokens, code avail = 1000; budget 8000 at
+    # 50/50 → web rate 1.0, code rate 4.0 (pure upsample, exact)
+    out = prep.mix_corpus(
+        docs, weights={"web": 0.5, "code": 0.5}, token_budget=8000
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert all(r["n_copies"] == 1 for r in by_src["web"])
+    assert all(r["n_copies"] == 4 for r in by_src["code"])
+    # integer rates have no fractional lottery: token accounting exact
+    assert sum(r["n_copies"] * r["n_tokens"] for r in out) == 8000
+
+
+def test_mix_corpus_fractional_and_unlisted(spark):
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "junk", "a b c d") for i in range(400)],
+        ["doc_id", "source", "text"],
+    )
+    out = prep.mix_corpus(
+        docs, weights={"web": 1.0}, token_budget=400
+    )
+    rows = out.collect()
+    junk = [r for r in rows if r["source"] == "junk"]
+    assert all(r["n_copies"] == 0 and r["rate"] == 0.0 for r in junk)
+    web = [r for r in rows if r["source"] == "web"]
+    # rate = 400 / 800 = 0.5: each doc keeps 0 or 1 copies, about half
+    assert all(r["n_copies"] in (0, 1) for r in web)
+    kept = sum(r["n_copies"] for r in web)
+    assert 0.3 * len(web) < kept < 0.7 * len(web)
+    # deterministic under repartition
+    again = prep.mix_corpus(
+        docs.repartition(13), weights={"web": 1.0}, token_budget=400
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
