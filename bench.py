@@ -64,6 +64,9 @@ HEADLINE = [
     "text_quality",
     "text_classifier",
     "text_ngram_lm",
+    "text_lm_perplexity",
+    "prep_cap_per_group",
+    "prep_mix_corpus",
     "text_token_count",
     "text_winnow",
     "prep_scrub",

@@ -256,6 +256,12 @@ def q_prep_mix_corpus(spark, sf_dir):
     )
 
 
+def q_text_bpe_pairs(spark, sf_dir):
+    """One BPE-training round: corpus-wide adjacent-symbol-pair counts
+    weighted by word frequency (vocabulary-bounded explosion)."""
+    return ts.bpe_pair_counts(_docs(spark, sf_dir), min_count=2)
+
+
 def q_text_subwords(spark, sf_dir):
     return ts.subword_count(_docs(spark, sf_dir))
 
@@ -539,6 +545,7 @@ QUERIES = {
     "text_vocab": q_text_vocab,
     "text_ngram_lm": q_text_ngram_lm,
     "text_lm_perplexity": q_text_lm_perplexity,
+    "text_bpe_pairs": q_text_bpe_pairs,
     "prep_cap_per_group": q_prep_cap_per_group,
     "prep_mix_corpus": q_prep_mix_corpus,
     "text_subwords": q_text_subwords,
@@ -1102,6 +1109,22 @@ SELECT t.doc_id,
        round(pow(CAST(2 AS DOUBLE), a.bits_micro / 1e6 / a.n_ngrams), 4)
          AS perplexity
 FROM t LEFT JOIN a USING (doc_id)"""
+
+ORACLES["text_bpe_pairs"] = f"""WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents
+),
+words AS (
+  SELECT word, count(*) AS wc
+  FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word
+),
+p AS (
+  SELECT unnest([substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+                 for i in range(1, len(word))]) AS pair,
+         wc
+  FROM words WHERE len(word) >= 2
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS count
+FROM p GROUP BY pair HAVING sum(wc) >= 2"""
 
 ORACLES["prep_cap_per_group"] = """WITH r AS (
   SELECT doc_id, source, n_chars,

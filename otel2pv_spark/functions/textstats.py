@@ -492,6 +492,15 @@ def ngram_lm(
         .groupBy("ngram")
         .agg(F.count("*").alias("count"))
     )
+    # materialize the distinct-ngram counts ONCE: both consumers below
+    # (the pruned gram table and the context sums) hang off this
+    # aggregate, but the final join pushes different IsNotNull filters
+    # into each branch, so subtree equality — and with it Catalyst's
+    # ReuseExchange — breaks, and an unmaterialized plan scans and
+    # explodes the whole corpus twice. The checkpointed table is the
+    # distinct n-gram count table: orders of magnitude smaller than the
+    # corpus (the same size argument as the winnowing stages above).
+    grams_all = grams_all.localCheckpoint()
     contexts = (
         grams_all.groupBy(
             F.substring_index("ngram", " ", n - 1).alias("context")
@@ -539,9 +548,11 @@ def lm_perplexity(
     """
     from .dedup import shingles
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode(shingles(tokens(text_col), n)).alias("ngram"),
+    # staged projection: a fused explode(shingles(tokens(...))) lets
+    # Catalyst inline the tokenizer into the per-shingle slice lambda —
+    # O(ngrams × tokenize) per document (the winnowing lesson above)
+    grams = df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
+        id_col, F.explode(shingles(F.col("_w"), n)).alias("ngram")
     )
     p = F.coalesce(F.col("cond_prob"), F.lit(float(unk_prob)))
     scored = grams.join(lm.select("ngram", "cond_prob"), "ngram", "left").select(
@@ -563,4 +574,41 @@ def lm_perplexity(
             F.round(avg_bits, 6).alias("bits_per_ngram"),
             F.round(F.pow(F.lit(2.0), avg_bits), 4).alias("perplexity"),
         )
+    )
+
+
+def bpe_pair_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    min_count: int = 1) -> DataFrame:
+    """One round of BPE tokenizer training: corpus-wide counts of
+    adjacent symbol pairs, weighted by word frequency — the merge-rank
+    statistic a trainer maximizes each iteration (the counting is the
+    distributed-scale part; applying the chosen merge is driver-side
+    config, not data).
+
+    Scale shape: words aggregate FIRST (map-side-combined groupBy on
+    the word — the corpus collapses to its vocabulary, which is orders
+    of magnitude smaller than the token stream), then pairs explode
+    from DISTINCT words only, weighted by the word count, into a
+    second map-side-combined groupBy(pair). The pair explosion is
+    bounded by Σ|word| over the vocabulary, not over the corpus."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    # pairs via substr, not split(word, "") — empty-pattern split edge
+    # behavior (trailing empties) is engine-specific; substr is portable
+    w = F.col("word")
+    pairs = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: F.concat_ws(" ", w.substr(i, F.lit(1)), w.substr(i + 1, F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pairs).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("count"))
+        .filter(F.col("count") >= min_count)
     )

@@ -426,3 +426,15 @@ def test_lm_perplexity_deterministic_under_repartition(spark, sf_dir):
     a = ts.lm_perplexity(docs, lm).collect()
     b = ts.lm_perplexity(docs.repartition(17), lm).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_pair_counts_golden(spark):
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab ab"), (2, "aab x")], ["doc_id", "text"]
+    )
+    # word counts: aab ×3, ab ×1, x ×1
+    # pairs: aab → (a a), (a b); ab → (a b); x → none
+    out = {r["pair"]: r["count"] for r in ts.bpe_pair_counts(docs).collect()}
+    assert out == {"a a": 3, "a b": 4}
