@@ -578,6 +578,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    pair_blocks: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -629,8 +630,21 @@ def semantic_dedup(
         _dot(F.col("_avec"), F.col("_bvec")) / (F.col("_anrm") * F.col("_bnrm")),
         round_to,
     )
+    # Block-replicated pair join: keyed on cluster alone, the whole
+    # quadratic for a cluster lands in ONE task (AQE skew-split can cut
+    # a sort-merge partition's rows, but every b-row of the cluster
+    # still meets every a-row inside that task's output). Hashing the
+    # b side into `pair_blocks` blocks and replicating the a side
+    # across them spreads each cluster's pairs over pair_blocks tasks —
+    # pair count identical (each (a,b) meets exactly once, at b's
+    # block), a-side shuffle volume × pair_blocks (rows, not pairs — a
+    # rounding error next to the pair work it parallelizes).
+    blk = F.pmod(F.xxhash64(F.col("_cand_id")), F.lit(pair_blocks)).cast("int")
+    a_rep = a.withColumn(
+        "_blk", F.explode(F.sequence(F.lit(0), F.lit(pair_blocks - 1)))
+    )
     dups = (
-        a.join(b, "cluster")
+        a_rep.join(b.withColumn("_blk", blk), ["cluster", "_blk"])
         .filter(F.col("_keep_id") < F.col("_cand_id"))
         .filter(cos >= threshold)
         .select(F.col("_cand_id").alias(id_col))
