@@ -1094,7 +1094,8 @@ lm AS (
 -- per-doc sum is exact integer arithmetic (same contract as Spark)
 sc AS (
   SELECT g.doc_id,
-         CAST(round(-log2(coalesce(lm.cond_prob, 1e-6)) * 1e6) AS BIGINT) AS bm
+         CAST(round(-log2(greatest(coalesce(lm.cond_prob, 1e-6), 1e-6)) * 1e6)
+              AS BIGINT) AS bm
   FROM g LEFT JOIN lm USING (ngram)
 ),
 a AS (
@@ -1154,7 +1155,7 @@ rated AS (
              WHEN 'src3' THEN CAST(0.1 AS DOUBLE)
              ELSE CAST(0 AS DOUBLE) END) / a.avail
          ELSE CAST(0 AS DOUBLE) END AS rate
-  FROM rows_t r JOIN avail a USING (source)
+  FROM rows_t r LEFT JOIN avail a USING (source)
 )
 SELECT doc_id, source, n_tokens, round(rate, 6) AS rate,
        CAST(floor(rate) AS BIGINT)

@@ -697,6 +697,11 @@ def mix_corpus(
     rows = df.select(
         id_col, source_col, F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
     )
+    # materialize once: the census below and the final projection both
+    # consume `rows`, and an unmaterialized plan would tokenize the
+    # whole corpus twice; (id, source, n_tokens) is tiny next to the
+    # text it summarizes (same argument as ngram_lm's grams_all)
+    rows = rows.localCheckpoint()
     avail = rows.groupBy(source_col).agg(F.sum("n_tokens").alias("_avail"))
     w_expr = F.lit(0.0)
     for src in sorted(weights):
@@ -710,8 +715,12 @@ def mix_corpus(
     ).otherwise(F.lit(0.0))
     extra = (_hash_frac(id_col, salt) < (rate - F.floor(rate))).cast("bigint")
     n_copies = F.floor(rate).cast("bigint") + extra
+    # LEFT join: an equi-join never matches NULL sources, which would
+    # silently drop unattributed documents from the decision table;
+    # with a null _avail the rate guard falls through to 0.0, so they
+    # surface as n_copies = 0 like any other unlisted source
     return (
-        rows.join(F.broadcast(avail), source_col)
+        rows.join(F.broadcast(avail), source_col, "left")
         .select(
             id_col,
             source_col,

@@ -554,7 +554,15 @@ def lm_perplexity(
     grams = df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
         id_col, F.explode(shingles(F.col("_w"), n)).alias("ngram")
     )
-    p = F.coalesce(F.col("cond_prob"), F.lit(float(unk_prob)))
+    # floor PRESENT probabilities too, not just absent ones: ngram_lm
+    # rounds cond_prob to 6 decimals, so an ultra-rare gram can land in
+    # the table as exactly 0.0 — log2(0) is NULL in Spark (+inf in
+    # DuckDB) and would silently contribute 0 bits while still counting
+    # in n_ngrams, scoring the worst documents as the best
+    p = F.greatest(
+        F.coalesce(F.col("cond_prob"), F.lit(float(unk_prob))),
+        F.lit(float(unk_prob)),
+    )
     scored = grams.join(lm.select("ngram", "cond_prob"), "ngram", "left").select(
         id_col,
         F.round(-F.log2(p) * F.lit(1e6)).cast("bigint").alias("_bits_micro"),
@@ -577,7 +585,7 @@ def lm_perplexity(
     )
 
 
-def bpe_pair_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
                     min_count: int = 1) -> DataFrame:
     """One round of BPE tokenizer training: corpus-wide counts of
     adjacent symbol pairs, weighted by word frequency — the merge-rank

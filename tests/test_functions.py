@@ -438,3 +438,14 @@ def test_bpe_pair_counts_golden(spark):
     # pairs: aab → (a a), (a b); ab → (a b); x → none
     out = {r["pair"]: r["count"] for r in ts.bpe_pair_counts(docs).collect()}
     assert out == {"a a": 3, "a b": 4}
+
+
+def test_lm_perplexity_zero_prob_gram_floors_at_unk(spark):
+    """A gram PRESENT in the LM with cond_prob rounded to 0.0 must cost
+    the unk floor (19.93 bits), not NULL→0 bits (review finding)."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    lm = spark.createDataFrame([("a b c", 0.0)], ["ngram", "cond_prob"])
+    row = ts.lm_perplexity(docs, lm).collect()[0]
+    assert row["n_ngrams"] == 1 and row["bits_micro"] == 19931569

@@ -359,3 +359,17 @@ def test_mix_corpus_fractional_and_unlisted(spark):
         docs.repartition(13), weights={"web": 1.0}, token_budget=400
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mix_corpus_null_source_rows_surface(spark):
+    """NULL-source docs must appear in the decision table with
+    n_copies = 0, not vanish in the census join (review finding)."""
+    docs = spark.createDataFrame(
+        [(1, "web", "a b c d"), (2, None, "a b c d")],
+        ["doc_id", "source", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in prep.mix_corpus(docs, {"web": 1.0}, token_budget=4).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_copies"] == 0 and rows[2]["rate"] == 0.0
+    assert rows[1]["n_copies"] == 1
