@@ -214,3 +214,53 @@ def test_chunks_match_python_reference(spark, doc_lens, chunk_tokens, overlap):
             piece = toks[k * stride: k * stride + chunk_tokens]
             want.append((i, k, " ".join(piece), len(piece)))
     assert got == sorted(want)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("pqr"), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 5),
+)
+def test_cap_per_group_matches_python_reference(spark, rows, cap):
+    """Two-stage top-n == sort-and-slice per group in Python."""
+    data = [(i, g, float(s)) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "source", "score"])
+    got = {
+        r["doc_id"]: (r["rank"], r["kept"])
+        for r in prep.cap_per_group(
+            df, group_col="source", cap=cap, order_col="score", blocks=4
+        ).collect()
+    }
+    want = {}
+    by_g = {}
+    for i, g, s in data:
+        by_g.setdefault(g, []).append((i, s))
+    for g, members in by_g.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        for rank0, (i, _) in enumerate(members):
+            rank = rank0 + 1
+            want[i] = (rank, True) if rank <= cap else (None, False)
+    assert got == want
+
+
+@SET
+@given(st.lists(st.text(alphabet="abc d", min_size=0, max_size=16), max_size=20))
+def test_bpe_pair_counts_matches_counter_reference(spark, texts):
+    from collections import Counter
+
+    from otel2pv_spark.functions import textstats as ts
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, "")], ["doc_id", "text"]
+    )
+    got = {r["pair"]: r["count"] for r in ts.bpe_pair_counts(df).collect()}
+    want = Counter()
+    for t in texts:
+        for w in [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]:
+            for x, y in zip(w, w[1:]):
+                want[f"{x} {y}"] += 1
+    assert got == dict(want)
