@@ -262,6 +262,25 @@ def q_text_bpe_pairs(spark, sf_dir):
     return ts.bpe_pair_counts(_docs(spark, sf_dir), min_count=2)
 
 
+# encode merges are CONFIG (a trained tokenizer's merge table), shared
+# verbatim by the Spark query and the DuckDB oracle; includes a chained
+# second-order merge (t+h then th+e) so the rank-order application and
+# multi-char symbols are both exercised.
+BPE_FIXTURE_MERGES = [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n")]
+
+
+def q_text_bpe_train(spark, sf_dir):
+    """Full BPE training: 3 merges learned by iterated corpus-wide pair
+    argmax + greedy merge application over the vocabulary."""
+    return ts.bpe_train(_docs(spark, sf_dir), n_merges=3)
+
+
+def q_text_bpe_encode(spark, sf_dir):
+    """Config-driven BPE encoding of every document (greedy merges in
+    rank order; zero-shuffle codegen projection)."""
+    return ts.bpe_apply(_docs(spark, sf_dir), BPE_FIXTURE_MERGES)
+
+
 def q_text_subwords(spark, sf_dir):
     return ts.subword_count(_docs(spark, sf_dir))
 
@@ -546,6 +565,8 @@ QUERIES = {
     "text_ngram_lm": q_text_ngram_lm,
     "text_lm_perplexity": q_text_lm_perplexity,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "text_bpe_train": q_text_bpe_train,
+    "text_bpe_encode": q_text_bpe_encode,
     "prep_cap_per_group": q_prep_cap_per_group,
     "prep_mix_corpus": q_prep_mix_corpus,
     "text_subwords": q_text_subwords,
@@ -1126,6 +1147,76 @@ p AS (
 )
 SELECT pair, CAST(sum(wc) AS BIGINT) AS count
 FROM p GROUP BY pair HAVING sum(wc) >= 2"""
+
+# BPE train/encode oracles share the sentinel-wrapped symbol encoding
+# with functions/textstats.py (see the note there): "<t><h><e>", merge
+# (l, r) = literal replace '<l><r>' -> '<lr>' (DuckDB replace() is
+# left-to-right non-overlapping = greedy BPE, boundary-safe because
+# tokens are [a-z0-9]+ only).
+_BPE_WRAP = (
+    "'<' || array_to_string([word[i] for i in range(1, len(word) + 1)],"
+    " '><') || '>'"
+)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    ctes = [
+        f"t AS (SELECT {_TOKS} AS toks FROM documents)",
+        f"""v0 AS (
+  SELECT {_BPE_WRAP} AS seq, count(*) AS wc
+  FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS c
+  FROM (
+    SELECT wc,
+           unnest([syms[i] || ' ' || syms[i + 1]
+                   for i in range(1, len(syms))]) AS pair
+    FROM (SELECT wc, string_split(trim(seq, '<>'), '><') AS syms
+          FROM v{r - 1})
+  ) GROUP BY pair
+)""")
+        ctes.append(
+            f"b{r} AS (SELECT split_part(pair, ' ', 1) AS l,"
+            f" split_part(pair, ' ', 2) AS r, c"
+            f" FROM p{r} ORDER BY c DESC, pair LIMIT 1)"
+        )
+        ctes.append(f"""v{r} AS (
+  SELECT wc, replace(seq,
+    '<' || (SELECT l FROM b{r}) || '><' || (SELECT r FROM b{r}) || '>',
+    '<' || (SELECT l FROM b{r}) || (SELECT r FROM b{r}) || '>') AS seq
+  FROM v{r - 1}
+)""")
+    finals = [
+        f"SELECT CAST({r} AS INTEGER) AS rank, l AS left_sym,"
+        f" r AS right_sym, l || r AS merged, c AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+ORACLES["text_bpe_train"] = _bpe_train_oracle(3)
+
+_BPE_ENC = "'<' || array_to_string([w[i] for i in range(1, len(w) + 1)], '><') || '>'"
+for _l, _r in BPE_FIXTURE_MERGES:
+    _BPE_ENC = f"replace({_BPE_ENC}, '<{_l}><{_r}>', '<{_l}{_r}>')"
+
+ORACLES["text_bpe_encode"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS nt,
+         flatten(list_transform(
+           list_transform(toks, w -> {_BPE_ENC}),
+           q -> string_split(trim(q, '<>'), '><'))) AS sw
+  FROM t
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       CAST(len(sw) AS BIGINT) AS n_bpe_tokens,
+       array_to_string(sw, ' ') AS bpe_text
+FROM s"""
 
 ORACLES["prep_cap_per_group"] = """WITH r AS (
   SELECT doc_id, source, n_chars,

@@ -620,3 +620,138 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
         .agg(F.sum("wc").alias("count"))
         .filter(F.col("count") >= min_count)
     )
+
+
+# --- full BPE training / encoding --------------------------------------
+#
+# Symbol representation: a word's current symbol sequence is a single
+# string with every symbol wrapped in sentinels, "<t><h><e>". Tokens
+# are strictly [a-z0-9]+ (dedup.TOKEN_SPLIT), so '<' and '>' can never
+# occur inside a symbol. With this encoding, applying merge (l, r) is a
+# plain LITERAL string replace "<l><r>" -> "<lr>", and left-to-right
+# non-overlapping replace (Java String.replace == DuckDB replace())
+# reproduces exact greedy BPE merge semantics: the pattern starts and
+# ends on sentinels, so consuming a match never eats the boundary of
+# the next one (the classic " a b " space-delimited encoding fails on
+# odd self-merge runs like "a a a a a" precisely because it must
+# consume a shared separator), and a merged symbol "<lr>" can never
+# complete a new match of the same pattern.
+
+
+def _bpe_wrap(word_col):
+    """word -> "<c1><c2>...": each char wrapped in sentinel brackets."""
+    return F.concat(
+        F.lit("<"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(word_col)),
+                lambda i: word_col.substr(i, F.lit(1)),
+            ),
+            "><",
+        ),
+        F.lit(">"),
+    )
+
+
+def _bpe_syms(seq_col):
+    """"<ab><c>" -> ["ab", "c"] (current symbol array)."""
+    return F.split(F.regexp_replace(seq_col, "^<|>$", ""), "><")
+
+
+def _bpe_replace(seq_col, left: str, right: str):
+    return F.replace(
+        seq_col, F.lit(f"<{left}><{right}>"), F.lit(f"<{left}{right}>")
+    )
+
+
+def bpe_train(df: DataFrame, n_merges: int = 3,
+              text_col: str = "text") -> DataFrame:
+    """Full BPE tokenizer training: learn ``n_merges`` merges by
+    repeatedly counting corpus-wide adjacent-symbol pairs (weighted by
+    word frequency) and merging the most frequent pair everywhere.
+    Ties break deterministically on the space-joined pair string
+    (equivalent to (left, right) tuple order — the separator sorts
+    below every symbol char). Returns the merge table
+    (rank, left_sym, right_sym, merged, pair_count).
+
+    Scale shape (the same one real distributed BPE trainers use): the
+    corpus collapses ONCE to its vocabulary (map-side-combined groupBy
+    on the word — orders of magnitude smaller than the token stream);
+    every round then runs over vocab-sized data only: one explode +
+    map-side-combined groupBy for pair counts, a 1-row argmax collect
+    (the merge table is config, not data — same broadcast argument as
+    make_anchors), and a pure-projection literal replace. The vocab is
+    localCheckpoint()ed per round so round r+1 doesn't re-execute
+    rounds 1..r (the Lloyd-iteration lesson)."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .select(_bpe_wrap(F.col("word")).alias("seq"), "wc")
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        syms = _bpe_syms(F.col("seq"))
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            vocab.select(F.explode(pairs).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["pair"].split(" ", 1)
+        merges.append((rank, left, right, left + right, int(best[0]["c"])))
+        vocab = vocab.withColumn(
+            "seq", _bpe_replace(F.col("seq"), left, right)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document with a trained/configured BPE merge list
+    (applied in rank order — exact greedy merge semantics, see the
+    sentinel-encoding note above). Returns per-doc
+    (id, n_tokens, n_bpe_tokens, bpe_text) where ``bpe_text`` is the
+    space-joined subword stream.
+
+    Zero shuffles, zero UDFs: the merge list is compile-time config
+    (len(merges) chained literal replaces inside one whole-stage-
+    codegen projection) — at 100 TB this is a map-only scan."""
+
+    def encode(tok):
+        seq = _bpe_wrap(tok)
+        for left, right in merges:
+            seq = _bpe_replace(seq, left, right)
+        return _bpe_syms(seq)
+
+    toks = tokens(text_col)
+    subwords = F.flatten(F.transform(toks, encode))
+    return df.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(subwords).cast("bigint").alias("n_bpe_tokens"),
+        F.array_join(subwords, " ").alias("bpe_text"),
+    )

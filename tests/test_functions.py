@@ -440,6 +440,109 @@ def test_bpe_pair_counts_golden(spark):
     assert out == {"a a": 3, "a b": 4}
 
 
+def test_bpe_train_golden(spark):
+    """3 merges over a tiny corpus, checked against hand-derived greedy
+    BPE: vocab {aab:3, ab:1, x:1}; round 1 pairs {(a,a):3, (a,b):4} →
+    merge (a,b); round 2: aab→[a,ab]×3 gives (a,ab):3 → merge (a,ab);
+    round 3: vocab is fully merged single symbols → no pairs → stop."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab ab"), (2, "aab x")], ["doc_id", "text"]
+    )
+    rows = [tuple(r) for r in ts.bpe_train(docs, n_merges=3).collect()]
+    assert rows == [(1, "a", "b", "ab", 4), (2, "a", "ab", "aab", 3)]
+
+
+def test_bpe_apply_greedy_semantics(spark):
+    """Greedy left-to-right merge application, including the odd
+    self-merge run that breaks space-delimited replace encodings:
+    'aaaaa' under merge (a,a) must become [aa, aa, a], and rank order
+    must chain (t+h then th+e)."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaa"), (2, "the theme"), (3, "ab")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"], r["bpe_text"])
+        for r in ts.bpe_apply(
+            docs, [("a", "a"), ("t", "h"), ("th", "e")]
+        ).collect()
+    }
+    assert out[1] == (1, 3, "aa aa a")
+    assert out[2] == (2, 4, "the the m e")
+    assert out[3] == (1, 2, "a b")
+
+
+def test_bpe_train_apply_matches_python_reference(spark):
+    """End-to-end parity: train 3 merges on a seeded corpus and encode
+    with them; every doc must match an independent pure-Python greedy
+    BPE implementation."""
+    import re as _re
+    from collections import Counter
+
+    from otel2pv_spark.functions import textstats as ts
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the theme of the thesis is thorough",
+        "aaa aaaa aaaaa baba abab",
+        "in the inner inn din dinner",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def toks(text):
+        return [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+    def greedy(syms, left, right):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    vocab = Counter(w for t in texts for w in toks(t))
+    seqs = {w: list(w) for w in vocab}
+    ref_merges = []
+    for rank in range(1, 4):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        (left, right), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        ref_merges.append((rank, left, right, left + right, c))
+        seqs = {w: greedy(s, left, right) for w, s in seqs.items()}
+
+    got = [tuple(r) for r in ts.bpe_train(docs, n_merges=3).collect()]
+    assert got == ref_merges
+
+    merges = [(m[1], m[2]) for m in ref_merges]
+    enc = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"], r["bpe_text"])
+        for r in ts.bpe_apply(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        sw = [s for w in toks(t) for s in _apply_all(w, merges, greedy)]
+        assert enc[i] == (len(toks(t)), len(sw), " ".join(sw))
+
+
+def _apply_all(word, merges, greedy):
+    syms = list(word)
+    for left, right in merges:
+        syms = greedy(syms, left, right)
+    return syms
+
+
 def test_lm_perplexity_zero_prob_gram_floors_at_unk(spark):
     """A gram PRESENT in the LM with cond_prob rounded to 0.0 must cost
     the unk floor (19.93 bits), not NULL→0 bits (review finding)."""
