@@ -285,6 +285,21 @@ def q_text_subwords(spark, sf_dir):
     return ts.subword_count(_docs(spark, sf_dir))
 
 
+# BM25 retrieval queries are CONFIG (a handful of keyword queries),
+# shared verbatim with the DuckDB oracle.
+BM25_QUERIES = [
+    ("q_join", "spark window join"),
+    ("q_sort", "hash merge sort"),
+    ("q_cust", "customer query stream"),
+]
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k keyword retrieval over the corpus (micro-unit
+    quantized scores; two-level partial top-k — see bm25_topk)."""
+    return ts.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=5)
+
+
 def q_text_winnow(spark, sf_dir):
     return ts.winnow_fingerprint(_docs(spark, sf_dir))
 
@@ -567,6 +582,7 @@ QUERIES = {
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
+    "text_bm25_topk": q_text_bm25_topk,
     "prep_cap_per_group": q_prep_cap_per_group,
     "prep_mix_corpus": q_prep_mix_corpus,
     "text_subwords": q_text_subwords,
@@ -1217,6 +1233,72 @@ SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
        CAST(len(sw) AS BIGINT) AS n_bpe_tokens,
        array_to_string(sw, ' ') AS bpe_text
 FROM s"""
+
+def _bm25_oracle(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    import re as _re
+
+    qvals = ",\n         ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in BM25_QUERIES
+        for t in sorted(set(_re.split(r"[^a-z0-9]+", qtext.lower())) - {""})
+    )
+    terms = sorted(
+        {
+            t
+            for _, qtext in BM25_QUERIES
+            for t in _re.split(r"[^a-z0-9]+", qtext.lower())
+            if t
+        }
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    # constant forms mirror the Spark expression exactly (k1+1 and 1-b
+    # folded the same way) so both engines evaluate the identical
+    # double-precision formula before micro-quantization
+    return f"""WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM d),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl FROM dl
+),
+q(query_id, term) AS (
+  VALUES {qvals}
+),
+posts AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, dl, term
+),
+idf AS (
+  SELECT term,
+         ln((n_docs - cnt + 0.5) / (cnt + 0.5) + 1.0) AS idf,
+         sum_dl / n_docs AS avgdl
+  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+        FROM posts GROUP BY term), stats
+),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(round(i.idf * (p.tf * {k1 + 1.0})
+             / (p.tf + {k1} * ({1.0 - b} + {b} * p.dl / i.avgdl))
+             * 1e6) AS BIGINT) AS c
+  FROM posts p JOIN idf i USING (term) JOIN q USING (term)
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micro,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {k}"""
+
+
+ORACLES["text_bm25_topk"] = _bm25_oracle(5)
 
 ORACLES["prep_cap_per_group"] = """WITH r AS (
   SELECT doc_id, source, n_chars,

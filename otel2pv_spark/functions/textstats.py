@@ -4,10 +4,10 @@ column expressions (whole-stage codegen; zero UDFs)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import TOKEN_SPLIT, tokens
 
 # tiny marker-word profiles (public stopword lists, truncated)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -754,4 +754,128 @@ def bpe_apply(
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(subwords).cast("bigint").alias("n_bpe_tokens"),
         F.array_join(subwords, " ").alias("bpe_text"),
+    )
+
+
+# --- BM25 retrieval ------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a small
+    CONFIG set of ``(query_id, query_text)`` queries and return the
+    top-k documents per query as (query_id, doc_id, score_micro, rank).
+
+    Okapi BM25 with the Lucene idf form
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (always positive). Per-term
+    contributions are quantized row-locally to integer micro-units
+    (round(c * 1e6)) BEFORE the per-(query, doc) sum, so the cross-row
+    double sum is order-independent (same determinism contract as
+    ``lm_perplexity``).
+
+    Scale shape: the token stream is filtered to QUERY TERMS ONLY
+    before the explode (array_filter against a literal array — the
+    posting list for a handful of terms, not the corpus vocabulary),
+    then ONE map-side-combined groupBy builds (doc, term, tf). Corpus
+    stats (N, avgdl) are a 1-row aggregate cross-joined back; df(term)
+    is a #terms-row aggregate joined back by broadcast; the query
+    expansion is a broadcast join. Final top-k uses the two-level
+    partial-top-k pattern (per input-partition first, then a k×P
+    merge) — no per-query window ever sees the whole corpus.
+    """
+    import re as _re
+
+    spark = df.sparkSession
+    qrows = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in sorted(set(_re.split(TOKEN_SPLIT, qtext.lower())) - {""})
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+    terms = sorted({t for _, t in qrows})
+    term_arr = F.array(*[F.lit(t) for t in terms])
+
+    toks = tokens(text_col)
+    docs = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).cast("double").alias("_dl"),
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    )
+    posts = (
+        docs.select(
+            id_col,
+            "_dl",
+            F.explode(
+                F.filter("_toks", lambda w: F.array_contains(term_arr, w))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term", "_dl")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    idf = (
+        posts.groupBy("term")
+        .agg(F.count("*").cast("double").alias("_df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                + 1.0
+            ).alias("_idf"),
+            (F.col("_sum_dl") / F.col("_n_docs")).alias("_avgdl"),
+        )
+    )
+    contrib = (
+        posts.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("_idf")
+                * (F.col("_tf") * (k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_c_micro"),
+        )
+    )
+    scored = (
+        contrib.groupBy("query_id", id_col)
+        .agg(F.sum("_c_micro").alias("score_micro"))
+        .select(
+            "query_id", id_col, "score_micro",
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    w_part = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("score_micro"), F.col(id_col)
+    )
+    partial = (
+        scored.withColumn("_pr", F.row_number().over(w_part))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr", "_pid")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.col(id_col)
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_micro", "rank")
     )

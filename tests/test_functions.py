@@ -552,3 +552,48 @@ def test_lm_perplexity_zero_prob_gram_floors_at_unk(spark):
     lm = spark.createDataFrame([("a b c", 0.0)], ["ngram", "cond_prob"])
     row = ts.lm_perplexity(docs, lm).collect()[0]
     assert row["n_ngrams"] == 1 and row["bits_micro"] == 19931569
+
+
+def test_bm25_topk_golden(spark):
+    """BM25 vs a hand-computed reference on a 3-doc corpus: idf is the
+    Lucene ln((N-df+0.5)/(df+0.5)+1) form; scores quantized to
+    micro-units exactly as the operator does."""
+    import math
+
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): (r["score_micro"], r["rank"])
+        for r in ts.bm25_topk(docs, [("qa", "apple cherry")], k=3).collect()
+    }
+
+    n, k1, b = 3.0, 1.2, 0.75
+    avgdl = (3 + 2 + 4) / 3.0
+    dls = {1: 3.0, 2: 2.0, 3: 4.0}
+    tfs = {("apple", 1): 2.0, ("cherry", 2): 1.0, ("cherry", 3): 3.0}
+    dfs = {"apple": 1.0, "cherry": 2.0}
+
+    def contrib(term, doc):
+        idf = math.log((n - dfs[term] + 0.5) / (dfs[term] + 0.5) + 1.0)
+        tf, dl = tfs[(term, doc)], dls[doc]
+        return round(
+            idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)) * 1e6
+        )
+
+    exp = {
+        1: contrib("apple", 1),
+        2: contrib("cherry", 2),
+        3: contrib("cherry", 3),
+    }
+    ranks = sorted(exp, key=lambda d: (-exp[d], d))
+    assert out == {
+        ("qa", d): (exp[d], i + 1) for i, d in enumerate(ranks)
+    }
