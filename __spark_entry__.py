@@ -30,7 +30,9 @@ from otel2pv_spark.operators import validate as validate_op  # noqa: E402
 from otel2pv_spark.operators import verify as verify_op  # noqa: E402
 from otel2pv_spark.plans import pipeline  # noqa: E402
 from otel2pv_spark.operators import sessionize as session_op  # noqa: E402
+from otel2pv_spark.operators import aggregate as agg_op  # noqa: E402
 from otel2pv_spark.portable_sql import (  # noqa: E402
+    MAINT_CTE,
     PARSED_CTE,
     ROLE_META_CTE,
     TOOL_META_CTE,
@@ -160,6 +162,19 @@ def q_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "tool", "version", "config_rev")
 
 
+def q_enrich_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join against the maintenance-window dim (a row
+    can match several overlapping windows) via the binned equi-join
+    rewrite — see enrich.interval_join."""
+    out = enrich_op.interval_join(
+        _tr(spark, sf_dir),
+        datagen.maintenance_windows(spark),
+        key_col="tool",
+        ts_col="ts",
+    )
+    return out.select("conv_id", "turn_idx", "tool", "window_id", "reason")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event log (2 h inactivity
     closes a session) — the batch analog of the reference's per-tree
@@ -202,6 +217,21 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_window.end")).alias("end_us"),
         "n_events",
     )
+
+
+def q_events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time rollup (hypertable continuous-
+    aggregate shape; same expression is streaming-valid under a
+    watermark)."""
+    ev = datagen.load_events(spark, sf_dir)
+    return agg_op.rollup_time_windows(ev, width="1 hour")
+
+
+def q_events_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 2-hour/1-hour rollup — every event lands in exactly two
+    overlapping windows; replication happens before the partial agg."""
+    ev = datagen.load_events(spark, sf_dir)
+    return agg_op.rollup_time_windows(ev, width="2 hours", slide="1 hour")
 
 
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +470,13 @@ FROM transcripts t ASOF LEFT JOIN tool_versions v
     [TOOL_VERSIONS_CTE],
 )
 
+ORACLES["enrich_interval"] = with_transcripts(
+    """SELECT t.conv_id, t.turn_idx, t.tool, m.window_id, m.reason
+FROM transcripts t JOIN maint m
+  ON t.tool = m.tool AND t.ts >= m.start_ts AND t.ts < m.end_ts""",
+    [MAINT_CTE],
+)
+
 _SESSION_CTE = """lagged AS (
   SELECT event_id, user_id, ts, event_type,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -482,6 +519,35 @@ SELECT user_id,
        epoch_us(max(ts)) + CAST(7200 AS BIGINT) * 1000000 AS end_us,
        count(*) AS n_events
 FROM sessions GROUP BY user_id, session_n"""
+
+ORACLES["events_rollup_hourly"] = """SELECT
+  epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  epoch_us(date_trunc('hour', ts)) + CAST(3600 AS BIGINT) * 1000000
+    AS window_end_us,
+  event_type,
+  count(*) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+    AS value_sum_micro
+FROM events
+GROUP BY 1, 2, 3"""
+
+# hopping 2h/1h: each event belongs to the windows starting at its
+# truncated hour and one hour before (start <= ts < start + 2h)
+ORACLES["events_rollup_sliding"] = """WITH h AS (
+  SELECT *, epoch_us(date_trunc('hour', ts))
+            - k * CAST(3600 AS BIGINT) * 1000000 AS ws
+  FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) o(k)
+)
+SELECT ws AS window_start_us,
+       ws + CAST(7200 AS BIGINT) * 1000000 AS window_end_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS value_sum_micro
+FROM h
+GROUP BY 1, 2, 3"""
 
 ORACLES["sequence_prev"] = with_transcripts(
     f"""SELECT conv_id, turn_idx, event_id,
@@ -652,9 +718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_rejects": q_parse_rejects,
         "enrich_route": q_enrich_route,
         "enrich_asof": q_enrich_asof,
+        "enrich_interval": q_enrich_interval,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "session_window_stats": q_session_window_stats,
+        "events_rollup_hourly": q_events_rollup_hourly,
+        "events_rollup_sliding": q_events_rollup_sliding,
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,
         "sequence_prev_salted": q_sequence_prev_salted,

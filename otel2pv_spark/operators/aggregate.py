@@ -66,3 +66,50 @@ def lineage(df: DataFrame, run_id: str, stage: str) -> DataFrame:
             "max_conv_id",
         )
     )
+
+
+def rollup_time_windows(
+    df: DataFrame,
+    width: str = "1 hour",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Tumbling / hopping event-time rollup over the raw event log —
+    the batch form of a hypertable continuous aggregate (and the exact
+    expression Structured Streaming runs under a watermark: the same
+    ``F.window`` groupBy works on a readStream input).
+
+    Returns one row per (window, keys) with the event count, exact
+    distinct-user count, and the value sum quantized row-locally to
+    integer micro-units (round(value*1e6) BEFORE the sum) so the
+    cross-row double sum is order-independent.
+
+    Scale shape: ONE map-side-combined groupBy on (window, keys). A
+    hopping window (slide < width) replicates each row into
+    width/slide windows *before* the partial agg, so the shuffle still
+    carries only aggregated buckets — never the replicated event rows.
+    At 100 TB the output cardinality is bounded by
+    (time range / slide) × |keys|, independent of input size.
+    """
+    win = F.window(F.col(ts_col).cast("timestamp"), width, slide or width)
+    out = (
+        df.groupBy(win.alias("_w"), *[F.col(c) for c in keys])
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct(F.col(user_col)).alias("n_users"),
+            F.sum(
+                F.round(F.col(value_col) * 1e6).cast("bigint")
+            ).alias("value_sum_micro"),
+        )
+    )
+    return out.select(
+        F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+        F.unix_micros(F.col("_w.end")).alias("window_end_us"),
+        *keys,
+        "n_events",
+        "n_users",
+        "value_sum_micro",
+    )

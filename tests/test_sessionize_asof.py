@@ -280,3 +280,109 @@ def test_vocab_counts_golden(spark):
     )
     got = {r["token"]: (r["tf"], r["df"]) for r in ts.vocab_counts(docs).collect()}
     assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_interval_join_semantics(spark):
+    """Overlap-join golden case: end-exclusive boundary, multi-match on
+    overlapping intervals, interval crossing a bin boundary, unmatched
+    keys dropped (inner)."""
+    from pyspark.sql import functions as F
+
+    from otel2pv_spark.operators import enrich as enrich_op
+
+    left = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:30:00", 1),   # inside w1
+            ("a", "2024-01-01 02:00:00", 2),   # == w1.end -> NO match
+            ("a", "2024-01-01 01:00:00", 3),   # w1 AND w2 (overlap)
+            ("b", "2024-01-01 13:00:00", 4),   # w3, ts in a later bin
+            ("c", "2024-01-01 00:30:00", 5),   # no interval for key
+        ],
+        "k string, ts string, row_id int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("w1", "a", "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+            ("w2", "a", "2024-01-01 00:45:00", "2024-01-01 01:30:00"),
+            # crosses the 6h bin boundary at 12:00
+            ("w3", "b", "2024-01-01 11:00:00", "2024-01-01 14:00:00"),
+        ],
+        "window_id string, k string, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp")) \
+     .withColumn("end_ts", F.col("end_ts").cast("timestamp"))
+
+    got = sorted(
+        (r["row_id"], r["window_id"])
+        for r in enrich_op.interval_join(
+            left, right, key_col="k", ts_col="ts"
+        ).collect()
+    )
+    assert got == [(1, "w1"), (3, "w1"), (3, "w2"), (4, "w3")]
+
+
+def test_interval_join_end_on_bin_boundary_no_ghost_bin(spark):
+    """An interval ending exactly on a bin boundary must not claim the
+    following bin (exclusive end) — a fact at the boundary instant in
+    the next bin matches nothing."""
+    from pyspark.sql import functions as F
+
+    from otel2pv_spark.operators import enrich as enrich_op
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 06:00:00", 1)], "k string, ts string, row_id int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("w", "a", "2024-01-01 00:00:00", "2024-01-01 06:00:00")],
+        "window_id string, k string, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp")) \
+     .withColumn("end_ts", F.col("end_ts").cast("timestamp"))
+    out = enrich_op.interval_join(left, right, key_col="k", ts_col="ts")
+    assert out.count() == 0
+
+
+def test_rollup_time_windows_golden(spark):
+    """Tumbling + hopping rollups: window boundaries, quantized sums,
+    distinct users; hopping 2h/1h puts each event in exactly 2 windows."""
+    from pyspark.sql import functions as F
+
+    from otel2pv_spark.operators import aggregate as agg_op
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 10, "x", 1.25),
+            (2, "2024-01-01 00:50:00", 11, "x", 2.5),
+            (3, "2024-01-01 01:10:00", 10, "x", 4.0),
+            (4, "2024-01-01 00:20:00", 10, "y", 0.5),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    H = 3_600_000_000
+    base = spark.sql("select unix_micros(timestamp '2024-01-01 00:00:00')").first()[0]
+
+    tumb = {
+        (r["window_start_us"], r["event_type"]): (
+            r["n_events"], r["n_users"], r["value_sum_micro"],
+            r["window_end_us"] - r["window_start_us"],
+        )
+        for r in agg_op.rollup_time_windows(ev, width="1 hour").collect()
+    }
+    assert tumb == {
+        (base, "x"): (2, 2, 3_750_000, H),
+        (base, "y"): (1, 1, 500_000, H),
+        (base + H, "x"): (1, 1, 4_000_000, H),
+    }
+
+    hop = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["value_sum_micro"])
+        for r in agg_op.rollup_time_windows(
+            ev, width="2 hours", slide="1 hour"
+        ).collect()
+    }
+    assert hop == {
+        (base - H, "x"): (2, 3_750_000),
+        (base, "x"): (3, 7_750_000),
+        (base + H, "x"): (1, 4_000_000),
+        (base - H, "y"): (1, 500_000),
+        (base, "y"): (1, 500_000),
+    }
