@@ -75,6 +75,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "enrich_interval",
+    "events_rollup_hourly",
+    "text_bm25_topk",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .portable_sql import (
+    MAINT_CTE,
     ROLE_META_ROWS,
     TOOL_META_ROWS,
     TOOL_VERSIONS_CTE,
@@ -58,6 +59,13 @@ def tool_versions(spark: SparkSession) -> DataFrame:
     TIMESTAMP literals (createDataFrame with naive datetimes would go
     through the driver's local tz instead of the session tz)."""
     return spark.sql("WITH " + TOOL_VERSIONS_CTE + " SELECT * FROM tool_versions")
+
+
+def maintenance_windows(spark: SparkSession) -> DataFrame:
+    """Interval dim (window_id, tool, start_ts, end_ts, reason) for the
+    overlap join — shared portable CTE so Spark and DuckDB parse the
+    exact same TIMESTAMP literals (see tool_versions)."""
+    return spark.sql("WITH " + MAINT_CTE + " SELECT * FROM maint")
 
 
 def synth_transcripts(

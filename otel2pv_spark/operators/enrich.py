@@ -129,3 +129,58 @@ def asof_join(
         *left_cols, *[F.lit(None).cast(rdt[c]).alias(c) for c in value_cols]
     )
     return matched.unionByName(passthrough)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "tool",
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_sec: int = 21600,
+) -> DataFrame:
+    """Point-in-interval (overlap) join: match each left row to every
+    right interval with ``key`` equal and ``start <= ts < end``. A row
+    can match several overlapping intervals (one output row each).
+
+    Spark has no native interval-join operator — the naive
+    ``ON t >= start AND t < end`` plan is a broadcast-nested-loop (or,
+    keyed, a sort-merge join that degenerates per hot key). This is the
+    standard binning rewrite instead: each interval explodes into the
+    fixed-width time bins it covers, each fact row computes its single
+    bin, and the match becomes a plain equi-join on (key, bin) with the
+    exact predicate re-applied after. Per-task work is bounded by bin
+    population, not by interval span or corpus size; a small dim still
+    auto-broadcasts (the binning adds nothing), a large dim shuffles
+    hash-partitioned on (key, bin) with AQE skew-split available —
+    which a range condition would never get.
+
+    ``bin_sec`` trades replication for selectivity: intervals produce
+    span/bin_sec copies; facts always exactly one.
+    """
+    b = int(bin_sec) * 1_000_000
+    clash = set(left.columns) & {"_ij_bin"} | set(right.columns) & {"_ij_bin"}
+    if clash:
+        raise ValueError("interval_join: _ij_bin column name is reserved")
+    r = right.withColumn(
+        "_ij_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / b),
+                # end is EXCLUSIVE: an interval ending exactly on a bin
+                # boundary does not cover that bin
+                F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / b),
+            )
+        ),
+    )
+    fact_bin = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / b)
+    return (
+        left.withColumn("_ij_bin", fact_bin)
+        .join(r, on=[key_col, "_ij_bin"], how="inner")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_ij_bin")
+    )

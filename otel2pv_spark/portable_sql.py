@@ -132,6 +132,35 @@ TOOL_VERSIONS_CTE = "tool_versions AS (\n  " + "\n  UNION ALL ".join(
     for i, (t, vf, v, rev) in enumerate(TOOL_VERSION_ROWS)
 ) + "\n)"
 
+# Maintenance-window interval dim for the overlap join: per tool, a
+# short window, a long (day-crossing) window, and a third that OVERLAPS
+# the long one so point-in-interval lookups can multi-match. Boundaries
+# land mid-corpus (transcripts span 2024-01-01 .. 2024-01-30).
+MAINT_ROWS: list[tuple[str, str, str, str, str]] = [
+    row
+    for k in range(8)
+    for row in (
+        (f"mw-{k}-a", f"tool-{k}", f"2024-01-05 {k:02d}:00:00",
+         f"2024-01-05 {k + 6:02d}:00:00", "patch"),
+        (f"mw-{k}-b", f"tool-{k}", f"2024-01-14 {2 * k:02d}:00:00",
+         f"2024-01-{15 + k // 4:02d} {(2 * k + 5) % 24:02d}:00:00",
+         "upgrade"),
+        (f"mw-{k}-c", f"tool-{k}", f"2024-01-14 {(2 * k + 2) % 24:02d}:00:00",
+         f"2024-01-15 {k:02d}:00:00", "audit"),
+    )
+]
+
+MAINT_CTE = "maint AS (\n  " + "\n  UNION ALL ".join(
+    (
+        f"SELECT '{w}' AS window_id, '{t}' AS tool, "
+        f"TIMESTAMP '{s}' AS start_ts, TIMESTAMP '{e}' AS end_ts, "
+        f"'{r}' AS reason"
+        if i == 0
+        else f"SELECT '{w}', '{t}', TIMESTAMP '{s}', TIMESTAMP '{e}', '{r}'"
+    )
+    for i, (w, t, s, e, r) in enumerate(MAINT_ROWS)
+) + "\n)"
+
 # Grok extraction regexes — one per named "query key", the analog of the
 # fused JQ program (jqTransformer.go:304-327). Portable RE2 ∩ Java-regex
 # subset; group 1 is the captured value; '' (no match) == extraction miss.
