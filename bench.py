@@ -73,11 +73,13 @@ HEADLINE = [
     "prep_curate",
     "prep_pack",
     "ann_cosine_topk",
+    "ann_hard_negatives",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "enrich_interval",
     "events_rollup_hourly",
     "text_bm25_topk",
+    "text_rerank_topk",
 ]
 
 

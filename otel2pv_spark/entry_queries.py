@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .functions import dedup as dd
 from .functions import multimodal as mm
 from .functions import prep as pp
+from .functions import rerank as rr
 from .functions import similarity as sim
 from .functions import textstats as ts
 
@@ -300,6 +301,15 @@ def q_text_bm25_topk(spark, sf_dir):
     return ts.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=5)
 
 
+def q_text_rerank_topk(spark, sf_dir):
+    """Two-stage retrieval: BM25 recall (top-20 per query) -> Arrow-
+    batched cross-encoder rerank (deterministic fake kernel) -> final
+    top-5. The Python stage sees exactly |Q|*20 pairs."""
+    docs = _docs(spark, sf_dir)
+    cands = ts.bm25_topk(docs, BM25_QUERIES, k=20)
+    return rr.crossencoder_rerank(docs, BM25_QUERIES, cands, k=5)
+
+
 def q_text_winnow(spark, sf_dir):
     return ts.winnow_fingerprint(_docs(spark, sf_dir))
 
@@ -307,6 +317,18 @@ def q_text_winnow(spark, sf_dir):
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining with the exact top-2 neighbors standing in
+    for labeled positives (guarantees the anti-join bites: every
+    excluded pair WOULD have ranked 1-2), negatives = next 5."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    pos = sim.cosine_topk(emb, q, k=2).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    return sim.mine_hard_negatives(emb, q, pos, n=5)
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
@@ -583,6 +605,7 @@ QUERIES = {
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_rerank_topk": q_text_rerank_topk,
     "prep_cap_per_group": q_prep_cap_per_group,
     "prep_mix_corpus": q_prep_mix_corpus,
     "text_subwords": q_text_subwords,
@@ -592,6 +615,7 @@ QUERIES = {
     "text_quality_percentiles": q_text_quality_percentiles,
     "text_winnow_candidates": q_text_winnow_candidates,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_hard_negatives": q_ann_hard_negatives,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
@@ -1300,6 +1324,35 @@ SELECT * FROM ranked WHERE rank <= {k}"""
 
 ORACLES["text_bm25_topk"] = _bm25_oracle(5)
 
+# Two-stage rerank oracle: the BM25 top-20 oracle as a derived table,
+# then the fake cross-encoder score (md5-arithmetic shared verbatim
+# with functions/rerank.py: fake_ce_score, salt 'ce-v1', chr(31)
+# separators), ranked on the exact double, rounded for output.
+_RERANK_QT = ",\n    ".join(
+    f"('{qid}', '{qtext}')" for qid, qtext in BM25_QUERIES
+)
+ORACLES["text_rerank_topk"] = f"""WITH
+qt(query_id, query_text) AS (VALUES
+    {_RERANK_QT}),
+cands AS (SELECT query_id, doc_id FROM ({_bm25_oracle(20)}) b),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         (('0x' || substr(md5(q.query_text || chr(31) || d.text
+                              || chr(31) || 'ce-v1'), 1, 8))::BIGINT)
+           / 4294967296.0 AS ce
+  FROM cands c
+  JOIN documents d USING (doc_id)
+  JOIN qt q USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, round(ce, 6) AS ce_score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ce DESC, doc_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5"""
+
 ORACLES["prep_cap_per_group"] = """WITH r AS (
   SELECT doc_id, source, n_chars,
          row_number() OVER (PARTITION BY source
@@ -1689,6 +1742,21 @@ p AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, round(s, 4) AS cosine, rank
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM p)
+WHERE rank <= 5"""
+
+# Hard negatives: positives = the exact top-2 neighbors (same ranking
+# as ann_cosine_topk), negatives = top-5 of what remains. Ranking on
+# the exact double, tie-broken by id — identical in both engines.
+ORACLES["ann_hard_negatives"] = f"""WITH {_V},
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+p AS (
+  SELECT q.qid, v.vec_id AS vid, {_COS} AS s
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS rk FROM p),
+neg AS (SELECT qid, vid, s FROM r WHERE rk > 2)
+SELECT qid AS query_id, vid AS neg_id, round(s, 4) AS cosine, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM neg)
 WHERE rank <= 5"""
 
 _BUCKETS_CTE = f"""{_V},

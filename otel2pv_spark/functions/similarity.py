@@ -44,15 +44,26 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (excluding self).
 
-    ``queries``: (query_id, query_vec) — broadcast."""
+    ``queries``: (query_id, query_vec) — broadcast.
+    ``exclude``: optional (query_id, ``id_col``) pairs dropped from the
+    candidate set before scoring — a broadcast anti-join (the exclusion
+    list is per-query labels, config-sized, never corpus-sized), so the
+    two-level top-k below only ever ranks surviving candidates."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
     pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    if exclude is not None:
+        pairs = pairs.join(
+            F.broadcast(exclude.select("query_id", id_col)),
+            ["query_id", id_col],
+            "left_anti",
+        )
     sim = _dot(F.col(vec_col), F.col("qvec")) / (_norm(F.col(vec_col)) * _norm(F.col("qvec")))
 
     # Two-level top-k. A plain per-query window would ship EVERY scored
@@ -85,6 +96,39 @@ def cosine_topk(
             "rank",
         )
     )
+
+
+def mine_hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    n: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for embedding/reranker training.
+
+    For each query, the ``n`` most-similar corpus vectors that are NOT
+    labeled positives: the classic construction (top-ranked retrieval
+    misses make the hardest negatives — e.g. DPR, arXiv:2004.04906 §4).
+
+    ``positives``: (query_id, ``id_col``) labeled-relevant pairs —
+    label-sized per query, broadcast anti-joined inside the scoring
+    pass, so the partial/final top-k windows never rank a positive and
+    exactly ``n`` negatives survive per query (no over-fetch then
+    re-filter). Returns (query_id, neg_id, cosine, rank).
+    """
+    out = cosine_topk(
+        df,
+        queries,
+        k=n,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+        exclude=positives,
+    )
+    return out.withColumnRenamed("neighbor_id", "neg_id")
 
 
 def lsh_buckets(

@@ -597,3 +597,74 @@ def test_bm25_topk_golden(spark):
     assert out == {
         ("qa", d): (exp[d], i + 1) for i, d in enumerate(ranks)
     }
+
+
+def test_crossencoder_rerank_golden(spark):
+    """Rerank scores exactly fake_ce_score over candidate pairs only:
+    doc 3 is in the corpus but not a candidate, so it never reaches the
+    kernel; ranks follow the exact double desc, tie-broken by doc_id."""
+    from otel2pv_spark.functions import rerank as rr
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")],
+        ["doc_id", "text"],
+    )
+    queries = [("q1", "alpha")]
+    cands = spark.createDataFrame(
+        [("q1", 1), ("q1", 2)], ["query_id", "doc_id"]
+    )
+    rows = rr.crossencoder_rerank(docs, queries, cands, k=2).collect()
+
+    exp = {
+        1: rr.fake_ce_score("alpha", "alpha beta"),
+        2: rr.fake_ce_score("alpha", "gamma delta"),
+    }
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    got = {(r["query_id"], r["doc_id"]): (r["ce_score"], r["rank"]) for r in rows}
+    assert set(d for _, d in got) == {1, 2}
+    assert got == {
+        ("q1", d): (round(exp[d], 6), i + 1) for i, d in enumerate(order)
+    }
+
+
+def test_crossencoder_rerank_bounded_by_k(spark):
+    """k caps each query's output independently."""
+    from otel2pv_spark.functions import rerank as rr
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    queries = [("q1", "one"), ("q2", "two")]
+    cands = spark.createDataFrame(
+        [(q, d) for q in ("q1", "q2") for d in range(1, 7)],
+        ["query_id", "doc_id"],
+    )
+    out = rr.crossencoder_rerank(docs, queries, cands, k=3)
+    per_q = {
+        r["query_id"]: r["n"]
+        for r in out.groupBy("query_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_q == {"q1": 3, "q2": 3}
+
+
+def test_mine_hard_negatives_excludes_positives(spark, sf_dir):
+    """Negatives = the exact top-k ranking with labeled positives
+    removed: mining with positives = exact top-2 must reproduce ranks
+    3..7 of the unrestricted ranking, re-numbered 1..5."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    full = sim.cosine_topk(emb, q, k=7).collect()
+    pos = sim.cosine_topk(emb, q, k=2).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    mined = sim.mine_hard_negatives(emb, q, pos, n=5).collect()
+
+    expect = {
+        (r.query_id, r.rank - 2): (r.neighbor_id, r.cosine)
+        for r in full
+        if r.rank > 2
+    }
+    got = {(r.query_id, r.rank): (r.neg_id, r.cosine) for r in mined}
+    assert got == expect
+    pos_set = {(r.query_id, r.vec_id) for r in pos.collect()}
+    assert all((r.query_id, r.neg_id) not in pos_set for r in mined)
