@@ -74,6 +74,7 @@ HEADLINE = [
     "prep_pack",
     "ann_cosine_topk",
     "ann_hard_negatives",
+    "embedding_pca_cov",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "enrich_interval",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .functions import dedup as dd
 from .functions import multimodal as mm
 from .functions import prep as pp
+from .functions import reduce_dim as rd
 from .functions import rerank as rr
 from .functions import similarity as sim
 from .functions import textstats as ts
@@ -395,6 +396,20 @@ def q_ann_pq_topk(spark, sf_dir):
     return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), cb, k=5)
 
 
+def q_embedding_pca_cov(spark, sf_dir):
+    """Distributed half of PCA: the d x d covariance from one pass of
+    integer-exact quantized moments (map-side-combined; only
+    partitions x d^2/2 partial rows shuffle)."""
+    return rd.covariance_moments(_emb(spark, sf_dir))
+
+
+def q_embedding_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss sparse random projection to 8 dims —
+    md5-derived deterministic Achlioptas matrix, zero-shuffle codegen
+    folds (the cheap distance-preserving reducer before LSH)."""
+    return rd.jl_project(_emb(spark, sf_dir), out_dim=8, round_to=4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = emb_fixture(spark, sf_dir)
     return sim.embedding_neardup_pairs(emb, sim.make_anchors(emb, 4), threshold=0.9)
@@ -626,6 +641,8 @@ QUERIES = {
     "ann_pq_codes": q_ann_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_pca_cov": q_embedding_pca_cov,
+    "embedding_jl_project": q_embedding_jl_project,
     "embedding_semdedup": q_embedding_semdedup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
@@ -2004,6 +2021,58 @@ p AS (
   FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(s, 4) AS cosine FROM p WHERE s >= 0.9"""
+
+# PCA covariance: quantize to round(x * 2^14) bigints (exact in double
+# — 2^14 is a power of two), EXACT integer moment sums, then the same
+# finite double expression reduce_dim.covariance_moments evaluates.
+ORACLES["embedding_pca_cov"] = f"""WITH {_V},
+qv AS (SELECT vec_id,
+              list_transform(e, x -> CAST(round(x * 16384) AS BIGINT)) AS q
+       FROM v),
+ex AS (SELECT vec_id, unnest(q) AS qx,
+              CAST(unnest(range(len(q))) AS INT) AS i
+       FROM qv),
+s2 AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(a.qx * b.qx) AS BIGINT) AS s, count(*) AS n
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+),
+s1 AS (SELECT i, CAST(sum(qx) AS BIGINT) AS s1 FROM ex GROUP BY i)
+SELECT s2.i, s2.j, n,
+       round((CAST(s AS DOUBLE) / n
+              - (CAST(a.s1 AS DOUBLE) / n) * (CAST(b.s1 AS DOUBLE) / n))
+             / (16384.0 * 16384.0), 8) AS cov
+FROM s2 JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j"""
+
+# JL projection: replay the md5-derived Achlioptas matrix (salt
+# 'jl-v1', u = first 8 md5 hex digits / 2^32, +-sqrt(3/8)/0 by the
+# 1/6 / 5/6 thresholds) and fold with list_dot_product — the same
+# left-to-right double fold as F.aggregate (the ann oracles already
+# rely on this equivalence).
+_JL_Y = ",\n       ".join(
+    f"round(max(CASE WHEN k = {k} THEN y END), 4) AS y{k}" for k in range(8)
+)
+ORACLES["embedding_jl_project"] = f"""WITH {_V},
+u AS (
+  SELECT i, k,
+         (('0x' || substr(md5('jl-v1:' || i || ':' || k), 1, 8))::BIGINT)
+           / 4294967296.0 AS u
+  FROM range(64) t(i), range(8) s(k)
+),
+mat AS (
+  SELECT k, list(CASE WHEN u < 1.0/6 THEN sqrt(3.0/8)
+                      WHEN u > 5.0/6 THEN -sqrt(3.0/8)
+                      ELSE 0.0 END ORDER BY i) AS wv
+  FROM u GROUP BY k
+),
+proj AS (
+  SELECT v.vec_id, m.k, list_dot_product(v.e, m.wv) AS y
+  FROM v CROSS JOIN mat m
+)
+SELECT vec_id,
+       {_JL_Y}
+FROM proj GROUP BY vec_id"""
 
 # SemDeDup: k-means (same unrolled Lloyd CTEs as ann_ivf_train, over the
 # seeded-near-dup fixture), assign to trained centroids, then within-

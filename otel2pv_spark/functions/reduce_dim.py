@@ -1,0 +1,236 @@
+"""Dimensionality reduction over the embedding column.
+
+Two reducers a 100 TB embedding corpus needs before clustering /
+indexing / visualization:
+
+- **PCA**: the distributed half is the d x d covariance (one corpus
+  pass, map-side-combined integer moments — ``covariance_moments``);
+  the eigendecomposition is driver-side numpy over that CONFIG-sized
+  matrix (d=64 -> 4 KB), exactly like ``similarity.make_anchors``
+  collects config not data. ``pca_project`` broadcasts the components
+  back as literals and projects JVM-side.
+- **Johnson-Lindenstrauss**: a data-independent sparse random
+  projection (Achlioptas 2003, database-friendly +-1/0 matrix). The
+  matrix is derived deterministically from md5(seed,i,k) so BOTH
+  engines (and any two runs) reproduce it bit-identically; the
+  projection is a pure zero-shuffle codegen expression.
+
+Scale shapes:
+- ``covariance_moments``: per row, d(d+1)/2 quantized integer products
+  exploded INTO a hash aggregate in the same stage — map-side partial
+  agg means the shuffle carries only partitions x d^2/2 rows no matter
+  the corpus size. Integer micro-quantization (same trick as
+  textstats' LM bit-costs) makes the sums order-independent and
+  bit-equal across engines; the quantum bounds int64: |x| <= 8 at
+  q=2^14 keeps per-row products < 2^34, safe to ~2^29 rows per (i,j)
+  cell; pass a smaller q for bigger corpora (documented contract).
+- ``pca_project`` / ``jl_project``: no shuffle at all — a broadcast
+  literal matrix and one fold per output dim, whole-stage codegen.
+
+The reference pipeline has no embedding math; this is the
+training-data layer (SURVEY.md section 8), next to similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dot
+
+# Quantization: embeddings -> round(x * Q) as int64. Q = 2^14 keeps
+# per-row pair products inside int64 for ~5e8-row corpora at |x|<=8;
+# the sums are exact integers, so cross-engine/cross-order identical.
+DEFAULT_Q = 1 << 14
+
+# Version salt for the JL matrix derivation (next to rerank.CE_SALT).
+JL_SALT = "jl-v1"
+
+
+def covariance_moments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q: int = DEFAULT_Q,
+    round_to: int = 8,
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding column.
+
+    Returns (i, j, n, cov) for 0 <= i <= j < d: cov is the population
+    covariance E[x_i x_j] - E[x_i] E[x_j] computed from EXACT integer
+    moment sums of the quantized vectors, so the double math below is
+    the same finite expression in Spark and the SQL oracle.
+
+    One corpus pass: the per-row (i, j, p) structs feed a hash
+    aggregate in the same stage (map-side combine), so only
+    partitions x d(d+1)/2 partial rows ever shuffle.
+    """
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * q).cast("bigint")
+    )
+    # All (i, j>=i) quantized products of one row, plus the (i, -1)
+    # first-moment carriers — ONE explode feeding ONE aggregate.
+    cells = F.flatten(
+        F.transform(
+            qv,
+            lambda xi, i: F.concat(
+                F.array(F.struct(i.alias("i"), F.lit(-1).alias("j"), xi.alias("p"))),
+                F.transform(
+                    F.slice(qv, i + 1, F.size(qv) - i),
+                    lambda xj, dj: F.struct(
+                        i.alias("i"), (i + dj).alias("j"), (xi * xj).alias("p")
+                    ),
+                ),
+            ),
+        )
+    )
+    sums = (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    first = sums.filter(F.col("j") == -1).select(
+        F.col("i").alias("fi"), F.col("s").alias("s1")
+    )
+    second = sums.filter(F.col("j") >= 0)
+    si = first.withColumnRenamed("fi", "i").withColumnRenamed("s1", "s_i")
+    sj = first.withColumnRenamed("fi", "j").withColumnRenamed("s1", "s_j")
+    qd = float(q)
+    cov = (
+        F.col("s").cast("double") / F.col("n")
+        - (F.col("s_i").cast("double") / F.col("n"))
+        * (F.col("s_j").cast("double") / F.col("n"))
+    ) / (qd * qd)
+    return (
+        second.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select("i", "j", "n", F.round(cov, round_to).alias("cov"))
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    r: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q: int = DEFAULT_Q,
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top-``r`` principal components from one distributed pass.
+
+    Collects only the d x d covariance (CONFIG-sized — d=64 is 2 080
+    upper-triangle cells) and eigendecomposes driver-side with numpy.
+    Returns (components[r][d], explained_variance[r], mean[d]); each
+    component's sign is canonicalized (first max-|.|-entry positive)
+    so the output is deterministic across eigensolvers.
+    """
+    import numpy as np
+
+    rows = covariance_moments(df, id_col, vec_col, q=q, round_to=12).collect()
+    d = max(row["j"] for row in rows) + 1
+    cov = np.zeros((d, d))
+    for row in rows:
+        cov[row["i"], row["j"]] = cov[row["j"], row["i"]] = row["cov"]
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:r]
+    comps, variances = [], []
+    for k in order:
+        vec = evecs[:, k]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+        variances.append(float(evals[k]))
+    # mean from the same quantized first moments (for centering)
+    m = (
+        df.select(
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * q).cast("bigint"),
+                )
+            ).alias("i", "qx")
+        )
+        .groupBy("i")
+        .agg((F.sum("qx") / F.count(F.lit(1)) / q).alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    mean = [float(row["m"]) for row in m]
+    return comps, variances, mean
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project each vector onto the given components (mean-centered).
+
+    Components/mean are broadcast literals; the projection is r folds
+    in whole-stage codegen — zero shuffle, zero Python.
+    """
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(v) for v in mean]),
+        lambda x, mu: x.cast("double") - mu,
+    )
+    cols = [
+        F.round(
+            _dot(centered, F.array(*[F.lit(v) for v in comp])), round_to
+        ).alias(f"pc{k}")
+        for k, comp in enumerate(components)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def jl_matrix(in_dim: int, out_dim: int, seed: str = JL_SALT) -> list[list[float]]:
+    """Deterministic sparse Achlioptas projection matrix, out_dim rows.
+
+    Entry (k, i) = sqrt(3/out_dim) * {+1 if u < 1/6, -1 if u > 5/6,
+    else 0} with u = md5("{seed}:{i}:{k}")[:8] / 2^32 — the exact
+    derivation the SQL oracle replays, so both engines project with
+    the bit-identical matrix.
+    """
+    # math.sqrt (not ** 0.5) so the scale is the IEEE-correctly-rounded
+    # value DuckDB's sqrt() also produces — bit-equal matrices.
+    scale = math.sqrt(3.0 / out_dim)
+    rows = []
+    for k in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = hashlib.md5(f"{seed}:{i}:{k}".encode()).hexdigest()
+            u = int(h[:8], 16) / 4294967296.0
+            row.append(scale if u < 1 / 6 else (-scale if u > 5 / 6 else 0.0))
+        rows.append(row)
+    return rows
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = JL_SALT,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection to ``out_dim`` columns y0..y_k.
+
+    Data-independent (no training pass), zero-shuffle, codegen-only —
+    the cheapest distance-preserving reducer for LSH pre-hashing or
+    near-dup pre-filtering at 100 TB.
+    """
+    in_dim = len(df.select(vec_col).first()[0])
+    mat = jl_matrix(in_dim, out_dim, seed)
+    cols = [
+        F.round(
+            _dot(F.col(vec_col), F.array(*[F.lit(v) for v in row])), round_to
+        ).alias(f"y{k}")
+        for k, row in enumerate(mat)
+    ]
+    return df.select(F.col(id_col), *cols)

@@ -668,3 +668,81 @@ def test_mine_hard_negatives_excludes_positives(spark, sf_dir):
     assert got == expect
     pos_set = {(r.query_id, r.vec_id) for r in pos.collect()}
     assert all((r.query_id, r.neg_id) not in pos_set for r in mined)
+
+
+def test_covariance_moments_exact_vs_numpy(spark, sf_dir):
+    """The op's cov entries equal the population covariance of the
+    QUANTIZED vectors computed independently in numpy — exact to the
+    output rounding, because both sides sum the same integers."""
+    import numpy as np
+
+    from otel2pv_spark.functions import reduce_dim as rd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = rd.covariance_moments(emb).collect()
+
+    x = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    # Spark F.round is HALF_UP (ties away from zero); np.round is
+    # half-to-even — mirror Spark's mode or exact-.5 cells drift.
+    v = x * rd.DEFAULT_Q
+    q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    n = q.shape[0]
+    s1 = q.sum(axis=0)
+    got_bad = []
+    for r in rows:
+        s = int((q[:, r.i].astype(object) * q[:, r.j].astype(object)).sum())
+        cov = (s / n - (float(s1[r.i]) / n) * (float(s1[r.j]) / n)) / (
+            rd.DEFAULT_Q * rd.DEFAULT_Q
+        )
+        if abs(r.cov - round(cov, 8)) > 1e-8 or r.n != n:
+            got_bad.append((r.i, r.j, r.cov, round(cov, 8)))
+    d = x.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    assert got_bad == []
+
+
+def test_pca_components_orthonormal_descending(spark, sf_dir):
+    """Driver-side eigh over the distributed covariance: components
+    orthonormal, variances descending and matching numpy's eigh of the
+    same matrix; projections reproduce centered dot products."""
+    import numpy as np
+
+    from otel2pv_spark.functions import reduce_dim as rd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comps, variances, mean = rd.pca_components(emb, r=4)
+    c = np.array(comps)
+    assert np.allclose(c @ c.T, np.eye(4), atol=1e-9)
+    assert variances == sorted(variances, reverse=True)
+
+    proj = {
+        r.vec_id: [r.pc0, r.pc1, r.pc2, r.pc3]
+        for r in rd.pca_project(emb, comps, mean).collect()
+    }
+    x = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    ids = [r.vec_id for r in emb.orderBy("vec_id").collect()]
+    expect = (x - np.array(mean)) @ c.T
+    for row_i, vid in enumerate(ids):
+        assert np.allclose(proj[vid], np.round(expect[row_i], 6), atol=1e-5)
+    # top component captures the most variance of any component
+    var_pc0 = np.var((x - np.array(mean)) @ c[0])
+    assert abs(var_pc0 - variances[0]) < 1e-3 * max(1.0, variances[0])
+
+
+def test_jl_project_golden(spark):
+    """JL projection equals the Python-side matrix fold exactly."""
+    from otel2pv_spark.functions import reduce_dim as rd
+
+    vecs = [(1, [1.0, 2.0, -0.5, 3.0]), (2, [0.0, -1.0, 4.0, 0.25])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    mat = rd.jl_matrix(4, 3)
+    got = {r.vec_id: (r.y0, r.y1, r.y2) for r in rd.jl_project(df, 3).collect()}
+    for vid, v in vecs:
+        exp = tuple(
+            round(sum(x * w for x, w in zip(v, row)), 6) for row in mat
+        )
+        assert got[vid] == exp
