@@ -2034,16 +2034,20 @@ ex AS (SELECT vec_id, unnest(q) AS qx,
        FROM qv),
 s2 AS (
   SELECT a.i AS i, b.i AS j,
-         CAST(sum(a.qx * b.qx) AS BIGINT) AS s, count(*) AS n
+         CAST(sum(a.qx * b.qx) AS BIGINT) AS s,
+         CAST(sum(a.qx) AS BIGINT) AS s_i,
+         CAST(sum(b.qx) AS BIGINT) AS s_j,
+         count(*) AS n
   FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
   GROUP BY a.i, b.i
-),
-s1 AS (SELECT i, CAST(sum(qx) AS BIGINT) AS s1 FROM ex GROUP BY i)
-SELECT s2.i, s2.j, n,
+)
+SELECT i, j, n,
+       round(CAST(s_i AS DOUBLE) / n / 16384.0, 8) AS mean_i,
+       round(CAST(s_j AS DOUBLE) / n / 16384.0, 8) AS mean_j,
        round((CAST(s AS DOUBLE) / n
-              - (CAST(a.s1 AS DOUBLE) / n) * (CAST(b.s1 AS DOUBLE) / n))
+              - (CAST(s_i AS DOUBLE) / n) * (CAST(s_j AS DOUBLE) / n))
              / (16384.0 * 16384.0), 8) AS cov
-FROM s2 JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j"""
+FROM s2"""
 
 # JL projection: replay the md5-derived Achlioptas matrix (salt
 # 'jl-v1', u = first 8 md5 hex digits / 2^32, +-sqrt(3/8)/0 by the

@@ -746,3 +746,20 @@ def test_jl_project_golden(spark):
             round(sum(x * w for x, w in zip(v, row)), 6) for row in mat
         )
         assert got[vid] == exp
+
+
+def test_covariance_methods_bit_identical(spark, sf_dir):
+    """The Arrow Gram kernel and the pure-SQL explode path sum the
+    same quantized integers — outputs must match bit-for-bit."""
+    from otel2pv_spark.functions import reduce_dim as rd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {
+        (r.i, r.j): (r.n, r.mean_i, r.mean_j, r.cov)
+        for r in rd.covariance_moments(emb, method="arrow").collect()
+    }
+    b = {
+        (r.i, r.j): (r.n, r.mean_i, r.mean_j, r.cov)
+        for r in rd.covariance_moments(emb, method="sql").collect()
+    }
+    assert a == b

@@ -139,3 +139,28 @@ def test_shuffle_deterministic_no_global_window(spark, sf_dir):
         if "Exchange SinglePartition" in line:
             tail = "\n".join(plan.splitlines()[i:i + 4])
             assert "HashAggregate" in tail, plan
+
+
+def test_jl_project_zero_shuffle(spark, sf_dir):
+    """JL projection is a pure codegen projection: no Exchange at all."""
+    from otel2pv_spark.functions import reduce_dim as rd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(rd.jl_project(emb, out_dim=8))
+    assert "Exchange" not in plan, plan
+
+
+def test_covariance_moments_partial_agg_one_exchange(spark, sf_dir):
+    """The Gram pass must map-side combine: exactly one hash exchange,
+    keyed by (i, j) cells — the corpus rows themselves never shuffle
+    (no vec/embedding column in any exchange)."""
+    from otel2pv_spark.functions import reduce_dim as rd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for method in ("arrow", "sql"):
+        plan = _plan(rd.covariance_moments(emb, method=method))
+        ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(ex) == 1, plan
+        assert "embedding" not in ex[0], ex[0]
+        # partial aggregation before the exchange (map-side combine)
+        assert "partial_sum" in plan, plan
