@@ -224,6 +224,12 @@ def q_text_vocab(spark, sf_dir):
     return ts.vocab_counts(_docs(spark, sf_dir))
 
 
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus-wide 20 most frequent bigrams via skew-safe two-level
+    top-k (boilerplate / stopword-phrase mining)."""
+    return ts.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_text_ngram_lm(spark, sf_dir):
     """Count-based trigram LM table: pruned n-gram counts, context
     counts, MLE conditional probabilities."""
@@ -614,6 +620,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_classifier": q_text_classifier,
     "text_vocab": q_text_vocab,
+    "text_top_ngrams": q_text_top_ngrams,
     "text_ngram_lm": q_text_ngram_lm,
     "text_lm_perplexity": q_text_lm_perplexity,
     "text_bpe_pairs": q_text_bpe_pairs,
@@ -1123,6 +1130,18 @@ ORACLES["text_vocab"] = f"""WITH t AS (
 u AS (SELECT doc_id, unnest(w) AS token FROM t)
 SELECT token, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 FROM u GROUP BY token"""
+
+ORACLES["text_top_ngrams"] = f"""WITH t AS (
+  SELECT {_TOKS} AS w FROM documents
+),
+g AS (
+  SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS ngram
+  FROM t WHERE len(w) >= 2
+),
+ga AS (SELECT ngram, count(*) AS count FROM g GROUP BY ngram)
+SELECT ngram, count,
+       CAST(row_number() OVER (ORDER BY count DESC, ngram) AS INT) AS rank
+FROM ga QUALIFY rank <= 20"""
 
 ORACLES["text_ngram_lm"] = f"""WITH t AS (
   SELECT {_TOKS} AS w FROM documents

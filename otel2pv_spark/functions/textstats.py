@@ -879,3 +879,42 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score_micro", "rank")
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide k most frequent word n-grams (frequent-items scan:
+    boilerplate discovery, stopword mining, contamination signatures).
+
+    Scale shape: ONE exploded map-side-combined groupBy (hot n-grams
+    shuffle partial counts, never per-occurrence rows), then a
+    TWO-LEVEL top-k — partial top-k inside each post-shuffle partition
+    of the counts table, final window over the <= partitions x k
+    survivors — so the (corpus-sized) distinct-n-gram table is never
+    funneled through a single-partition window. Ties broken by n-gram
+    text for cross-engine determinism.
+    """
+    from .dedup import shingles
+
+    grams = (
+        df.select(F.explode(shingles(tokens(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("count"))
+        .select("ngram", "count", F.spark_partition_id().alias("_pid"))
+    )
+    w_part = Window.partitionBy("_pid").orderBy(F.desc("count"), "ngram")
+    partial = (
+        grams.withColumn("_pr", F.row_number().over(w_part))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr", "_pid")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("count"), "ngram")
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("ngram", "count", "rank")
+    )

@@ -763,3 +763,22 @@ def test_covariance_methods_bit_identical(spark, sf_dir):
         for r in rd.covariance_moments(emb, method="sql").collect()
     }
     assert a == b
+
+
+def test_top_ngrams_golden(spark):
+    """Counts and ranks match a hand-computed bigram table; ties break
+    lexicographically; k caps the output."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat"),
+            (2, "the cat ran"),
+            (3, "a dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = ts.top_ngrams(docs, n=2, k=3).collect()
+    got = [(r.ngram, r["count"], r.rank) for r in sorted(rows, key=lambda r: r.rank)]
+    # "the cat" x3; every other bigram x1, lexicographic tiebreak
+    assert got == [("the cat", 3, 1), ("a dog", 1, 2), ("cat ran", 1, 3)]
