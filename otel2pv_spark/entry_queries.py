@@ -413,7 +413,7 @@ def q_embedding_jl_project(spark, sf_dir):
     """Johnson-Lindenstrauss sparse random projection to 8 dims —
     md5-derived deterministic Achlioptas matrix, zero-shuffle codegen
     folds (the cheap distance-preserving reducer before LSH)."""
-    return rd.jl_project(_emb(spark, sf_dir), out_dim=8, round_to=4)
+    return rd.jl_project(_emb(spark, sf_dir), out_dim=8, round_to=4, in_dim=64)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -1379,6 +1379,7 @@ scored AS (
   FROM cands c
   JOIN documents d USING (doc_id)
   JOIN qt q USING (query_id)
+  WHERE d.text IS NOT NULL
 ),
 ranked AS (
   SELECT query_id, doc_id, round(ce, 6) AS ce_score,

@@ -50,9 +50,21 @@ DEFAULT_Q = 1 << 14
 JL_SALT = "jl-v1"
 
 
+def _quantized(df: DataFrame, vec_col: str, q: int) -> DataFrame:
+    """round(x * q) as a bigint array, computed ONCE, JVM-side — both
+    Gram methods consume this same column, so they sum bit-identical
+    integers by construction (no numpy re-emulation of F.round's
+    HALF_UP decimal semantics, which floor(|x|+0.5) gets wrong for
+    doubles like 2^-15 - 2^-68 where the +0.5 add itself rounds up)."""
+    return df.select(
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * q).cast("bigint")
+        ).alias("_qv")
+    )
+
+
 def covariance_moments(
     df: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     q: int = DEFAULT_Q,
     round_to: int = 8,
@@ -81,10 +93,11 @@ def covariance_moments(
       zero Python. Identical output bit-for-bit (same quantized
       integers feed the same final expression).
     """
+    dfq = _quantized(df, vec_col, q)
     if method == "arrow":
-        sums = _gram_arrow(df, vec_col, q)
+        sums = _gram_arrow(dfq)
     elif method == "sql":
-        sums = _gram_sql(df, vec_col, q)
+        sums = _gram_sql(dfq)
     else:
         raise ValueError(f"unknown method: {method!r}")
     qd = float(q)
@@ -105,9 +118,11 @@ def covariance_moments(
     )
 
 
-def _gram_arrow(df: DataFrame, vec_col: str, q: int) -> DataFrame:
+def _gram_arrow(dfq: DataFrame) -> DataFrame:
     """Partial integer Gram sums per Arrow batch, merged in one tiny
-    map-side-combined aggregate: (i, j, s, s_i, s_j, n) per cell."""
+    map-side-combined aggregate: (i, j, s, s_i, s_j, n) per cell.
+    Input is the already-quantized ``_qv`` bigint-array column — the
+    kernel only matmuls, it never rounds."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -127,9 +142,7 @@ def _gram_arrow(df: DataFrame, vec_col: str, q: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * q
-            # Spark F.round is HALF_UP (ties away from zero)
-            qm = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            qm = np.stack(pdf["_qv"].to_numpy()).astype(np.int64)
             n, d = qm.shape
             g = qm.T @ qm  # exact int64 Gram
             s1 = qm.sum(axis=0)
@@ -145,7 +158,7 @@ def _gram_arrow(df: DataFrame, vec_col: str, q: int) -> DataFrame:
                 }
             )
 
-    partials = df.select(vec_col).mapInPandas(kernel, schema=schema)
+    partials = dfq.mapInPandas(kernel, schema=schema)
     return partials.groupBy("i", "j").agg(
         F.sum("p").alias("s"),
         F.sum("a").alias("s_i"),
@@ -154,16 +167,11 @@ def _gram_arrow(df: DataFrame, vec_col: str, q: int) -> DataFrame:
     )
 
 
-def _gram_sql(df: DataFrame, vec_col: str, q: int) -> DataFrame:
-    """Explode-into-aggregate Gram sums, zero Python in the loop."""
-    # Materialize the quantized vector once per row — referencing the
-    # transform expression inside the pair lambdas would re-evaluate it
-    # per OUTER element (d extra array builds per row).
-    dfq = df.select(
-        F.transform(
-            F.col(vec_col), lambda x: F.round(x.cast("double") * q).cast("bigint")
-        ).alias("_qv")
-    )
+def _gram_sql(dfq: DataFrame) -> DataFrame:
+    """Explode-into-aggregate Gram sums, zero Python in the loop.
+    Input is the already-quantized ``_qv`` column (materialized once
+    per row — referencing the transform expression inside the pair
+    lambdas would re-evaluate it per OUTER element)."""
     qv = F.col("_qv")
     cells = F.flatten(
         F.transform(
@@ -195,7 +203,6 @@ def _gram_sql(df: DataFrame, vec_col: str, q: int) -> DataFrame:
 def pca_components(
     df: DataFrame,
     r: int,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     q: int = DEFAULT_Q,
 ) -> tuple[list[list[float]], list[float], list[float]]:
@@ -209,7 +216,9 @@ def pca_components(
     """
     import numpy as np
 
-    rows = covariance_moments(df, id_col, vec_col, q=q, round_to=12).collect()
+    rows = covariance_moments(df, vec_col, q=q, round_to=12).collect()
+    if not rows:
+        raise ValueError(f"no vectors: input has zero rows in {vec_col!r}")
     d = max(row["j"] for row in rows) + 1
     cov = np.zeros((d, d))
     mean = [0.0] * d
@@ -286,14 +295,25 @@ def jl_project(
     vec_col: str = "embedding",
     seed: str = JL_SALT,
     round_to: int = 6,
+    in_dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss projection to ``out_dim`` columns y0..y_k.
 
     Data-independent (no training pass), zero-shuffle, codegen-only —
     the cheapest distance-preserving reducer for LSH pre-hashing or
     near-dup pre-filtering at 100 TB.
+
+    Pass ``in_dim`` to keep the call fully lazy; otherwise one row is
+    peeked to learn the vector width (an extra small Spark job).
     """
-    in_dim = len(df.select(vec_col).first()[0])
+    if in_dim is None:
+        head = df.select(vec_col).head(1)
+        if not head or head[0][0] is None:
+            raise ValueError(
+                f"cannot infer in_dim from an empty {vec_col!r} column; "
+                "pass in_dim explicitly"
+            )
+        in_dim = len(head[0][0])
     mat = jl_matrix(in_dim, out_dim, seed)
     cols = [
         F.round(

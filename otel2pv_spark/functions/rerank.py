@@ -88,8 +88,15 @@ def crossencoder_rerank(
     )
     pairs = (
         candidates.select("query_id", id_col)
-        # the only corpus-side join: fetch text for candidate ids only
-        .join(docs.select(id_col, text_col), id_col, "inner")
+        # the only corpus-side join: fetch text for candidate ids only.
+        # NULL-text docs are unscorable and dropped here — without the
+        # filter the kernel would silently stringify None into a real
+        # md5 score while a SQL engine's NULL propagation ranks it last.
+        .join(
+            docs.select(id_col, text_col).filter(F.col(text_col).isNotNull()),
+            id_col,
+            "inner",
+        )
         .join(F.broadcast(qdf), "query_id")
     )
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .topk import two_level_topk
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -66,30 +68,14 @@ def cosine_topk(
         )
     sim = _dot(F.col(vec_col), F.col("qvec")) / (_norm(F.col(vec_col)) * _norm(F.col("qvec")))
 
-    # Two-level top-k. A plain per-query window would ship EVERY scored
-    # corpus row for a query into ONE task (at scale, the per-query
-    # partition is the whole corpus). Instead: (1) project down to the
-    # narrow (query, id, sim) triple — the vectors never shuffle;
-    # (2) top-k within (query_id, input-partition) groups, whose sizes
-    # are bounded by the scan partition, never by corpus size;
-    # (3) merge the ≤ k×P survivors per query in a tiny final window.
-    scored = (
-        pairs.withColumn("sim", sim)
-        .select("query_id", id_col, "sim", F.spark_partition_id().alias("_pid"))
+    # Two-level top-k (shared helper): the narrow (query, id, sim)
+    # projection first, so the vectors never shuffle.
+    scored = pairs.withColumn("sim", sim).select("query_id", id_col, "sim")
+    ranked = two_level_topk(
+        scored, ["query_id"], [F.desc("sim"), F.col(id_col)], k
     )
-    w_part = Window.partitionBy("query_id", "_pid").orderBy(
-        F.desc("sim"), F.col(id_col)
-    )
-    partial = (
-        scored.withColumn("_pr", F.row_number().over(w_part))
-        .filter(F.col("_pr") <= k)
-        .drop("_pr", "_pid")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
+        ranked.select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round("sim", round_to).alias("cosine"),

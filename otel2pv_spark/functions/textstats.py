@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import TOKEN_SPLIT, tokens
+from .topk import two_level_topk
 
 # tiny marker-word profiles (public stopword lists, truncated)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -855,30 +856,12 @@ def bm25_topk(
             .alias("_c_micro"),
         )
     )
-    scored = (
-        contrib.groupBy("query_id", id_col)
-        .agg(F.sum("_c_micro").alias("score_micro"))
-        .select(
-            "query_id", id_col, "score_micro",
-            F.spark_partition_id().alias("_pid"),
-        )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        F.sum("_c_micro").alias("score_micro")
     )
-    w_part = Window.partitionBy("query_id", "_pid").orderBy(
-        F.desc("score_micro"), F.col(id_col)
-    )
-    partial = (
-        scored.withColumn("_pr", F.row_number().over(w_part))
-        .filter(F.col("_pr") <= k)
-        .drop("_pr", "_pid")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_micro"), F.col(id_col)
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "score_micro", "rank")
-    )
+    return two_level_topk(
+        scored, ["query_id"], [F.desc("score_micro"), F.col(id_col)], k
+    ).select("query_id", id_col, "score_micro", "rank")
 
 
 def top_ngrams(
@@ -904,17 +887,7 @@ def top_ngrams(
         df.select(F.explode(shingles(tokens(text_col), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("count"))
-        .select("ngram", "count", F.spark_partition_id().alias("_pid"))
     )
-    w_part = Window.partitionBy("_pid").orderBy(F.desc("count"), "ngram")
-    partial = (
-        grams.withColumn("_pr", F.row_number().over(w_part))
-        .filter(F.col("_pr") <= k)
-        .drop("_pr", "_pid")
-    )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("count"), "ngram")
-    return (
-        partial.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("ngram", "count", "rank")
-    )
+    return two_level_topk(
+        grams, [], [F.desc("count"), F.col("ngram")], k
+    ).select("ngram", "count", "rank")

@@ -78,9 +78,12 @@ def rollup_time_windows(
     user_col: str = "user_id",
 ) -> DataFrame:
     """Tumbling / hopping event-time rollup over the raw event log —
-    the batch form of a hypertable continuous aggregate (and the exact
-    expression Structured Streaming runs under a watermark: the same
-    ``F.window`` groupBy works on a readStream input).
+    the batch form of a hypertable continuous aggregate. The
+    ``F.window`` groupBy shape is the one Structured Streaming runs
+    under a watermark, with ONE exception: ``n_users`` uses an exact
+    ``count_distinct``, which streaming rejects — a readStream port
+    must swap it for ``approx_count_distinct`` (or pre-dedup
+    (window, user) in a first stage); count/sum port as-is.
 
     Returns one row per (window, keys) with the event count, exact
     distinct-user count, and the value sum quantized row-locally to

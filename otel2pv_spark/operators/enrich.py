@@ -163,6 +163,12 @@ def interval_join(
     clash = set(left.columns) & {"_ij_bin"} | set(right.columns) & {"_ij_bin"}
     if clash:
         raise ValueError("interval_join: _ij_bin column name is reserved")
+    # Degenerate intervals (end <= start) can never satisfy the
+    # exclusive-end predicate, but F.sequence would DESCEND through
+    # their reversed span and explode them into bins that join real
+    # fact rows before the final filter discards every match — drop
+    # them before binning instead.
+    right = right.filter(F.col(end_col) > F.col(start_col))
     r = right.withColumn(
         "_ij_bin",
         F.explode(

@@ -782,3 +782,18 @@ def test_top_ngrams_golden(spark):
     got = [(r.ngram, r["count"], r.rank) for r in sorted(rows, key=lambda r: r.rank)]
     # "the cat" x3; every other bigram x1, lexicographic tiebreak
     assert got == [("the cat", 3, 1), ("a dog", 1, 2), ("cat ran", 1, 3)]
+
+
+def test_rerank_drops_null_text_candidates(spark):
+    """A candidate whose document text is NULL is unscorable and must
+    be dropped (not silently stringified into a real md5 score)."""
+    from otel2pv_spark.functions import rerank as rr
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame(
+        [("q1", 1), ("q1", 2)], ["query_id", "doc_id"]
+    )
+    rows = rr.crossencoder_rerank(docs, [("q1", "alpha")], cands, k=5).collect()
+    assert [(r.doc_id, r.rank) for r in rows] == [(1, 1)]

@@ -386,3 +386,35 @@ def test_rollup_time_windows_golden(spark):
         (base - H, "y"): (1, 500_000),
         (base, "y"): (1, 500_000),
     }
+
+
+def test_interval_join_degenerate_intervals_never_bin(spark):
+    """Empty (end == start) and inverted (end < start) intervals can
+    never match under the exclusive-end predicate — they must be
+    dropped BEFORE binning (F.sequence would otherwise DESCEND through
+    the reversed span and explode ghost bins that join fact rows)."""
+    from pyspark.sql import functions as F
+
+    from otel2pv_spark.operators import enrich as enrich_op
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 06:00:00", 1), ("a", "2024-01-01 03:00:00", 2)],
+        "k string, ts string, row_id int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            # empty interval exactly on a bin boundary
+            ("w_empty", "a", "2024-01-01 06:00:00", "2024-01-01 06:00:00"),
+            # inverted interval spanning both facts' bins
+            ("w_inv", "a", "2024-01-01 07:00:00", "2024-01-01 01:00:00"),
+            # sane interval to prove the join still works
+            ("w_ok", "a", "2024-01-01 02:00:00", "2024-01-01 04:00:00"),
+        ],
+        "window_id string, k string, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp")) \
+     .withColumn("end_ts", F.col("end_ts").cast("timestamp"))
+
+    out = enrich_op.interval_join(left, right, key_col="k", ts_col="ts")
+    assert sorted((r["row_id"], r["window_id"]) for r in out.collect()) == [
+        (2, "w_ok")
+    ]
