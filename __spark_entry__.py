@@ -234,6 +234,20 @@ def q_events_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_op.rollup_time_windows(ev, width="2 hours", slide="1 hour")
 
 
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: rollup + distinct-user state
+    built from the even-event_id half, then the odd half MERGED in
+    (old events never re-read) — must equal the full recompute, so it
+    shares the events_rollup_hourly oracle."""
+    ev = datagen.load_events(spark, sf_dir)
+    old_ev = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    new_ev = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    old_roll = agg_op.rollup_time_windows(old_ev, width="1 hour")
+    old_seen = agg_op.rollup_user_pairs(old_ev, width="1 hour")
+    merged, _seen = agg_op.rollup_merge(old_roll, old_seen, new_ev, width="1 hour")
+    return merged
+
+
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: per-sink aggregate counts — the primary correctness anchor."""
     return (
@@ -532,6 +546,8 @@ ORACLES["events_rollup_hourly"] = """SELECT
 FROM events
 GROUP BY 1, 2, 3"""
 
+ORACLES["events_rollup_incremental"] = ORACLES["events_rollup_hourly"]
+
 # hopping 2h/1h: each event belongs to the windows starting at its
 # truncated hour and one hour before (start <= ts < start + 2h)
 ORACLES["events_rollup_sliding"] = """WITH h AS (
@@ -724,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": q_session_window_stats,
         "events_rollup_hourly": q_events_rollup_hourly,
         "events_rollup_sliding": q_events_rollup_sliding,
+        "events_rollup_incremental": q_events_rollup_incremental,
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,
         "sequence_prev_salted": q_sequence_prev_salted,

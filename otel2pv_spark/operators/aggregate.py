@@ -116,3 +116,105 @@ def rollup_time_windows(
         "n_users",
         "value_sum_micro",
     )
+
+
+def rollup_user_pairs(
+    df: DataFrame,
+    width: str = "1 hour",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Distinct (window, keys, user) pairs — the exact-distinct state
+    a maintained continuous aggregate has to keep so ``n_users`` stays
+    EXACT under appends (sums/counts merge trivially; an exact
+    distinct is only mergeable through its dedup state). One
+    map-side-combined distinct, same shuffle key as the rollup."""
+    win = F.window(F.col(ts_col).cast("timestamp"), width, slide or width)
+    return (
+        df.select(win.alias("_w"), *[F.col(c) for c in keys], F.col(user_col))
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("window_end_us"),
+            *keys,
+            user_col,
+        )
+        .distinct()
+    )
+
+
+def rollup_merge(
+    old_rollup: DataFrame,
+    old_seen: DataFrame,
+    new_events: DataFrame,
+    width: str = "1 hour",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incrementally maintain a ``rollup_time_windows`` table under an
+    APPEND batch (the hypertable continuous-aggregate refresh: merge
+    the new batch's partial aggregates instead of recomputing history).
+
+    ``old_rollup``/``old_seen`` are the persisted outputs of a prior
+    ``rollup_time_windows`` + ``rollup_user_pairs`` over events A;
+    ``new_events`` is a DISJOINT append batch B (events are counted
+    per occurrence — replaying a batch double-counts, exactly like any
+    sum-maintained materialized view). Returns (rollup, seen) equal to
+    recomputing both over A ∪ B.
+
+    Scale shape: the new batch aggregates map-side to window-bounded
+    partials; history is touched ONLY through equi-joins on the
+    (window, keys[, user]) grain — the old EVENTS are never re-read.
+    The n_users delta is the left_anti of the batch's pairs against
+    ``old_seen`` (co-partitioned equi-join, AQE skew-splittable); all
+    merge joins run on aggregate-grain tables bounded by
+    (time range / slide) x |keys| (x users for seen), independent of
+    total event count.
+    """
+    grain = ["window_start_us", "window_end_us", *keys]
+    win = F.window(F.col(ts_col).cast("timestamp"), width, slide or width)
+    delta = (
+        new_events.groupBy(win.alias("_w"), *[F.col(c) for c in keys])
+        .agg(
+            F.count("*").alias("_d_events"),
+            F.sum(
+                F.round(F.col(value_col) * 1e6).cast("bigint")
+            ).alias("_d_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("window_end_us"),
+            *keys,
+            "_d_events",
+            "_d_sum",
+        )
+    )
+    new_pairs = rollup_user_pairs(
+        new_events, width, slide, ts_col, keys, user_col
+    )
+    novel = new_pairs.join(old_seen, on=[*grain, user_col], how="left_anti")
+    novel_counts = novel.groupBy(*grain).agg(
+        F.count("*").alias("_d_users")
+    )
+    zero = F.lit(0).cast("bigint")
+    merged = (
+        old_rollup.join(delta, on=grain, how="full_outer")
+        .join(novel_counts, on=grain, how="full_outer")
+        .select(
+            *grain,
+            (
+                F.coalesce("n_events", zero) + F.coalesce("_d_events", zero)
+            ).alias("n_events"),
+            (
+                F.coalesce("n_users", zero) + F.coalesce("_d_users", zero)
+            ).alias("n_users"),
+            (
+                F.coalesce("value_sum_micro", zero) + F.coalesce("_d_sum", zero)
+            ).alias("value_sum_micro"),
+        )
+    )
+    return merged, old_seen.unionByName(novel)

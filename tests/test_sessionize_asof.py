@@ -418,3 +418,39 @@ def test_interval_join_degenerate_intervals_never_bin(spark):
     assert sorted((r["row_id"], r["window_id"]) for r in out.collect()) == [
         (2, "w_ok")
     ]
+
+
+def test_rollup_merge_equals_full_recompute(spark, sf_dir):
+    """Maintained rollup (batch A state + batch B merged) must equal
+    recomputing over A ∪ B — including n_users across batches where a
+    user appears in both (the seen-state anti-join must dedup them)."""
+    from otel2pv_spark import datagen
+    from otel2pv_spark.operators import aggregate as agg_op
+    from pyspark.sql import functions as F
+
+    ev = datagen.load_events(spark, sf_dir)
+    a = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    b = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+
+    def key(r):
+        return (r.window_start_us, r.window_end_us, r.event_type)
+
+    merged, seen = agg_op.rollup_merge(
+        agg_op.rollup_time_windows(a, width="1 hour"),
+        agg_op.rollup_user_pairs(a, width="1 hour"),
+        b,
+        width="1 hour",
+    )
+    got = {
+        key(r): (r.n_events, r.n_users, r.value_sum_micro)
+        for r in merged.collect()
+    }
+    want = {
+        key(r): (r.n_events, r.n_users, r.value_sum_micro)
+        for r in agg_op.rollup_time_windows(ev, width="1 hour").collect()
+    }
+    assert got == want
+    # the returned seen state equals the full-recompute pair set too
+    assert seen.count() == agg_op.rollup_user_pairs(ev, width="1 hour").count()
+    # sanity: the split is non-trivial (both batches contribute)
+    assert a.count() > 0 and b.count() > 0
