@@ -308,6 +308,14 @@ def q_text_bm25_topk(spark, sf_dir):
     return ts.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=5)
 
 
+def q_text_bm25_indexed(spark, sf_dir):
+    """BM25 served from the prebuilt inverted index (postings + stats
+    tables, corpus text never re-read) — must equal the direct-scan
+    path, so it shares its oracle."""
+    postings, stats = ts.bm25_index(_docs(spark, sf_dir))
+    return ts.bm25_topk_from_index(postings, stats, BM25_QUERIES, k=5)
+
+
 def q_text_rerank_topk(spark, sf_dir):
     """Two-stage retrieval: BM25 recall (top-20 per query) -> Arrow-
     batched cross-encoder rerank (deterministic fake kernel) -> final
@@ -627,6 +635,7 @@ QUERIES = {
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_bm25_indexed": q_text_bm25_indexed,
     "text_rerank_topk": q_text_rerank_topk,
     "prep_cap_per_group": q_prep_cap_per_group,
     "prep_mix_corpus": q_prep_mix_corpus,
@@ -1359,6 +1368,8 @@ SELECT * FROM ranked WHERE rank <= {k}"""
 
 
 ORACLES["text_bm25_topk"] = _bm25_oracle(5)
+# index-served path must reproduce the direct scan exactly
+ORACLES["text_bm25_indexed"] = _bm25_oracle(5)
 
 # Two-stage rerank oracle: the BM25 top-20 oracle as a derived table,
 # then the fake cross-encoder score (md5-arithmetic shared verbatim

@@ -791,16 +791,7 @@ def bm25_topk(
     partial-top-k pattern (per input-partition first, then a k×P
     merge) — no per-query window ever sees the whole corpus.
     """
-    import re as _re
-
-    spark = df.sparkSession
-    qrows = [
-        (qid, t)
-        for qid, qtext in queries
-        for t in sorted(set(_re.split(TOKEN_SPLIT, qtext.lower())) - {""})
-    ]
-    qdf = spark.createDataFrame(qrows, "query_id string, term string")
-    terms = sorted({t for _, t in qrows})
+    qdf, terms = _query_terms(df.sparkSession, queries)
     term_arr = F.array(*[F.lit(t) for t in terms])
 
     toks = tokens(text_col)
@@ -824,6 +815,35 @@ def bm25_topk(
         .groupBy(id_col, "term", "_dl")
         .agg(F.count("*").cast("double").alias("_tf"))
     )
+    return _bm25_score(posts, stats, qdf, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def _query_terms(spark, queries: list[tuple[str, str]]):
+    """(query_id, term) expansion table + the sorted distinct terms."""
+    import re as _re
+
+    qrows = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in sorted(set(_re.split(TOKEN_SPLIT, qtext.lower())) - {""})
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+    return qdf, sorted({t for _, t in qrows})
+
+
+def _bm25_score(
+    posts: DataFrame,
+    stats: DataFrame,
+    qdf: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail over a (id, _dl, term, _tf) posting set
+    restricted to query terms, with (_n_docs, _sum_dl) corpus stats.
+    df(term) is derived from the postings themselves — exact, because a
+    term's posting list contains every document containing it."""
     idf = (
         posts.groupBy("term")
         .agg(F.count("*").cast("double").alias("_df"))
@@ -862,6 +882,63 @@ def bm25_topk(
     return two_level_topk(
         scored, ["query_id"], [F.desc("score_micro"), F.col(id_col)], k
     ).select("query_id", id_col, "score_micro", "rank")
+
+
+def bm25_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable BM25 inverted index: the retrieval scale
+    path (``bm25_topk`` rescans the corpus per query batch; at 100 TB
+    you pay the scan ONCE here, write the index partitioned/bucketed
+    by term, and every query batch probes only its terms' postings).
+
+    Returns (postings, stats): postings = one row per (term, doc) with
+    the term frequency and the doc length denormalized onto the row
+    (trades ~8 bytes/posting for a join-free probe — the analog of
+    Lucene keeping norms alongside postings); stats = the 1-row
+    (n_docs, sum_dl) corpus aggregate. Same incremental-index pattern
+    as ``dedup.minhash_band_table``.
+    """
+    toks = tokens(text_col)
+    docs = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).cast("double").alias("_dl"),
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    )
+    postings = (
+        docs.select(id_col, "_dl", F.explode("_toks").alias("term"))
+        .groupBy("term", id_col, "_dl")
+        .agg(F.count("*").cast("double").alias("_tf"))
+        .select("term", id_col, "_tf", "_dl")
+    )
+    return postings, stats
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served from a prebuilt ``bm25_index`` — identical
+    scores/ranks to ``bm25_topk``, but the corpus text is never read:
+    the probe filters the posting table to the query terms (an isin
+    predicate that partition-prunes a term-partitioned index table)
+    and everything downstream runs on posting-list-sized data."""
+    qdf, terms = _query_terms(postings.sparkSession, queries)
+    posts = postings.filter(F.col("term").isin(terms)).select(
+        id_col, "_dl", "term", "_tf"
+    )
+    return _bm25_score(posts, stats, qdf, k=k, k1=k1, b=b, id_col=id_col)
 
 
 def top_ngrams(

@@ -797,3 +797,22 @@ def test_rerank_drops_null_text_candidates(spark):
     )
     rows = rr.crossencoder_rerank(docs, [("q1", "alpha")], cands, k=5).collect()
     assert [(r.doc_id, r.rank) for r in rows] == [(1, 1)]
+
+
+def test_bm25_index_path_matches_direct(spark, sf_dir):
+    """The index-served BM25 (corpus never re-read) must reproduce the
+    direct-scan path exactly, scores and ranks."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [("qa", "spark window join"), ("qb", "hash merge sort")]
+    direct = {
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
+        for r in ts.bm25_topk(docs, queries, k=4).collect()
+    }
+    postings, stats = ts.bm25_index(docs)
+    via_index = {
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
+        for r in ts.bm25_topk_from_index(postings, stats, queries, k=4).collect()
+    }
+    assert direct == via_index and direct
