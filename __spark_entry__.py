@@ -234,6 +234,38 @@ def q_events_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_op.rollup_time_windows(ev, width="2 hours", slide="1 hour")
 
 
+def q_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation feature table (training-data stratification
+    over the transcript carrier): exact integer counts/lengths/
+    duration, one map-side-combined groupBy(conv_id)."""
+    from otel2pv_spark.functions import prep as prep_fn
+
+    return prep_fn.conv_features(_tr(spark, sf_dir))
+
+
+def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-conversation near-dup candidates: each conversation's
+    turns concatenated in turn order become one document, then the
+    standard MinHash-LSH candidate generation runs over conversations
+    (dedup of templated / replayed sessions — the conversation-level
+    complement of per-document dedup). Concatenation is one
+    groupBy(conv_id) on the pipeline's own shuffle key."""
+    from otel2pv_spark.functions import dedup as dd
+
+    conv = _tr(spark, sf_dir).groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    )
+    return dd.minhash_lsh_candidates(conv, id_col="conv_id").select(
+        F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
+    )
+
+
 def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate maintenance: rollup + distinct-user state
     built from the even-event_id half, then the odd half MERGED in
@@ -548,6 +580,34 @@ GROUP BY 1, 2, 3"""
 
 ORACLES["events_rollup_incremental"] = ORACLES["events_rollup_hourly"]
 
+ORACLES["conv_features"] = with_transcripts("""SELECT
+  conv_id,
+  count(*) AS n_turns,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_assistant,
+  CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_tool_calls,
+  CAST(count(DISTINCT CASE WHEN tool <> '' THEN tool END) AS BIGINT)
+    AS n_distinct_tools,
+  CAST(sum(length(text)) AS BIGINT) AS chars_total,
+  CAST(max(length(text)) AS INT) AS chars_max,
+  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM transcripts GROUP BY conv_id""")
+
+# conversation-level LSH: the per-document shingle/minhash/band CTEs
+# verbatim (entry_queries), over turn-order-concatenated conversations
+from otel2pv_spark.entry_queries import _LSH_CTES, _SHINGLE_CTE  # noqa: E402
+
+_CONV_DOCS_CTE = """docs AS (
+  SELECT conv_id AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+  FROM transcripts GROUP BY conv_id
+)"""
+ORACLES["dedup_conversations"] = with_transcripts(
+    "SELECT doc_a AS conv_a, doc_b AS conv_b FROM cand",
+    [_CONV_DOCS_CTE, _SHINGLE_CTE, _LSH_CTES],
+)
+
 # hopping 2h/1h: each event belongs to the windows starting at its
 # truncated hour and one hour before (start <= ts < start + 2h)
 ORACLES["events_rollup_sliding"] = """WITH h AS (
@@ -741,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_hourly": q_events_rollup_hourly,
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "conv_features": q_conv_features,
+        "dedup_conversations": q_dedup_conversations,
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,
         "sequence_prev_salted": q_sequence_prev_salted,

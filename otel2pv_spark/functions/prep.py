@@ -729,3 +729,44 @@ def mix_corpus(
             n_copies.alias("n_copies"),
         )
     )
+
+
+def conv_features(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation feature table over the transcript carrier —
+    the conversation-level analog of the per-document quality stats
+    (curriculum filtering, length bucketing, tool-usage stratification
+    all key off these).
+
+    All features are exact integers (counts, char totals, duration in
+    microseconds) so the output is bit-stable across engines and
+    partitionings; ratios are left to the consumer (n/n_turns).
+
+    Scale shape: ONE map-side-combined groupBy(conv_id) — the same
+    shuffle key every pipeline stage uses, no window, no second pass.
+    """
+    role = F.col(role_col)
+    return df.groupBy(F.col(conv_col)).agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(role == "user", 1).otherwise(0)).alias("n_user"),
+        F.sum(F.when(role == "assistant", 1).otherwise(0)).alias("n_assistant"),
+        F.sum(
+            F.when(F.col(tool_col) != "", 1).otherwise(0)
+        ).alias("n_tool_calls"),
+        F.count_distinct(
+            F.when(F.col(tool_col) != "", F.col(tool_col))
+        ).alias("n_distinct_tools"),
+        F.sum(F.length(text_col)).alias("chars_total"),
+        F.max(F.length(text_col)).alias("chars_max"),
+        (
+            F.unix_micros(F.max(F.col(ts_col).cast("timestamp")))
+            - F.unix_micros(F.min(F.col(ts_col).cast("timestamp")))
+        ).alias("duration_us"),
+    )

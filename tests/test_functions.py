@@ -816,3 +816,28 @@ def test_bm25_index_path_matches_direct(spark, sf_dir):
         for r in ts.bm25_topk_from_index(postings, stats, queries, k=4).collect()
     }
     assert direct == via_index and direct
+
+
+def test_conv_features_golden(spark):
+    """Hand-computed per-conversation features over a 2-conv fixture."""
+    from otel2pv_spark.functions import prep
+
+    rows = [
+        ("c1", 0, "user", "hello there", "", "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "hi", "", "2024-01-01 00:00:10"),
+        ("c1", 2, "tool", "result xyz", "tool-3", "2024-01-01 00:01:00"),
+        ("c1", 3, "tool", "more", "tool-3", "2024-01-01 00:02:00"),
+        ("c2", 0, "user", "solo", "", "2024-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    )
+    got = {r.conv_id: r.asDict() for r in prep.conv_features(df).collect()}
+    c1 = got["c1"]
+    assert (
+        c1["n_turns"], c1["n_user"], c1["n_assistant"], c1["n_tool_calls"],
+        c1["n_distinct_tools"], c1["chars_total"], c1["chars_max"],
+        c1["duration_us"],
+    ) == (4, 1, 1, 2, 1, len("hello there") + 2 + 10 + 4, 11, 120_000_000)
+    c2 = got["c2"]
+    assert (c2["n_turns"], c2["n_tool_calls"], c2["duration_us"]) == (1, 0, 0)
