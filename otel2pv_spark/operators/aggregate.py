@@ -97,25 +97,41 @@ def rollup_time_windows(
     At 100 TB the output cardinality is bounded by
     (time range / slide) × |keys|, independent of input size.
     """
-    win = F.window(F.col(ts_col).cast("timestamp"), width, slide or width)
-    out = (
-        df.groupBy(win.alias("_w"), *[F.col(c) for c in keys])
-        .agg(
-            F.count("*").alias("n_events"),
-            F.count_distinct(F.col(user_col)).alias("n_users"),
-            F.sum(
-                F.round(F.col(value_col) * 1e6).cast("bigint")
-            ).alias("value_sum_micro"),
-        )
+    out = df.groupBy(
+        _win(ts_col, width, slide).alias("_w"), *[F.col(c) for c in keys]
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.col(user_col)).alias("n_users"),
+        F.sum(_value_micro(value_col)).alias("value_sum_micro"),
     )
     return out.select(
-        F.unix_micros(F.col("_w.start")).alias("window_start_us"),
-        F.unix_micros(F.col("_w.end")).alias("window_end_us"),
+        *_win_us(),
         *keys,
         "n_events",
         "n_users",
         "value_sum_micro",
     )
+
+
+def _win(ts_col: str, width: str, slide: str | None):
+    """The event-time window expression — SHARED by the one-shot
+    rollup, the seen-pairs state, and the merge delta so the three can
+    never drift apart (the merge's equals-recompute invariant depends
+    on all of them bucketing identically)."""
+    return F.window(F.col(ts_col).cast("timestamp"), width, slide or width)
+
+
+def _value_micro(value_col: str):
+    """Row-local micro-unit quantization (shared for the same reason)."""
+    return F.round(F.col(value_col) * 1e6).cast("bigint")
+
+
+def _win_us():
+    """Project the struct window to the (start_us, end_us) grain."""
+    return [
+        F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+        F.unix_micros(F.col("_w.end")).alias("window_end_us"),
+    ]
 
 
 def rollup_user_pairs(
@@ -130,16 +146,19 @@ def rollup_user_pairs(
     a maintained continuous aggregate has to keep so ``n_users`` stays
     EXACT under appends (sums/counts merge trivially; an exact
     distinct is only mergeable through its dedup state). One
-    map-side-combined distinct, same shuffle key as the rollup."""
-    win = F.window(F.col(ts_col).cast("timestamp"), width, slide or width)
+    map-side-combined distinct, same shuffle key as the rollup.
+
+    NULL users are excluded — ``count_distinct`` ignores them, so a
+    NULL pair in the state would let the merge path count a user the
+    recompute path doesn't."""
     return (
-        df.select(win.alias("_w"), *[F.col(c) for c in keys], F.col(user_col))
+        df.filter(F.col(user_col).isNotNull())
         .select(
-            F.unix_micros(F.col("_w.start")).alias("window_start_us"),
-            F.unix_micros(F.col("_w.end")).alias("window_end_us"),
-            *keys,
-            user_col,
+            _win(ts_col, width, slide).alias("_w"),
+            *[F.col(c) for c in keys],
+            F.col(user_col),
         )
+        .select(*_win_us(), *keys, user_col)
         .distinct()
     )
 
@@ -176,45 +195,67 @@ def rollup_merge(
     total event count.
     """
     grain = ["window_start_us", "window_end_us", *keys]
-    win = F.window(F.col(ts_col).cast("timestamp"), width, slide or width)
     delta = (
-        new_events.groupBy(win.alias("_w"), *[F.col(c) for c in keys])
+        new_events.groupBy(
+            _win(ts_col, width, slide).alias("_w"), *[F.col(c) for c in keys]
+        )
         .agg(
             F.count("*").alias("_d_events"),
-            F.sum(
-                F.round(F.col(value_col) * 1e6).cast("bigint")
-            ).alias("_d_sum"),
+            F.sum(_value_micro(value_col)).alias("_d_sum"),
         )
-        .select(
-            F.unix_micros(F.col("_w.start")).alias("window_start_us"),
-            F.unix_micros(F.col("_w.end")).alias("window_end_us"),
-            *keys,
-            "_d_events",
-            "_d_sum",
-        )
+        .select(*_win_us(), *keys, "_d_events", "_d_sum")
     )
     new_pairs = rollup_user_pairs(
         new_events, width, slide, ts_col, keys, user_col
     )
-    novel = new_pairs.join(old_seen, on=[*grain, user_col], how="left_anti")
+
+    # NULL-SAFE grain joins throughout: a NULL key value (NULL
+    # event_type, or a NULL ts bucketing to a NULL window) is a
+    # legitimate grain cell in the recompute's groupBy, but plain
+    # equi-joins never match NULL = NULL — the merge would fracture
+    # that cell into phantom rows instead of accumulating it.
+    def nsjoin(left, lname, right, rname, cols, how):
+        # alias-qualified references: the inputs routinely share
+        # lineage (state and batch both derive from the same source in
+        # tests), so bare attribute refs are ambiguous self-joins
+        l, r = left.alias(lname), right.alias(rname)
+        cond = None
+        for c in cols:
+            eq = F.col(f"{lname}.{c}").eqNullSafe(F.col(f"{rname}.{c}"))
+            cond = eq if cond is None else cond & eq
+        return l.join(r, cond, how)
+
+    novel = nsjoin(
+        new_pairs, "np", old_seen, "os", [*grain, user_col], "left_anti"
+    )
     novel_counts = novel.groupBy(*grain).agg(
         F.count("*").alias("_d_users")
     )
     zero = F.lit(0).cast("bigint")
-    merged = (
-        old_rollup.join(delta, on=grain, how="full_outer")
-        .join(novel_counts, on=grain, how="full_outer")
-        .select(
-            *grain,
-            (
-                F.coalesce("n_events", zero) + F.coalesce("_d_events", zero)
-            ).alias("n_events"),
-            (
-                F.coalesce("n_users", zero) + F.coalesce("_d_users", zero)
-            ).alias("n_users"),
-            (
-                F.coalesce("value_sum_micro", zero) + F.coalesce("_d_sum", zero)
-            ).alias("value_sum_micro"),
-        )
+    step1 = nsjoin(old_rollup, "o", delta, "d", grain, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in grain
+        ],
+        "n_events",
+        "n_users",
+        "value_sum_micro",
+        "_d_events",
+        "_d_sum",
+    )
+    merged = nsjoin(step1, "s", novel_counts, "u", grain, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"u.{c}")).alias(c)
+            for c in grain
+        ],
+        (
+            F.coalesce("n_events", zero) + F.coalesce("_d_events", zero)
+        ).alias("n_events"),
+        (
+            F.coalesce("n_users", zero) + F.coalesce("_d_users", zero)
+        ).alias("n_users"),
+        (
+            F.coalesce("value_sum_micro", zero) + F.coalesce("_d_sum", zero)
+        ).alias("value_sum_micro"),
     )
     return merged, old_seen.unionByName(novel)

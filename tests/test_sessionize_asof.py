@@ -450,7 +450,49 @@ def test_rollup_merge_equals_full_recompute(spark, sf_dir):
         for r in agg_op.rollup_time_windows(ev, width="1 hour").collect()
     }
     assert got == want
-    # the returned seen state equals the full-recompute pair set too
-    assert seen.count() == agg_op.rollup_user_pairs(ev, width="1 hour").count()
+    # the returned seen state equals the full-recompute pair SET (not
+    # just its cardinality — this is the persisted state every future
+    # merge anti-joins against)
+    assert set(map(tuple, seen.collect())) == set(
+        map(tuple, agg_op.rollup_user_pairs(ev, width="1 hour").collect())
+    )
     # sanity: the split is non-trivial (both batches contribute)
     assert a.count() > 0 and b.count() > 0
+
+
+def test_rollup_merge_null_grain_and_null_users(spark):
+    """NULL grain cells (NULL event_type) must accumulate across
+    batches, not fracture into phantom rows, and NULL users must never
+    count toward n_users — both matching the recompute exactly."""
+    from otel2pv_spark.operators import aggregate as agg_op
+
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    a_rows = [
+        (1, "2024-01-01 00:10:00", 10, None, 1.0),
+        (2, "2024-01-01 00:20:00", 10, "click", 2.0),
+        (3, "2024-01-01 00:25:00", None, "click", 4.0),
+    ]
+    b_rows = [
+        (4, "2024-01-01 00:30:00", 11, None, 3.0),
+        (5, "2024-01-01 00:40:00", None, "click", 8.0),
+        (6, "2024-01-01 00:50:00", 10, "click", 16.0),
+    ]
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    both = spark.createDataFrame(a_rows + b_rows, schema)
+
+    merged, seen = agg_op.rollup_merge(
+        agg_op.rollup_time_windows(a, width="1 hour"),
+        agg_op.rollup_user_pairs(a, width="1 hour"),
+        b,
+        width="1 hour",
+    )
+    key = lambda r: (r.window_start_us, r.window_end_us, r.event_type)
+    got = {key(r): (r.n_events, r.n_users, r.value_sum_micro) for r in merged.collect()}
+    want = {
+        key(r): (r.n_events, r.n_users, r.value_sum_micro)
+        for r in agg_op.rollup_time_windows(both, width="1 hour").collect()
+    }
+    assert got == want
+    # NULL users never enter the seen state
+    assert all(r[-1] is not None for r in seen.collect())
