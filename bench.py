@@ -79,8 +79,13 @@ HEADLINE = [
     "ann_ivf_topk",
     "enrich_interval",
     "events_rollup_hourly",
+    "events_rollup_incremental",
     "text_bm25_topk",
+    "text_bm25_indexed",
     "text_rerank_topk",
+    "text_top_ngrams",
+    "conv_features",
+    "dedup_conversations",
 ]
 
 

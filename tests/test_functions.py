@@ -841,3 +841,49 @@ def test_conv_features_golden(spark):
     ) == (4, 1, 1, 2, 1, len("hello there") + 2 + 10 + 4, 11, 120_000_000)
     c2 = got["c2"]
     assert (c2["n_turns"], c2["n_tool_calls"], c2["duration_us"]) == (1, 0, 0)
+
+
+def test_two_level_topk_matches_naive_window(spark):
+    """Property: the partial/final two-level construction returns the
+    exact same rows+ranks as a naive single window, per group and
+    globally, under an adversarial partitioning."""
+    from pyspark.sql import Window
+
+    from otel2pv_spark.functions.topk import two_level_topk
+
+    rows = [
+        ("g1", i, (i * 37) % 11) for i in range(40)
+    ] + [("g2", i, (i * 13) % 7) for i in range(25)]
+    df = spark.createDataFrame(rows, "g string, id int, score int").repartition(7)
+
+    got = {
+        (r.g, r.rank): (r.id, r.score)
+        for r in two_level_topk(
+            df, ["g"], [F.desc("score"), F.col("id")], k=5
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("score"), F.col("id"))
+    want = {
+        (r.g, r.rank): (r.id, r.score)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want
+
+    got_g = {
+        r.rank: (r.id, r.score)
+        for r in two_level_topk(
+            df, [], [F.desc("score"), F.col("id"), F.col("g")], k=8
+        ).collect()
+    }
+    wg = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("score"), F.col("id"), F.col("g")
+    )
+    want_g = {
+        r.rank: (r.id, r.score)
+        for r in df.withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= 8)
+        .collect()
+    }
+    assert got_g == want_g
