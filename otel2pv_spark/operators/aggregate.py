@@ -113,12 +113,20 @@ def rollup_time_windows(
     )
 
 
-def _win(ts_col: str, width: str, slide: str | None):
+def _win(ts_col, width: str, slide: str | None):
     """The event-time window expression — SHARED by the one-shot
-    rollup, the seen-pairs state, and the merge delta so the three can
-    never drift apart (the merge's equals-recompute invariant depends
-    on all of them bucketing identically)."""
-    return F.window(F.col(ts_col).cast("timestamp"), width, slide or width)
+    rollup, the seen-pairs state, the merge delta, AND the streaming
+    port so they can never drift apart (the merge's equals-recompute
+    invariant depends on all of them bucketing identically).
+
+    Accepts a column NAME (cast to timestamp inline — the batch paths)
+    or a ready Column (the streaming path must pass its watermarked
+    column un-wrapped: re-casting it would detach the watermark and
+    fail append-mode aggregation)."""
+    from pyspark.sql import Column
+
+    ts = ts_col if isinstance(ts_col, Column) else F.col(ts_col).cast("timestamp")
+    return F.window(ts, width, slide or width)
 
 
 def _value_micro(value_col: str):

@@ -9,10 +9,12 @@ mirrors GroupAndVerify's actor-per-tree with timeout.
 
 from .stream_pipeline import (  # noqa: F401
     read_docs_stream,
+    read_events_stream,
     read_transcripts_stream,
     run_stream_dedup,
     run_stream_pipeline,
     stateful_group_verify,
+    stream_rollup,
     stream_session_stats,
     stream_windowed_metrics,
 )

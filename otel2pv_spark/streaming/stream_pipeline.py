@@ -432,3 +432,71 @@ def stateful_group_verify(parsed_stream: DataFrame, timeout_ms: int = 2000) -> D
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the raw event log."""
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_rollup(
+    stream: DataFrame,
+    width: str = "1 hour",
+    slide: str | None = None,
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """The streaming port of ``aggregate.rollup_time_windows`` — the
+    live half of the continuous aggregate (the batch op is the
+    backfill; ``aggregate.rollup_merge`` is the append-batch refresh).
+
+    Reuses the batch op's SHARED window/quantization helpers, so the
+    three paths bucket and quantize identically, with the one
+    documented semantic difference: streaming state cannot hold an
+    exact distinct, so ``n_users_approx`` is ``approx_count_distinct``
+    (HLL-sketch state, mergeable and watermark-droppable) — exact
+    ``n_users`` stays the batch/merge paths' job. ``n_events`` and
+    ``value_sum_micro`` match the batch output exactly.
+
+    Append mode: a window emits once, when the watermark passes its
+    end; state is bounded by (watermark horizon / slide) x |keys|.
+    """
+    from ..operators.aggregate import _value_micro, _win, _win_us
+
+    # cast BEFORE the watermark, and hand _win the bare watermarked
+    # column: casting after withWatermark detaches the watermark and
+    # append-mode aggregation is rejected
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            _win(F.col(ts_col), width, slide).alias("_w"),
+            *[F.col(c) for c in keys],
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct(F.col(user_col)).alias("n_users_approx"),
+            F.sum(_value_micro(value_col)).alias("value_sum_micro"),
+        )
+        .select(*_win_us(), *keys, "n_events", "n_users_approx", "value_sum_micro")
+    )

@@ -302,3 +302,74 @@ def test_stream_session_stats_merges_and_finalizes(spark, tmp_path):
     )
     assert ("c1", "10:00", "10:15", 2) in sessions   # merged pair, end = last+gap
     assert ("c1", "10:45", "10:55", 1) in sessions   # new session after > gap
+
+
+def test_stream_rollup_matches_batch_counts(spark, tmp_path):
+    """The streaming rollup's n_events / value_sum_micro equal the
+    batch rollup exactly for windows the watermark has finalized;
+    n_users_approx is a positive HLL estimate. Two availableNow runs
+    over one checkpoint: the second batch's far-future row pushes the
+    watermark past the first windows so they emit."""
+    import pandas as pd
+
+    from otel2pv_spark.operators import aggregate as agg_op
+    from otel2pv_spark.streaming import read_events_stream, stream_rollup
+
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    rows1 = [
+        (1, "2026-01-01 10:05:00", 10, "click", 1.5),
+        (2, "2026-01-01 10:20:00", 11, "click", 2.5),
+        (3, "2026-01-01 10:40:00", 10, "view", 4.0),
+    ]
+    rows2 = [(4, "2026-01-02 00:00:00", 12, "click", 8.0)]
+
+    def _f(name, rows, offset):
+        pd.DataFrame(
+            [
+                {"event_id": e, "ts": pd.Timestamp(ts), "user_id": u,
+                 "event_type": k, "value": v, "props": ""}
+                for e, ts, u, k, v in rows
+            ]
+        ).to_parquet(f"{src}/{name}.parquet", index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(f"{src}/{name}.parquet", (time.time() + offset,) * 2)
+
+    def _run():
+        q = (
+            stream_rollup(read_events_stream(spark, src), width="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _f("b1", rows1, 0)
+    _run()
+    _f("b2", rows2, 1)
+    _run()
+
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.value_sum_micro)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, k, v, "") for e, ts, u, k, v in rows1],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    want = {
+        (r.window_start_us, r.event_type): (r.n_events, r.value_sum_micro)
+        for r in agg_op.rollup_time_windows(batch_df, width="1 hour").collect()
+    }
+    # the 10:00 windows are finalized by the far-future watermark push
+    assert want.items() <= got.items()
+    approx = {
+        r.event_type: r.n_users_approx for r in spark.read.parquet(out).collect()
+    }
+    assert approx.get("click", 0) >= 1 and approx.get("view", 0) >= 1
