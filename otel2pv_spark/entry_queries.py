@@ -205,6 +205,17 @@ def q_text_quality_percentiles(spark, sf_dir):
     return ts.quality_percentiles(_docs(spark, sf_dir))
 
 
+def q_text_quality_histogram(spark, sf_dir):
+    """Mergeable histogram calibration path: per-domain quality
+    histograms built on the even/odd doc_id halves SEPARATELY, merged
+    (integer counts add), then bin-resolution p50/p90 — must equal the
+    full-corpus computation, so the oracle recomputes from scratch."""
+    docs = _docs(spark, sf_dir)
+    ha = ts.quality_histogram(docs.filter(F.col("doc_id") % 2 == 0))
+    hb = ts.quality_histogram(docs.filter(F.col("doc_id") % 2 == 1))
+    return ts.histogram_quantiles(ts.histogram_merge(ha, hb))
+
+
 def q_text_winnow_candidates(spark, sf_dir):
     """Passage-overlap (containment) candidate pairs over the seeded
     dup fixture — the MOSS-style complement to whole-doc MinHash."""
@@ -644,6 +655,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_corpus_stats": q_text_corpus_stats,
     "text_quality_percentiles": q_text_quality_percentiles,
+    "text_quality_histogram": q_text_quality_histogram,
     "text_winnow_candidates": q_text_winnow_candidates,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -1646,6 +1658,32 @@ _QUALITY_EXPR = f"""round(least(len({_TOKS}) / 100.0, 1.0) * 0.4
     + (len(list_filter({_TOKS}, x -> list_contains({_EN}, x)))
        / greatest(len({_TOKS}), 1)) * 0.3
     + (len(list_distinct({_TOKS})) / greatest(len({_TOKS}), 1)) * 0.3, 4)"""
+
+ORACLES["text_quality_histogram"] = f"""WITH t AS (
+  SELECT doc_id, source, {_QUALITY_EXPR} AS quality FROM documents
+),
+h AS (
+  SELECT source,
+         LEAST(19, GREATEST(0, CAST(floor((quality - 0.0) / 0.05) AS INT)))
+           AS bin,
+         count(*) AS n
+  FROM t GROUP BY 1, 2
+),
+c AS (
+  SELECT source, bin,
+         CAST(sum(n) OVER (PARTITION BY source ORDER BY bin) AS BIGINT)
+           AS cum,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM h
+),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+sel AS (
+  SELECT source, q, min(bin) AS bin, max(total) AS n_docs
+  FROM c, qs WHERE cum >= q * total GROUP BY source, q
+)
+SELECT source, q, CAST(bin AS INT) AS bin,
+       round(0.0 + (bin + 1) * 0.05, 6) AS upper_edge, n_docs
+FROM sel"""
 
 ORACLES["text_quality_percentiles"] = f"""WITH t AS (
   SELECT doc_id, source, {_QUALITY_EXPR} AS quality FROM documents

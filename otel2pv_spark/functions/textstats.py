@@ -968,3 +968,88 @@ def top_ngrams(
     return two_level_topk(
         grams, [], [F.desc("count"), F.col("ngram")], k
     ).select("ngram", "count", "rank")
+
+
+def quality_histogram(
+    df: DataFrame,
+    by: str = "source",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MERGEABLE binned histogram of the quality score, per domain —
+    the maintainable state behind threshold calibration. Exact
+    percentiles (``quality_percentiles``) need a per-group sort over
+    raw scores every time; a fixed-bin histogram is integer counts
+    that merge across append batches by summing (``histogram_merge``),
+    the same maintained-state pattern as ``aggregate.rollup_merge``.
+
+    Returns (by, bin, n) with bin = clamp(floor((q - lo)/width), 0,
+    bins-1); out-of-range scores land in the edge bins. One map-side-
+    combined groupBy; output is |domains| x bins rows.
+    """
+    width = (hi - lo) / bins
+    q = quality_score(df, id_col=id_col, text_col=text_col).select(
+        id_col, "quality"
+    )
+    tagged = df.select(id_col, by).join(q, id_col)
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("quality") - lo) / width).cast("int")
+        ),
+    )
+    return tagged.groupBy(F.col(by), b.alias("bin")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame, by: str = "source") -> DataFrame:
+    """Merge two histogram states (same lo/hi/bins): counts just add."""
+    return (
+        a.unionByName(b)
+        .groupBy(by, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    by: str = "source",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 20,
+) -> DataFrame:
+    """Bin-resolution quantiles from histogram state: for each q, the
+    smallest bin whose cumulative count reaches q x total, reported as
+    that bin's upper edge (a <= width over-estimate — the trade for
+    mergeability). Runs entirely on the |domains| x bins state table;
+    the corpus is never touched.
+    """
+    width = (hi - lo) / bins
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(float(x),) for x in qs], "q double")
+    w_cum = Window.partitionBy(by).orderBy("bin")
+    w_all = Window.partitionBy(by)
+    c = hist.select(
+        by,
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    sel = (
+        c.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy(by, "q")
+        .agg(F.min("bin").alias("bin"), F.max("total").alias("n_docs"))
+    )
+    return sel.select(
+        by,
+        "q",
+        "bin",
+        F.round(F.lit(lo) + (F.col("bin") + 1) * width, 6).alias("upper_edge"),
+        "n_docs",
+    )

@@ -887,3 +887,31 @@ def test_two_level_topk_matches_naive_window(spark):
         .collect()
     }
     assert got_g == want_g
+
+
+def test_quality_histogram_merge_and_quantiles(spark, sf_dir):
+    """Histogram state merges exactly (split-halves == full corpus)
+    and bin-resolution quantiles bound the exact percentiles from
+    above by at most one bin width."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.source, r.bin): r.n for r in ts.quality_histogram(docs).collect()
+    }
+    merged_hist = ts.histogram_merge(
+        ts.quality_histogram(docs.filter(F.col("doc_id") % 2 == 0)),
+        ts.quality_histogram(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+    merged = {(r.source, r.bin): r.n for r in merged_hist.collect()}
+    assert merged == full and full
+
+    qq = ts.histogram_quantiles(merged_hist, qs=(0.5, 0.9))
+    exact = {
+        r.source: (r.p50, r.p90)
+        for r in ts.quality_percentiles(docs, ps=(0.5, 0.9)).collect()
+    }
+    for r in qq.collect():
+        lo_edge = r.upper_edge - 1.0 / 20
+        p_exact = exact[r.source][0 if r.q == 0.5 else 1]
+        assert lo_edge - 1e-9 <= p_exact <= r.upper_edge + 1e-9
