@@ -1682,7 +1682,11 @@ sel AS (
   FROM c, qs WHERE cum >= q * total GROUP BY source, q
 )
 SELECT source, q, CAST(bin AS INT) AS bin,
-       round(0.0 + (bin + 1) * 0.05, 6) AS upper_edge, n_docs
+       -- CAST: a bare 0.05 literal is DECIMAL in DuckDB and would
+       -- type-poison the whole edge expression (driver hash is
+       -- type-sensitive)
+       round(CAST(0.0 AS DOUBLE) + (bin + 1) * CAST(0.05 AS DOUBLE), 6)
+         AS upper_edge, n_docs
 FROM sel"""
 
 ORACLES["text_quality_percentiles"] = f"""WITH t AS (
