@@ -6,8 +6,10 @@ Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 `--scaling` mode: run the full parse→enrich→verify→sequence→route→
-aggregate DAG at two parallelism levels (local[8] vs local[32], the
-sandbox stand-in for N vs 4N executors per BASELINE.md §2) in separate
+aggregate DAG at two parallelism levels ($SPARK_GRAFT_SCALE_LEVELS,
+default local[4] vs local[16] — both map to physical cores on this
+guest; the sandbox stand-in for N vs 4N executors per BASELINE.md §2)
+in separate
 subprocesses (a JVM's master is fixed at session creation), and write
 BENCH/BASELINE.md with turns/sec at both levels + scaling efficiency.
 
@@ -56,6 +58,7 @@ HEADLINE = [
     "dedup_jaccard_est",
     "text_repetition",
     "text_quality_percentiles",
+    "text_quality_histogram",
     "prep_decontaminate",
     "prep_sample_temperature",
     "prep_shuffle",
