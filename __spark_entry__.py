@@ -31,6 +31,7 @@ from otel2pv_spark.operators import verify as verify_op  # noqa: E402
 from otel2pv_spark.plans import pipeline  # noqa: E402
 from otel2pv_spark.operators import sessionize as session_op  # noqa: E402
 from otel2pv_spark.operators import aggregate as agg_op  # noqa: E402
+from otel2pv_spark.functions import sketch as sketch_fn  # noqa: E402
 from otel2pv_spark.portable_sql import (  # noqa: E402
     MAINT_CTE,
     PARSED_CTE,
@@ -278,6 +279,60 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_seen = agg_op.rollup_user_pairs(old_ev, width="1 hour")
     merged, _seen = agg_op.rollup_merge(old_roll, old_seen, new_ev, width="1 hour")
     return merged
+
+
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user sketch per hour: register states
+    built on the even/odd event_id halves SEPARATELY, merged with a
+    per-register MAX, then estimated. At 10^12 turns the exact
+    (hour, user) dedup state is itself a big table; this state is
+    bounded by hours x 256 rows regardless of user cardinality. The
+    oracle recomputes single-pass from scratch, so the green row
+    proves the split/merge is lossless — and the emitted
+    registers_present / z_scaled are exact integers, so the driver's
+    type-sensitive hash checks the sketch STATE, not just the rounded
+    estimate."""
+    ev = datagen.load_events(spark, sf_dir).withColumn(
+        "hour_us",
+        F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))),
+    )
+    states = [
+        sketch_fn.hll_state(
+            ev.filter(F.pmod("event_id", F.lit(2)) == i), ("hour_us",), "user_id", p=8
+        )
+        for i in (0, 1)
+    ]
+    merged = sketch_fn.hll_merge(states, ("hour_us",))
+    return sketch_fn.hll_estimate(
+        merged, ("hour_us",), p=8, estimate_col="n_users_hll"
+    )
+
+
+def q_events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained continuous aggregate with SKETCHED distinct
+    users: counts/sums merge through rollup_merge (old events never
+    re-read) and n_users_hll reads off merged per-grain HLL register
+    states — the full 10^12-turn maintenance shape where both the raw
+    history AND the exact dedup state are too big to touch per batch.
+    The oracle recomputes counts and sketch from scratch."""
+    ev = datagen.load_events(spark, sf_dir)
+    old_ev = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    new_ev = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    old_roll = agg_op.rollup_time_windows(old_ev, width="1 hour")
+    old_seen = agg_op.rollup_user_pairs(old_ev, width="1 hour")
+    merged, _seen = agg_op.rollup_merge(old_roll, old_seen, new_ev, width="1 hour")
+    grain = ("window_start_us", "window_end_us", "event_type")
+    states = [
+        agg_op.rollup_users_hll(h, width="1 hour") for h in (old_ev, new_ev)
+    ]
+    est = sketch_fn.hll_estimate(
+        sketch_fn.hll_merge(states, grain), grain, p=8, estimate_col="n_users_hll"
+    )
+    return merged.drop("n_users").join(
+        est.select(*grain, "n_users_hll"), list(grain)
+    ).select(
+        *grain, "n_events", "value_sum_micro", "n_users_hll"
+    )
 
 
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,6 +635,41 @@ GROUP BY 1, 2, 3"""
 
 ORACLES["events_rollup_incremental"] = ORACLES["events_rollup_hourly"]
 
+# HLL oracles are generated next to the Spark formula (sketch.py) so the
+# two renderings of the estimator cannot drift; the inner SQL (grain +
+# hashed value) is written here, independently of the Spark query.
+ORACLES["events_hll_users"] = sketch_fn.hll_estimate_oracle_sql(
+    "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, "
+    "CAST(user_id AS VARCHAR) AS u FROM events",
+    "hour_us",
+    "u",
+    p=8,
+    estimate_col="n_users_hll",
+)
+
+_HLL_GRAIN_SQL = sketch_fn.hll_estimate_oracle_sql(
+    "SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, "
+    "epoch_us(date_trunc('hour', ts)) + CAST(3600 AS BIGINT) * 1000000 "
+    "AS window_end_us, event_type, CAST(user_id AS VARCHAR) AS u FROM events",
+    "window_start_us, window_end_us, event_type",
+    "u",
+    p=8,
+    estimate_col="n_users_hll",
+)
+ORACLES["events_rollup_hll"] = f"""WITH counts AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         epoch_us(date_trunc('hour', ts)) + CAST(3600 AS BIGINT) * 1000000
+           AS window_end_us,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS value_sum_micro
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT window_start_us, window_end_us, event_type, n_events, value_sum_micro,
+       h.n_users_hll
+FROM counts c JOIN ({_HLL_GRAIN_SQL}) h
+USING (window_start_us, window_end_us, event_type)"""
+
 ORACLES["conv_features"] = with_transcripts("""SELECT
   conv_id,
   count(*) AS n_turns,
@@ -801,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_hourly": q_events_rollup_hourly,
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "events_hll_users": q_events_hll_users,
+        "events_rollup_hll": q_events_rollup_hll,
         "conv_features": q_conv_features,
         "dedup_conversations": q_dedup_conversations,
         "route_counts": q_route_counts,

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import dedup as dd
+from .functions import sketch as sk
 from .functions import multimodal as mm
 from .functions import prep as pp
 from .functions import reduce_dim as rd
@@ -122,6 +123,27 @@ def q_dedup_incremental(spark, sf_dir):
     new = fix.filter(F.col("doc_id") >= 100000)
     old = fix.filter(F.col("doc_id") < 100000)
     return dd.minhash_lsh_candidates_incremental(new, dd.minhash_band_table(old))
+
+
+def q_dedup_bloom_probe(spark, sf_dir):
+    """Append-batch EXACT-dup gate via a packed Bloom bitmap: the base
+    corpus's content hashes pack into 2^18 bits of int64 words (one
+    bit_or groupBy, ≤4096 rows — broadcastable at any corpus size);
+    the seeded batch probes with k=4 broadcast hash joins and NO
+    shuffle of the batch. Exact copies (+100000) MUST flag true
+    (Bloom has no false negatives); near-copies (+200000, different
+    text) come out false modulo the fp rate. The tiny state is
+    cached here — in production it is a committed index table that
+    ``bloom_merge`` folds each batch into (cheaper than the MinHash
+    band-table probe when only exact dups need gating)."""
+    fix = docs_fixture(spark, sf_dir).withColumn("content_hash", F.md5("text"))
+    base = fix.filter(F.col("doc_id") < 100000)
+    batch = fix.filter(F.col("doc_id") >= 100000)
+    bloom = sk.bloom_build(base, "content_hash", bits_log2=18, k=4).cache()
+    probed = sk.bloom_probe(
+        batch, "content_hash", bloom, bits_log2=18, k=4, out_col="maybe_dup"
+    )
+    return probed.select("doc_id", "maybe_dup")
 
 
 def q_dedup_jaccard_est(spark, sf_dir):
@@ -633,6 +655,7 @@ QUERIES = {
     "dedup_exact_substr": q_dedup_exact_substr,
     "dedup_incremental": q_dedup_incremental,
     "dedup_jaccard_est": q_dedup_jaccard_est,
+    "dedup_bloom_probe": q_dedup_bloom_probe,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1095,6 +1118,34 @@ ORACLES["dedup_exact_flags"] = f"""WITH {_DOCS_CTE}
 SELECT doc_id,
        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
 FROM docs"""
+
+ORACLES["dedup_bloom_probe"] = f"""WITH {_DOCS_CTE},
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM docs),
+pos AS (
+  SELECT h.doc_id, h.content_hash,
+         ('0x' || substr(md5(h.content_hash || '#' || CAST(k.i AS VARCHAR)
+            || '#bloom-v1'), 1, 8))::BIGINT % 262144 AS bitpos
+  FROM hashed h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) k
+),
+words AS (
+  SELECT bitpos >> 6 AS block,
+         bit_or(CASE WHEN bitpos % 64 = 63 THEN -9223372036854775808
+                WHEN TRUE THEN 1::BIGINT << CAST(bitpos % 64 AS INT) END) AS word
+  FROM pos WHERE doc_id < 100000 AND bitpos IS NOT NULL GROUP BY 1
+),
+probe AS (
+  SELECT p.doc_id, p.content_hash,
+         CASE WHEN (coalesce(w.word, 0)
+                    & (CASE WHEN p.bitpos % 64 = 63 THEN -9223372036854775808
+                       ELSE 1::BIGINT << CAST(p.bitpos % 64 AS INT) END)) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pos p LEFT JOIN words w ON (p.bitpos >> 6) = w.block
+  WHERE p.doc_id >= 100000
+)
+SELECT doc_id,
+       CASE WHEN max(content_hash) IS NULL THEN NULL
+            ELSE sum(hit) = 4 END AS maybe_dup
+FROM probe GROUP BY doc_id"""
 
 _SHINGLE_CTE = f"""tok AS (
   SELECT doc_id, {_TOKS} AS w FROM docs

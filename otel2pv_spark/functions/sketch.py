@@ -1,0 +1,307 @@
+"""Mergeable probabilistic sketches from md5-derived deterministic hashes.
+
+Two primitives a 10^12-row maintained aggregate needs once exact state
+outgrows its grain:
+
+- **HyperLogLog distinct-count state** (Flajolet et al. 2007): the
+  exact-distinct path (`operators/aggregate.rollup_user_pairs`) keeps
+  one state row per (grain, user) pair — at trillion-turn scale that
+  state is itself a big table. The HLL state is bounded by
+  grains x 2^p rows (p=8 -> 256) regardless of user cardinality, and
+  merges across append batches with a plain per-register MAX.
+- **Bloom existence index**: the incremental-dedup path
+  (`functions/dedup.minhash_band_table`) probes an O(corpus) band
+  index; for EXACT-duplicate gating a packed Bloom bitmap of
+  2^b bits (b=20 -> 16 K int64 words) answers "definitely new" with
+  zero false negatives, merges via per-word bit OR, and is small
+  enough to broadcast, so probing a new batch costs k broadcast hash
+  joins and NO shuffle.
+
+Every bit of both sketches derives from ``md5`` + integer arithmetic
+only (the repo-wide convention, `functions/dedup.py:79`), so a DuckDB
+oracle reproduces them exactly — the driver's hash-sensitive
+correctness gate checks sketch *state*, not just estimates.
+
+Reference parity: the reference keeps exact per-tree maps and has no
+sketch layer (`GroupAndVerify/groupandverify/groupandverify.go:440-479`
+holds whole trees in memory); these are scale-path additions per the
+north rule's 10^12-turn target, not ports.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "hll_state",
+    "hll_merge",
+    "hll_estimate",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_probe",
+]
+
+_TWO33 = 1 << 33  # rho <= 33, so 2^(33-rho) is an exact BIGINT
+
+
+def _hex_bigint(col, start: int, n: int):
+    """First-``n`` hex chars of an md5 column as BIGINT — identical in
+    DuckDB as ``('0x' || substr(md5(s), start, n))::BIGINT``."""
+    return F.conv(F.substring(col, start, n), 16, 10).cast("bigint")
+
+
+def _rho_expr(whex_col: str):
+    """rho = (leading zero bits of the 32-bit word ``whex_col``) + 1,
+    computed with string/CASE logic only so Spark and DuckDB agree
+    bit-for-bit (log2-based floats round differently per engine).
+
+    Each leading '0' hex char is 4 zero bits; the first non-zero hex
+    char contributes 3/2/1/0 more ('1' -> 0b0001 has 3). An all-zero
+    word trims to '' -> 32 zero bits -> rho 33."""
+    trimmed = f"TRIM(LEADING '0' FROM {whex_col})"
+    return F.expr(
+        f"CAST(4 * (8 - length({trimmed})) + CASE substring({trimmed}, 1, 1) "
+        "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        "ELSE 0 END + 1 AS INT)"
+    )
+
+
+def hll_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str,
+    p: int = 8,
+    salt: str = "hll-v1",
+) -> DataFrame:
+    """Per-``keys`` HyperLogLog register state over ``value_col``.
+
+    Output: (keys..., register INT, rho INT) with rho the max leading-
+    zero rank seen in that register — one map-side-combined groupBy,
+    state bounded by |keys-grains| x 2^p rows. NULL values are skipped
+    (``count_distinct`` ignores them; a NULL register row would make
+    the merged estimate disagree with the recompute, the same rule as
+    ``rollup_user_pairs``).
+
+    Hash split: md5 hex chars 1-8 pick the register (mod 2^p), chars
+    9-16 are the 32-bit rank word — independent bits, one md5 per row.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    h = F.md5(F.concat(F.col(value_col).cast("string"), F.lit("#" + salt)))
+    out = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *[F.col(c) for c in keys],
+            (_hex_bigint(h, 1, 8) % m).cast("int").alias("register"),
+            F.substring(h, 9, 8).alias("_whex"),
+        )
+        .withColumn("rho", _rho_expr("_whex"))
+        .groupBy(*keys, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return out
+
+
+def hll_merge(states: list[DataFrame], keys: tuple[str, ...]) -> DataFrame:
+    """Merge HLL states from disjoint (or overlapping — max is
+    idempotent) batches: union + per-register MAX. Same shuffle grain
+    as the state itself."""
+    unioned = reduce(DataFrame.unionByName, states)
+    return unioned.groupBy(*keys, "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    state: DataFrame,
+    keys: tuple[str, ...],
+    p: int = 8,
+    estimate_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Read a cardinality estimate off an ``hll_state`` table.
+
+    Emits per ``keys``: ``registers_present`` and ``z_scaled`` (exact
+    BIGINTs — the state facts the driver gate hashes), plus the
+    rounded estimate. ``z_scaled`` is sum(2^(33-rho)) over present
+    registers + 2^33 per absent register (rho 0), i.e. the harmonic
+    denominator scaled by 2^33 so it stays integer-exact and
+    order-independent.
+
+    Estimator: alpha_m * m^2 / Z with the standard small-m alpha
+    constants, plus linear counting (m * ln(m/zeros)) below the 2.5m
+    threshold — the float math is a fixed expression over exact
+    integers, reproduced verbatim in the DuckDB oracle.
+    """
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    agg = state.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("registers_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - rho)")).alias("_sum_pow"),
+    )
+    z = (F.col("_sum_pow") + (m - F.col("registers_present")) * F.lit(_TWO33)).alias(
+        "z_scaled"
+    )
+    agg = agg.select(*keys, "registers_present", z)
+    raw = F.lit(alpha) * m * m * float(_TWO33) / F.col("z_scaled")
+    zeros = F.lit(m) - F.col("registers_present")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(
+        *keys,
+        "registers_present",
+        "z_scaled",
+        F.round(est).cast("bigint").alias(estimate_col),
+    )
+
+
+def hll_estimate_oracle_sql(
+    inner_sql: str,
+    keys_sql: str,
+    value_sql: str,
+    p: int = 8,
+    salt: str = "hll-v1",
+    estimate_col: str = "n_distinct_est",
+) -> str:
+    """The DuckDB rendering of hll_state+hll_estimate over
+    ``inner_sql`` — generated next to the Spark code so the two
+    formulas cannot drift (same pattern as the histogram oracle)."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    trimmed = "trim(LEADING '0' FROM _whex)"
+    return f"""
+WITH _src AS ({inner_sql}),
+_h AS (
+  SELECT {keys_sql},
+         CAST(('0x' || substr(md5({value_sql} || '#{salt}'), 1, 8))::BIGINT % {m} AS INT) AS register,
+         substr(md5({value_sql} || '#{salt}'), 9, 8) AS _whex
+  FROM _src WHERE {value_sql} IS NOT NULL
+),
+_r AS (
+  SELECT {keys_sql}, register,
+         MAX(CAST(4 * (8 - length({trimmed})) + CASE substring({trimmed}, 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             ELSE 0 END + 1 AS INT)) AS rho
+  FROM _h GROUP BY {keys_sql}, register
+),
+_a AS (
+  SELECT {keys_sql},
+         CAST(COUNT(*) AS BIGINT) AS registers_present,
+         SUM(1::BIGINT << (33 - rho)) + ({m} - COUNT(*)) * {_TWO33} AS z_scaled
+  FROM _r GROUP BY {keys_sql}
+)
+SELECT {keys_sql}, registers_present, CAST(z_scaled AS BIGINT) AS z_scaled,
+       CAST(ROUND(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(_TWO33)!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE) <= CAST({2.5 * m!r} AS DOUBLE)
+                        AND {m} - registers_present > 0
+                  THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - registers_present))
+                  ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(_TWO33)!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE) END)
+            AS BIGINT) AS {estimate_col}
+FROM _a
+"""
+
+
+def _bloom_positions(key_col: str, bits_log2: int, k: int, salt: str):
+    """The k bit positions for one key — k independent 32-bit md5
+    slices mod 2^b. Identical in DuckDB as
+    ``('0x'||substr(md5(key||'#i#salt'),1,8))::BIGINT % 2^b``."""
+    nbits = 1 << bits_log2
+    return [
+        _hex_bigint(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"), F.lit(f"#{i}#{salt}")
+                )
+            ),
+            1,
+            8,
+        )
+        % nbits
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    bits_log2: int = 20,
+    k: int = 4,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Build a packed Bloom bitmap over ``key_col``: one row per int64
+    word that has any bit set — (block BIGINT, word BIGINT), block =
+    bitpos >> 6, word = OR of 1 << (bitpos & 63).
+
+    Scale shape: the k positions explode map-side, then ONE
+    map-side-combined bit_or groupBy on block; the result is at most
+    2^b / 64 rows (b=20 -> 16 384) — broadcastable no matter how many
+    keys went in. NULL keys contribute nothing."""
+    pos = _bloom_positions(key_col, bits_log2, k, salt)
+    exploded = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*pos)).alias("bitpos"))
+        .select(
+            F.expr("shiftright(bitpos, 6)").alias("block"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))"
+            ).alias("_bit"),
+        )
+    )
+    return exploded.groupBy("block").agg(F.bit_or("_bit").alias("word"))
+
+
+def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
+    """Merge packed bitmaps from append batches: union + per-block
+    bit OR (idempotent, associative — replays are harmless)."""
+    unioned = reduce(DataFrame.unionByName, blooms)
+    return unioned.groupBy("block").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    bits_log2: int = 20,
+    k: int = 4,
+    salt: str = "bloom-v1",
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Test every row of ``df`` against a packed bitmap: k broadcast
+    hash joins (one per hash function), NO shuffle of the probe side —
+    a row is a possible member iff every probed word has its bit set.
+    False negatives are impossible; false-positive rate is the
+    standard (1 - e^(-kn/2^b))^k.
+
+    A NULL key probes to NULL (unknown), mirroring SQL three-valued
+    logic rather than claiming "definitely new"."""
+    pos = _bloom_positions(key_col, bits_log2, k, salt)
+    out = df
+    hits = []
+    for i, p_expr in enumerate(pos):
+        blk, msk, posc = f"_blk{i}", f"_msk{i}", f"_pos{i}"
+        out = (
+            out.withColumn(posc, p_expr)
+            .withColumn(blk, F.expr(f"shiftright({posc}, 6)"))
+            .withColumn(
+                msk,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({posc} % 64 AS INT))"),
+            )
+        )
+        b = F.broadcast(
+            bloom.select(
+                F.col("block").alias(blk), F.col("word").alias(f"_w{i}")
+            )
+        )
+        out = out.join(b, on=blk, how="left")
+        out = out.withColumn(
+            f"_hit{i}",
+            F.coalesce(F.col(f"_w{i}"), F.lit(0)).bitwiseAND(F.col(msk)) != 0,
+        ).drop(blk, msk, posc, f"_w{i}")
+        hits.append(F.col(f"_hit{i}"))
+    member = reduce(lambda a, b: a & b, hits)
+    out = out.withColumn(
+        out_col, F.when(F.col(key_col).isNotNull(), member)
+    )
+    return out.drop(*[f"_hit{i}" for i in range(k)])

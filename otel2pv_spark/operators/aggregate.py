@@ -171,6 +171,36 @@ def rollup_user_pairs(
     )
 
 
+def rollup_users_hll(
+    df: DataFrame,
+    width: str = "1 hour",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    user_col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """HLL register state per rollup grain — the SKETCH form of
+    ``rollup_user_pairs`` for when even the exact-distinct state is
+    too big (10^12 turns: the (window, keys, user) pair table grows
+    with user cardinality; this state is bounded by grains x 2^p rows
+    no matter how many users exist). Merge append batches with
+    ``functions.sketch.hll_merge`` (per-register MAX — idempotent, so
+    replays don't corrupt it, unlike the count/sum merge) and read
+    ``n_users`` off it with ``hll_estimate``. Same window helper as
+    the rollup so the grains can never drift."""
+    from ..functions import sketch
+
+    src = df.select(
+        _win(ts_col, width, slide).alias("_w"),
+        *[F.col(c) for c in keys],
+        F.col(user_col),
+    ).select(*_win_us(), *keys, user_col)
+    return sketch.hll_state(
+        src, ("window_start_us", "window_end_us", *keys), user_col, p=p
+    )
+
+
 def rollup_merge(
     old_rollup: DataFrame,
     old_seen: DataFrame,

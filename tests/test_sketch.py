@@ -1,0 +1,191 @@
+"""Tests for the mergeable sketches (functions/sketch.py): HLL
+distinct-count state and the packed Bloom existence index."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from otel2pv_spark.functions import sketch
+
+
+def _ids(spark, n, g=1, prefix=""):
+    return spark.range(n).select(
+        F.lit(g).alias("g"), F.concat(F.lit(prefix), F.col("id")).alias("v")
+    )
+
+
+class TestHll:
+    def test_accuracy_large_cardinality(self, spark):
+        df = _ids(spark, 50_000)
+        est = sketch.hll_estimate(
+            sketch.hll_state(df, ("g",), "v", p=12), ("g",), p=12
+        ).collect()[0]
+        assert abs(est.n_distinct_est - 50_000) / 50_000 < 0.05
+
+    def test_small_cardinality_linear_counting(self, spark):
+        df = _ids(spark, 10)
+        est = sketch.hll_estimate(
+            sketch.hll_state(df, ("g",), "v", p=8), ("g",), p=8
+        ).collect()[0]
+        # linear counting is near-exact when n << m
+        assert abs(est.n_distinct_est - 10) <= 1
+
+    def test_merge_equals_direct(self, spark):
+        """Split/merge must be LOSSLESS: same registers, same rho, same
+        estimate as the single-pass state (max is associative)."""
+        df = spark.range(5_000).select(
+            (F.col("id") % 3).alias("g"), F.col("id").cast("string").alias("v")
+        )
+        halves = [
+            sketch.hll_state(df.filter(F.col("id") % 2 == i), ("g",), "v", p=8)
+            for i in (0, 1)
+        ]
+        merged = sketch.hll_merge(halves, ("g",))
+        direct = sketch.hll_state(df, ("g",), "v", p=8)
+        m = {(r.g, r.register): r.rho for r in merged.collect()}
+        d = {(r.g, r.register): r.rho for r in direct.collect()}
+        assert m == d
+
+    def test_merge_idempotent_under_replay(self, spark):
+        """Replaying a batch (at-least-once delivery) must not change
+        the state — the property the exact count/sum merge does NOT
+        have."""
+        df = _ids(spark, 1_000)
+        st = sketch.hll_state(df, ("g",), "v", p=8)
+        replayed = sketch.hll_merge([st, st, st], ("g",))
+        assert sorted(map(tuple, st.collect())) == sorted(
+            map(tuple, replayed.collect())
+        )
+
+    def test_duplicates_do_not_inflate(self, spark):
+        once = _ids(spark, 2_000)
+        tripled = once.unionByName(once).unionByName(once)
+        e1 = sketch.hll_estimate(
+            sketch.hll_state(once, ("g",), "v", p=10), ("g",), p=10
+        ).collect()[0]
+        e3 = sketch.hll_estimate(
+            sketch.hll_state(tripled, ("g",), "v", p=10), ("g",), p=10
+        ).collect()[0]
+        assert e1.n_distinct_est == e3.n_distinct_est
+
+    def test_null_values_excluded(self, spark):
+        df = spark.range(100).select(
+            F.lit(1).alias("g"),
+            F.when(F.col("id") < 50, F.col("id").cast("string")).alias("v"),
+        )
+        st = sketch.hll_state(df, ("g",), "v", p=8)
+        est = sketch.hll_estimate(st, ("g",), p=8).collect()[0]
+        assert abs(est.n_distinct_est - 50) <= 2
+
+    def test_state_bounded_by_registers(self, spark):
+        st = sketch.hll_state(_ids(spark, 20_000), ("g",), "v", p=6)
+        assert st.count() <= 64
+
+    def test_bad_p_rejected(self, spark):
+        with pytest.raises(ValueError):
+            sketch.hll_state(_ids(spark, 10), ("g",), "v", p=2)
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        base = _ids(spark, 2_000, prefix="k")
+        bloom = sketch.bloom_build(base, "v", bits_log2=16, k=4).cache()
+        # probe a mix: 500 members, 500 non-members
+        probe = spark.range(1_500, 2_500).select(
+            F.concat(F.lit("k"), F.col("id")).alias("v")
+        )
+        res = sketch.bloom_probe(
+            probe, "v", bloom, bits_log2=16, k=4
+        ).collect()
+        members = {r.v for r in res if r.maybe_member}
+        for i in range(1_500, 2_000):
+            assert f"k{i}" in members  # zero false negatives, guaranteed
+
+    def test_false_positive_rate_bounded(self, spark):
+        base = _ids(spark, 2_000, prefix="k")
+        bloom = sketch.bloom_build(base, "v", bits_log2=16, k=4).cache()
+        probe = spark.range(10_000, 14_000).select(
+            F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+        res = sketch.bloom_probe(probe, "v", bloom, bits_log2=16, k=4).collect()
+        fp = sum(1 for r in res if r.maybe_member)
+        # theoretical (1-e^(-kn/m))^k ~ 0.024% at n=2k, m=64Ki, k=4;
+        # allow a generous margin
+        assert fp / len(res) < 0.01
+
+    def test_merge_equals_single_build(self, spark):
+        a = _ids(spark, 1_000, prefix="k")
+        b = spark.range(1_000, 2_000).select(
+            F.lit(1).alias("g"), F.concat(F.lit("k"), F.col("id")).alias("v")
+        )
+        both = a.unionByName(b)
+        merged = sketch.bloom_merge(
+            [
+                sketch.bloom_build(a, "v", bits_log2=14, k=3),
+                sketch.bloom_build(b, "v", bits_log2=14, k=3),
+            ]
+        )
+        direct = sketch.bloom_build(both, "v", bits_log2=14, k=3)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_null_key_probes_null(self, spark):
+        base = _ids(spark, 100, prefix="k")
+        bloom = sketch.bloom_build(base, "v", bits_log2=12, k=2)
+        probe = spark.range(3).select(
+            F.when(F.col("id") < 2, F.concat(F.lit("k"), F.col("id"))).alias("v")
+        )
+        res = {
+            r.v: r.maybe_member
+            for r in sketch.bloom_probe(
+                probe, "v", bloom, bits_log2=12, k=2
+            ).collect()
+        }
+        assert res["k0"] is True and res["k1"] is True and res[None] is None
+
+    def test_probe_plan_is_broadcast_only(self, spark):
+        """The probe side must NOT shuffle: k broadcast hash joins,
+        with the only Exchanges inside the (tiny) state aggregation."""
+        base = _ids(spark, 500, prefix="k")
+        bloom = sketch.bloom_build(base, "v", bits_log2=14, k=4).cache()
+        bloom.count()  # materialize so the probe plan reads the cache
+        probe = _ids(spark, 500, prefix="k")
+        plan = sketch.bloom_probe(
+            probe, "v", bloom, bits_log2=14, k=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 4
+        assert "SortMergeJoin" not in plan
+
+
+class TestRollupHll:
+    def test_rollup_users_hll_grain_matches(self, spark, sf_dir):
+        """The sketch state's grain must be exactly the rollup's grain
+        so estimates join 1:1 onto the maintained aggregate."""
+        from otel2pv_spark.operators import aggregate as agg_op
+        from otel2pv_spark import datagen
+
+        ev = datagen.load_events(spark, sf_dir)
+        roll = agg_op.rollup_time_windows(ev, width="1 hour")
+        st = agg_op.rollup_users_hll(ev, width="1 hour")
+        grain = ["window_start_us", "window_end_us", "event_type"]
+        est = sketch.hll_estimate(st, tuple(grain), p=8)
+        joined = roll.join(est, grain, "inner")
+        assert joined.count() == roll.filter(F.col("n_users") > 0).count()
+
+    def test_estimate_tracks_exact_within_tolerance(self, spark, sf_dir):
+        from otel2pv_spark.operators import aggregate as agg_op
+        from otel2pv_spark import datagen
+
+        ev = datagen.load_events(spark, sf_dir)
+        roll = agg_op.rollup_time_windows(ev, width="1 hour")
+        st = agg_op.rollup_users_hll(ev, width="1 hour")
+        grain = ["window_start_us", "window_end_us", "event_type"]
+        est = sketch.hll_estimate(st, tuple(grain), p=8, estimate_col="n_hll")
+        rows = roll.join(est, grain).select("n_users", "n_hll").collect()
+        assert rows
+        for r in rows:
+            # p=8 keeps per-grain cardinalities in the linear-counting
+            # regime on the fixture — near-exact
+            assert abs(r.n_hll - r.n_users) <= max(3, 0.2 * r.n_users)
