@@ -335,6 +335,25 @@ def q_events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over the (user_id, event-minute) key pair — the
+    clustering key a z-order table-maintenance rewrite range-writes on
+    so parquet/Iceberg min-max stats prune scans on EITHER dimension
+    (sources/layout.py; the rewrite itself is exercised in
+    tests/test_layout.py with measured row-group skipping). Pure
+    integer bit math; the oracle recomputes the interleave by a
+    DIFFERENT algorithm (per-bit summation vs magic-mask doubling)."""
+    from otel2pv_spark.sources import layout
+
+    ev = datagen.load_events(spark, sf_dir)
+    minute = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)
+    ).cast("long")
+    return ev.select(
+        "event_id", layout.zvalue("user_id", minute, bits=12).alias("zval")
+    )
+
+
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: per-sink aggregate counts — the primary correctness anchor."""
     return (
@@ -670,6 +689,13 @@ SELECT window_start_us, window_end_us, event_type, n_events, value_sum_micro,
 FROM counts c JOIN ({_HLL_GRAIN_SQL}) h
 USING (window_start_us, window_end_us, event_type)"""
 
+from otel2pv_spark.sources.layout import zvalue_oracle_terms  # noqa: E402
+
+ORACLES["layout_zorder"] = f"""SELECT event_id,
+  CAST({zvalue_oracle_terms('user_id', '(epoch_us(ts) // 60000000)', 12)}
+       AS BIGINT) AS zval
+FROM events"""
+
 ORACLES["conv_features"] = with_transcripts("""SELECT
   conv_id,
   count(*) AS n_turns,
@@ -893,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_incremental": q_events_rollup_incremental,
         "events_hll_users": q_events_hll_users,
         "events_rollup_hll": q_events_rollup_hll,
+        "layout_zorder": q_layout_zorder,
         "conv_features": q_conv_features,
         "dedup_conversations": q_dedup_conversations,
         "route_counts": q_route_counts,
