@@ -83,6 +83,9 @@ HEADLINE = [
     "enrich_interval",
     "events_rollup_hourly",
     "events_rollup_incremental",
+    "events_rollup_hll",
+    "dedup_bloom_probe",
+    "layout_zorder",
     "text_bm25_topk",
     "text_bm25_indexed",
     "text_rerank_topk",

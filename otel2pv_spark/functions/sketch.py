@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "hll_state",
+    "with_register_rho",
     "hll_merge",
     "hll_estimate",
     "bloom_build",
@@ -89,22 +90,32 @@ def hll_state(
     Hash split: md5 hex chars 1-8 pick the register (mod 2^p), chars
     9-16 are the 32-bit rank word — independent bits, one md5 per row.
     """
+    out = with_register_rho(df, value_col, p=p, salt=salt)
+    return (
+        out.select(*keys, "register", "rho")
+        .groupBy(*keys, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def with_register_rho(
+    df: DataFrame, value_col: str, p: int = 8, salt: str = "hll-v1"
+) -> DataFrame:
+    """Append the (register, rho) pair for ``value_col`` to every row
+    (NULL values dropped) — the per-row half of ``hll_state``, split
+    out so the streaming port can put its watermark + window grain
+    between this and the max-aggregation."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
     h = F.md5(F.concat(F.col(value_col).cast("string"), F.lit("#" + salt)))
-    out = (
+    return (
         df.filter(F.col(value_col).isNotNull())
-        .select(
-            *[F.col(c) for c in keys],
-            (_hex_bigint(h, 1, 8) % m).cast("int").alias("register"),
-            F.substring(h, 9, 8).alias("_whex"),
-        )
+        .withColumn("register", (_hex_bigint(h, 1, 8) % m).cast("int"))
+        .withColumn("_whex", F.substring(h, 9, 8))
         .withColumn("rho", _rho_expr("_whex"))
-        .groupBy(*keys, "register")
-        .agg(F.max("rho").alias("rho"))
+        .drop("_whex")
     )
-    return out
 
 
 def hll_merge(states: list[DataFrame], keys: tuple[str, ...]) -> DataFrame:

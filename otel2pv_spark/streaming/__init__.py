@@ -14,6 +14,7 @@ from .stream_pipeline import (  # noqa: F401
     run_stream_dedup,
     run_stream_pipeline,
     stateful_group_verify,
+    stream_hll_state,
     stream_rollup,
     stream_session_stats,
     stream_windowed_metrics,

@@ -500,3 +500,49 @@ def stream_rollup(
         )
         .select(*_win_us(), *keys, "n_events", "n_users_approx", "value_sum_micro")
     )
+
+
+def stream_hll_state(
+    stream: DataFrame,
+    width: str = "1 hour",
+    slide: str | None = None,
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    user_col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """Streaming HLL register state per rollup grain — the live half of
+    the SKETCHED continuous aggregate.
+
+    ``stream_rollup``'s ``approx_count_distinct`` emits only an
+    ESTIMATE, which cannot be combined with history; this emits the
+    deterministic md5-derived register state itself
+    (``functions/sketch.with_register_rho`` + per-register MAX), which
+    is bit-identical to what the batch path
+    (``operators/aggregate.rollup_users_hll``) produces for the same
+    rows. Finalized-window state rows therefore fold EXACTLY into the
+    stored state with ``sketch.hll_merge`` — and because the merge is
+    an idempotent MAX, a replayed micro-batch cannot corrupt it (the
+    lambda handoff the count/sum merge does not survive).
+
+    Append mode: a (window, keys, register) row emits once when the
+    watermark passes the window end; state is bounded by
+    (watermark horizon / slide) x |keys| x 2^p rows.
+    """
+    from ..functions.sketch import with_register_rho
+    from ..operators.aggregate import _win, _win_us
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    tagged = with_register_rho(
+        stream.withWatermark(ts_col, watermark_delay), user_col, p=p
+    )
+    return (
+        tagged.groupBy(
+            _win(F.col(ts_col), width, slide).alias("_w"),
+            *[F.col(c) for c in keys],
+            F.col("register"),
+        )
+        .agg(F.max("rho").alias("rho"))
+        .select(*_win_us(), *keys, "register", "rho")
+    )

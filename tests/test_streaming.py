@@ -373,3 +373,101 @@ def test_stream_rollup_matches_batch_counts(spark, tmp_path):
         r.event_type: r.n_users_approx for r in spark.read.parquet(out).collect()
     }
     assert approx.get("click", 0) >= 1 and approx.get("view", 0) >= 1
+
+
+def test_stream_hll_state_folds_into_batch_state(spark, tmp_path):
+    """The streaming HLL state must be BIT-IDENTICAL to the batch
+    sketch over the same rows (the lambda handoff: live rows fold into
+    the stored state via hll_merge exactly), and the merged estimate
+    must equal the all-at-once batch estimate."""
+    import pandas as pd
+
+    from otel2pv_spark.functions import sketch
+    from otel2pv_spark.operators import aggregate as agg_op
+    from otel2pv_spark.streaming import read_events_stream, stream_hll_state
+
+    src = str(tmp_path / "hll_src")
+    out = str(tmp_path / "hll_out")
+    ckpt = str(tmp_path / "hll_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    rows1 = [
+        (1, "2026-01-01 10:05:00", 10, "click", 1.5),
+        (2, "2026-01-01 10:20:00", 11, "click", 2.5),
+        (3, "2026-01-01 10:40:00", 10, "view", 4.0),
+    ]
+    rows2 = [(4, "2026-01-02 00:00:00", 12, "click", 8.0)]
+
+    def _f(name, rows, offset):
+        pd.DataFrame(
+            [
+                {"event_id": e, "ts": pd.Timestamp(ts), "user_id": u,
+                 "event_type": k, "value": v, "props": ""}
+                for e, ts, u, k, v in rows
+            ]
+        ).to_parquet(f"{src}/{name}.parquet", index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(f"{src}/{name}.parquet", (time.time() + offset,) * 2)
+
+    def _run():
+        q = (
+            stream_hll_state(read_events_stream(spark, src), width="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _f("b1", rows1, 0)
+    _run()
+    _f("b2", rows2, 1)
+    _run()
+
+    live = spark.read.parquet(out)
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, k, v, "") for e, ts, u, k, v in rows1],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    batch_state = agg_op.rollup_users_hll(batch_df, width="1 hour")
+    grain = ("window_start_us", "window_end_us", "event_type")
+    want = {
+        tuple(r[c] for c in grain) + (r.register,): r.rho
+        for r in batch_state.collect()
+    }
+    got = {
+        tuple(r[c] for c in grain) + (r.register,): r.rho
+        for r in live.collect()
+    }
+    # every finalized batch-state row appears bit-identically in the
+    # live output (the far-future b2 row pushed the watermark)
+    assert want.items() <= got.items()
+
+    # folding live output into the batch state changes nothing (MAX
+    # idempotence), and the estimate matches the all-at-once estimate
+    merged = sketch.hll_merge(
+        [batch_state, live.select(*grain, "register", "rho")], grain
+    )
+    e_merged = {
+        tuple(r[c] for c in grain): r.n_distinct_est
+        for r in sketch.hll_estimate(merged, grain, p=8).collect()
+    }
+    all_rows = batch_df.unionByName(
+        spark.createDataFrame(
+            [(e, ts, u, k, v, "") for e, ts, u, k, v in rows2],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        )
+    )
+    e_direct = {
+        tuple(r[c] for c in grain): r.n_distinct_est
+        for r in sketch.hll_estimate(
+            agg_op.rollup_users_hll(all_rows, width="1 hour"), grain, p=8
+        ).collect()
+    }
+    # merged covers the finalized horizon (rows2's own window has not
+    # emitted yet) — on every grain it covers, it must equal the
+    # all-at-once estimate exactly
+    assert len(e_merged) == 2
+    assert e_merged.items() <= e_direct.items()
