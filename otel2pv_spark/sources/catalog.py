@@ -35,14 +35,82 @@ from ..operators.route import REJECT_SINK_PREFIX
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fmt: str = "parquet",
+        keep_snapshots: int = 0,
+    ):
+        """``keep_snapshots``: number of previous table versions to
+        retain on every atomic replace (0 = none, the default —
+        replaced data is dropped as before). With N > 0, each commit
+        archives the outgoing version under ``_snapshots/<table>/vK``
+        and expires versions beyond N: the parquet stand-in for
+        Iceberg's snapshot log, enabling ``read(version=...)``
+        time-travel, ``rollback`` and ``expire_snapshots``."""
         self.spark = spark
         self.root = root
         self.fmt = fmt
+        self.keep_snapshots = keep_snapshots
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    # ------------------------------------------------- snapshot history
+    def _snap_dir(self, table: str) -> str:
+        return os.path.join(self.root, "_snapshots", table)
+
+    def snapshots(self, table: str) -> list[int]:
+        """Retained version numbers, oldest first. Versions count up
+        monotonically across commits (expiry leaves gaps)."""
+        d = self._snap_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(v[1:]) for v in os.listdir(d)
+            if v.startswith("v") and v[1:].isdigit()
+        )
+
+    def _archive_current(self, table: str) -> None:
+        """Move the current table dir into the snapshot log as the next
+        version (a rename — metadata-only, like keeping the previous
+        Iceberg snapshot reachable instead of expiring it)."""
+        final = self.path(table)
+        if not os.path.exists(final):
+            return
+        d = self._snap_dir(table)
+        os.makedirs(d, exist_ok=True)
+        versions = self.snapshots(table)
+        nxt = (versions[-1] + 1) if versions else 1
+        os.rename(final, os.path.join(d, f"v{nxt}"))
+
+    def expire_snapshots(self, table: str, keep: int | None = None) -> list[int]:
+        """Drop all but the newest ``keep`` versions (Iceberg's
+        ``expire_snapshots`` maintenance action). Returns the expired
+        version numbers."""
+        keep = self.keep_snapshots if keep is None else keep
+        versions = self.snapshots(table)
+        expired = versions[: max(0, len(versions) - keep)]
+        for v in expired:
+            shutil.rmtree(
+                os.path.join(self._snap_dir(table), f"v{v}"), ignore_errors=True
+            )
+        return expired
+
+    def rollback(self, table: str, version: int) -> None:
+        """Make ``version`` the current table again. The current state
+        is archived as a new version first and the target snapshot
+        stays in the log (Iceberg: a metadata-only repoint of the
+        current snapshot id; the parquet stand-in copies the files)."""
+        src = os.path.join(self._snap_dir(table), f"v{version}")
+        if not os.path.isdir(src):
+            raise ValueError(f"no snapshot v{version} of table {table!r}")
+        tmp = self.path(table) + ".tmp-" + uuid.uuid4().hex[:8]
+        shutil.copytree(src, tmp)
+        self._swap_in(tmp, table)
+        self.expire_snapshots(table)
 
     def exists(self, table: str) -> bool:
         """True if the table has data files — directly, or one level
@@ -62,8 +130,16 @@ class Catalog:
                 return True
         return False
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current table, or — when snapshots are retained —
+        time-travel to a specific retained ``version`` (Iceberg's
+        ``VERSION AS OF``)."""
+        if version is None:
+            return self.spark.read.parquet(self.path(table))
+        src = os.path.join(self._snap_dir(table), f"v{version}")
+        if not os.path.isdir(src):
+            raise ValueError(f"no snapshot v{version} of table {table!r}")
+        return self.spark.read.parquet(src)
 
     # ------------------------------------------------- commit mechanics
     def _sweep_stale(self, table: str) -> None:
@@ -80,8 +156,15 @@ class Catalog:
 
     def _swap_in(self, new_dir: str, table: str) -> None:
         """Atomically replace ``table`` with ``new_dir`` (rename is the
-        parquet stand-in for an Iceberg snapshot swap)."""
+        parquet stand-in for an Iceberg snapshot swap). With snapshot
+        retention on, the outgoing version is archived (and history
+        trimmed) instead of dropped."""
         final = self.path(table)
+        if self.keep_snapshots > 0:
+            self._archive_current(table)
+            os.rename(new_dir, final)
+            self.expire_snapshots(table)
+            return
         old = final + ".old-" + uuid.uuid4().hex[:8]
         if os.path.exists(final):
             os.rename(final, old)
