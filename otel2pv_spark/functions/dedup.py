@@ -524,11 +524,28 @@ def ngram_jaccard_pairs(
     ONLY for those pairs — candidate-bounded equi-joins, the scale path
     (the shingle self-join never happens). Without, all-pairs via
     shared-shingle join (test/small-corpus mode only)."""
+    if candidates is not None:
+        # Shingle ONLY the docs that appear in a candidate pair: the
+        # verification tier's work should be bounded by |candidates|,
+        # not corpus size. Semi-join (AQE broadcasts it when the
+        # candidate set is small), then snapshot the shingle rows once
+        # — they feed the size agg and BOTH intersection joins, and AQE
+        # does not reuse self-join exchanges (see
+        # minhash_lsh_candidates), so without this the corpus text
+        # would be scanned and shingled three times.
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(cand_docs, id_col, "left_semi")
     tokd = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_w"))
     sh = tokd.select(
         "doc",
         F.explode(F.array_distinct(shingles(F.col("_w"), n))).alias("shingle"),
     )
+    if candidates is not None:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:
         # shingles of doc_a fan in per candidate pair, then match doc_b's

@@ -584,7 +584,12 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs
     sharing a bucket are compared (the scale path for near-dup removal
     over a corpus of embeddings)."""
-    buckets = lsh_buckets(df, anchors, id_col, vec_col)
+    # snapshot the NARROW (id, bucket) table: it sits under both self-
+    # join sides and AQE does not reuse self-join exchanges (see
+    # dedup.minhash_lsh_candidates) — without this the anchor dot
+    # products run twice. The fat vectors are NOT checkpointed; the
+    # corpus scan itself stays lazy on each side.
+    buckets = lsh_buckets(df, anchors, id_col, vec_col).localCheckpoint(eager=True)
     v = df.join(buckets, id_col)
     a = v.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
@@ -632,7 +637,12 @@ def semantic_dedup(
     tiny; the k=4 of the driver fixture (pinned by the unrolled-Lloyd
     oracle) is a correctness fixture, not the scale configuration.
     """
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    # snapshot the NARROW (id, cluster) assignment: it feeds both pair-
+    # join sides AND the final flag join, and AQE does not reuse self-
+    # join exchanges (see dedup.minhash_lsh_candidates) — without this
+    # the k-centroid assignment projection runs three times. Vectors
+    # are not checkpointed.
+    assigned = ivf_assign(df, centroids, id_col, vec_col).localCheckpoint(eager=True)
     # Precompute each vector's norm ONCE (n rows) instead of inside the
     # pair expression (2× per pair): cos stays dot/(na*nb) — the exact
     # same value the oracle computes, just with the norm factored out.

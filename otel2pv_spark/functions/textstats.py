@@ -343,7 +343,14 @@ def winnow_candidates(
     which is what bounds bucket size and keeps the self-join from
     going quadratic on common n-grams. Output: (doc_a, doc_b,
     n_shared_fps)."""
-    fps = winnow_fingerprint_set(df, id_col, text_col, k, w)
+    # snapshot the (id, fp) table once: it feeds the df-count agg AND
+    # both self-join sides, and AQE does not reuse self-join exchanges
+    # (see dedup.minhash_lsh_candidates) — without this the rolling-
+    # hash fingerprint subtree executes three times. Narrow rows, so
+    # the snapshot is small; production stores it as the index table.
+    fps = winnow_fingerprint_set(df, id_col, text_col, k, w).localCheckpoint(
+        eager=True
+    )
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
     rare = fps.join(dfreq.filter(F.col("_df") <= max_df).select("fp"), "fp")
     a = rare.select(F.col(id_col).alias("doc_a"), "fp")
