@@ -967,8 +967,12 @@ def top_ngrams(
     """
     from .dedup import shingles
 
+    # staged projection: tokens bound to a column BEFORE shingling —
+    # an expression referenced inside shingles' per-position lambda is
+    # re-evaluated per element (the _minhash_wide lesson, measured 6x)
     grams = (
-        df.select(F.explode(shingles(tokens(text_col), n)).alias("ngram"))
+        df.select(tokens(text_col).alias("_w"))
+        .select(F.explode(shingles(F.col("_w"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("count"))
     )

@@ -164,3 +164,30 @@ def test_covariance_moments_partial_agg_one_exchange(spark, sf_dir):
         assert "embedding" not in ex[0], ex[0]
         # partial aggregation before the exchange (map-side combine)
         assert "partial_sum" in plan, plan
+
+
+def test_lsh_candidates_band_table_computed_once(spark, sf_dir):
+    """AQE does not reuse identical self-join exchanges (measured on
+    this Spark build: two full scans, zero ReusedExchange), so the
+    band table must be SNAPSHOTTED before the band self-join — the
+    candidate plan may not contain any parquet scan or shingle
+    recompute; both sides read the checkpointed rows. materialize=False
+    keeps the lazy double-scan shape (caller-managed caching)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dd.minhash_lsh_candidates(docs))
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    lazy = _plan(dd.minhash_lsh_candidates(docs, materialize=False))
+    assert lazy.count("Scan parquet") == 2, lazy
+
+
+def test_ngram_jaccard_candidate_mode_bounded_by_candidates(spark, sf_dir):
+    """In candidate mode the corpus is semi-joined down to docs that
+    appear in a pair BEFORE shingling, and the shingle rows are
+    snapshotted once — no parquet re-scan inside the intersection
+    joins (the verification tier's cost must be |candidates|-bounded,
+    not corpus-bounded)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = dd.minhash_lsh_candidates(docs)
+    plan = _plan(dd.ngram_jaccard_pairs(docs, candidates=cands))
+    assert "Scan parquet" not in plan, plan
