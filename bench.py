@@ -60,6 +60,7 @@ HEADLINE = [
     "text_quality_percentiles",
     "text_quality_histogram",
     "prep_decontaminate",
+    "prep_decontaminate_neardup",
     "prep_sample_temperature",
     "prep_shuffle",
     "prep_chunks",

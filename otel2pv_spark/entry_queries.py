@@ -577,6 +577,17 @@ def q_prep_decontaminate(spark, sf_dir):
     return pp.decontaminate(docs_fixture(spark, sf_dir), eval_fixture(spark, sf_dir))
 
 
+def q_prep_decontaminate_neardup(spark, sf_dir):
+    """LSH-tier decontamination: eval docs' own fixture rows, their
+    +100000 exact copies AND their +200000 near-dup (appended-tail)
+    copies must flag — the tail breaks every 8-gram ending past the
+    original text but leaves whole-doc Jaccard high, which is exactly
+    the leak class the n-gram tier misses."""
+    return pp.decontaminate_neardup(
+        docs_fixture(spark, sf_dir), eval_fixture(spark, sf_dir)
+    )
+
+
 def strata_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed domain labels (60/30/10) — the driver corpus's `source`
     is uniform, which would make temperature reweighting vacuous."""
@@ -639,6 +650,7 @@ QUERIES = {
     "prep_split": q_prep_split,
     "prep_pack": q_prep_pack,
     "prep_decontaminate": q_prep_decontaminate,
+    "prep_decontaminate_neardup": q_prep_decontaminate_neardup,
     "prep_dsir_weights": q_prep_dsir_weights,
     "prep_chunks": q_prep_chunks,
     "prep_shuffle": q_prep_shuffle,
@@ -998,6 +1010,9 @@ SELECT d.doc_id,
        coalesce(h, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM docs) d LEFT JOIN hits USING (doc_id)"""
 
+# (prep_decontaminate_neardup's oracle is defined after _SHINGLE_CTE /
+# _LSH_CTES below — it reuses the dedup LSH banding fragments.)
+
 # chunking: stride = 64 - 16 = 48, 1-based inclusive DuckDB slices
 
 _SHINGLES2 = "[array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]"
@@ -1178,6 +1193,36 @@ cand AS (
 ORACLES["prep_split_by_cluster"] = _SPLIT_BY_CLUSTER_TMPL.format(
     docs_cte=_DOCS_CTE, shingle_cte=_SHINGLE_CTE, lsh_ctes=_LSH_CTES
 )
+
+ORACLES["prep_decontaminate_neardup"] = f"""WITH {_DOCS_CTE},
+{_SHINGLE_CTE},
+{_LSH_CTES},
+ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+evtok AS (SELECT doc_id, {_TOKS} AS w FROM ev),
+evsh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM evtok)
+),
+evbase AS (
+  SELECT doc_id, (('0x' || substr(md5(shingle || '#0'), 1, 8)))::BIGINT AS h0 FROM evsh
+),
+evsig AS (
+  SELECT doc_id, i,
+         min((h0 * (2*i + 3) + i * 2654435761) % 2147483647) AS minhash
+  FROM evbase, range(0, 12) r(i)
+  GROUP BY doc_id, i
+),
+ekeys AS (
+  SELECT DISTINCT CAST(i // 4 AS INT) AS band,
+         md5(array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',')) AS band_key
+  FROM evsig GROUP BY doc_id, CAST(i // 4 AS INT)
+),
+hit AS (
+  SELECT DISTINCT banded.doc_id
+  FROM banded JOIN ekeys USING (band, band_key)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM docs) d LEFT JOIN hit h USING (doc_id)"""
 
 ORACLES["text_classifier"] = f"""WITH t AS (
   SELECT doc_id, {_TOKS} AS w FROM documents

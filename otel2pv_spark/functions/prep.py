@@ -314,6 +314,61 @@ def decontaminate(
     )
 
 
+def decontaminate_neardup(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag training
+    documents whose MinHash signature shares an LSH band with any
+    held-out evaluation document. The n-gram-overlap check
+    (:func:`decontaminate`) catches verbatim excerpts; this catches
+    lightly edited / reformatted test items (whitespace, punctuation,
+    small paraphrases) that break every long exact n-gram but keep
+    Jaccard high — the second tier of the standard two-tier
+    test-set-leakage sweep.
+
+    Output: (id, contaminated) — one row per corpus document.
+
+    Scale shape: the corpus is banded ONCE (the same
+    ``minhash_band_table`` construction as dedup — in production the
+    stored index is reused, not recomputed); the eval side is tiny by
+    construction, so its distinct (band, band_key) set broadcasts and
+    the probe is a broadcast semi-join — zero corpus shuffle beyond
+    the per-doc signature groupBy, no self-join, no pair explosion."""
+    from .dedup import minhash_band_table
+
+    corpus_bands = minhash_band_table(df, id_col, text_col, n, num_hashes, bands)
+    # the eval ids never leave this function (only the distinct band
+    # keys do), so a synthetic unique row id is enough to group each
+    # eval doc's signature
+    ev = eval_df.select(
+        F.monotonically_increasing_id().alias(id_col),
+        F.col(eval_text_col).alias(text_col),
+    )
+    eval_keys = (
+        minhash_band_table(ev, id_col, text_col, n, num_hashes, bands)
+        .select("band", "band_key")
+        .distinct()
+    )
+    hits = (
+        corpus_bands.join(F.broadcast(eval_keys), ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce("_c", F.lit(False)).alias("contaminated"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -151,6 +151,31 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert not got[4]["contaminated"] and got[4]["n_eval_ngrams"] == 0
 
 
+def test_decontaminate_neardup_catches_edited_leak(spark):
+    """The LSH tier must flag an eval doc lightly edited by an appended
+    tail (every 8-gram crossing the edit breaks, but whole-doc Jaccard
+    stays high) and the verbatim copy; an unrelated doc must not flag."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    eval_df = spark.createDataFrame([(0, base)], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            (1, base),  # verbatim
+            (2, base + " appended tail words"),  # edited near-dup
+            (3, "completely different words here and nothing shared at all ok"),
+            (4, "tiny"),  # < n tokens: no signature, must still row out
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in prep.decontaminate_neardup(docs, eval_df).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False}
+
+
 def test_stratified_sample_nested_and_deterministic(spark):
     df = (
         spark.range(0, 3000)
