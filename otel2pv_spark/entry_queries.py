@@ -643,6 +643,48 @@ def q_curation_audit(spark, sf_dir):
     return curation.build_audit(seeded, eval_fixture(spark, sf_dir), cfg)
 
 
+def q_text_cms_counts(spark, sf_dir):
+    """Count-min sketch round trip: token frequencies sketched into a
+    4 x 16-cell state (width deliberately fixture-small — the driver
+    corpus's ~31-token vocab into 16 buckets forces collisions, so the
+    one-sided overcount path is actually exercised; production width
+    is 2^10+), then every vocab token point-queried back against the
+    sketch. cnt_est >= cnt_exact always; overcount is the collision
+    error the min-over-rows bounds."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(ts.tokens("text")).alias("token")
+    )
+    cms = sk.cms_build(toks, "token", depth=4, width_log2=4).cache()
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt_exact"))
+    est = sk.cms_estimate(
+        vocab, "token", cms, depth=4, width_log2=4, out_col="cnt_est"
+    )
+    return est.select(
+        "token",
+        "cnt_exact",
+        "cnt_est",
+        (F.col("cnt_est") - F.col("cnt_exact")).alias("overcount"),
+    )
+
+
+def q_prep_sample_weighted(spark, sf_dir):
+    """Fixed-size weighted draw: the 50 corpus docs with the smallest
+    integer priority (h(id) << 20) DIV n_chars — longer documents win
+    proportionally more often; ranking is exact BIGINT arithmetic end
+    to end."""
+    return pp.priority_sample(
+        _docs(spark, sf_dir), k=50, weight_col="n_chars"
+    )
+
+
+def q_text_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing: per-source perplexity
+    tertiles over the corpus-trained trigram LM, every cut and
+    comparison in integer micro-bit space."""
+    d = _docs(spark, sf_dir)
+    return ts.ppl_buckets(d, ts.ngram_lm(d, n=3, min_count=2))
+
+
 QUERIES = {
     "curation_audit": q_curation_audit,
     "prep_scrub": q_prep_scrub,
@@ -651,6 +693,9 @@ QUERIES = {
     "prep_pack": q_prep_pack,
     "prep_decontaminate": q_prep_decontaminate,
     "prep_decontaminate_neardup": q_prep_decontaminate_neardup,
+    "prep_sample_weighted": q_prep_sample_weighted,
+    "text_cms_counts": q_text_cms_counts,
+    "text_ppl_buckets": q_text_ppl_buckets,
     "prep_dsir_weights": q_prep_dsir_weights,
     "prep_chunks": q_prep_chunks,
     "prep_shuffle": q_prep_shuffle,
@@ -1324,6 +1369,105 @@ SELECT t.doc_id,
        round(pow(CAST(2 AS DOUBLE), a.bits_micro / 1e6 / a.n_ngrams), 4)
          AS perplexity
 FROM t LEFT JOIN a USING (doc_id)"""
+
+ORACLES["text_cms_counts"] = f"""WITH t AS (
+  SELECT {_TOKS} AS w FROM documents
+),
+u AS (SELECT unnest(w) AS token FROM t),
+cells AS (
+  SELECT CAST(i AS INT) AS row_idx,
+         (('0x' || substr(md5(token || '#' || CAST(i AS VARCHAR) || '#cms-v1'), 1, 8)))::BIGINT % 16 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM u, range(0, 4) r(i) GROUP BY 1, 2
+),
+vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_exact FROM u GROUP BY token),
+probe AS (
+  SELECT v.token, v.cnt_exact, min(c.cnt) AS cnt_est
+  FROM vocab v
+  CROSS JOIN range(0, 4) r(i)
+  JOIN cells c
+    ON c.row_idx = CAST(i AS INT)
+   AND c.bucket = (('0x' || substr(md5(v.token || '#' || CAST(i AS VARCHAR) || '#cms-v1'), 1, 8)))::BIGINT % 16
+  GROUP BY 1, 2
+)
+SELECT token, cnt_exact, cnt_est,
+       CAST(cnt_est - cnt_exact AS BIGINT) AS overcount
+FROM probe"""
+
+ORACLES["prep_sample_weighted"] = """WITH s AS (
+  SELECT doc_id,
+         CAST(greatest(1, n_chars) AS BIGINT) AS weight,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wsample-v1'), 1, 8)))::BIGINT
+           * 1048576 // CAST(greatest(1, n_chars) AS BIGINT) AS priority
+  FROM documents
+)
+SELECT doc_id, weight, priority,
+       CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rank
+FROM s QUALIFY rank <= 50"""
+
+ORACLES["text_ppl_buckets"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+g AS (
+  SELECT doc_id, unnest({_SHINGLES3}) AS ngram
+  FROM t WHERE len(w) >= 3
+),
+ga AS (SELECT ngram, count(*) AS count FROM g GROUP BY ngram),
+cc AS (
+  SELECT array_to_string((string_split(ngram, ' '))[1:2], ' ') AS context,
+         CAST(sum(count) AS BIGINT) AS context_count
+  FROM ga GROUP BY 1
+),
+lm AS (
+  SELECT ga.ngram, round(ga.count / cc.context_count, 6) AS cond_prob
+  FROM ga JOIN cc
+    ON array_to_string((string_split(ga.ngram, ' '))[1:2], ' ') = cc.context
+  WHERE ga.count >= 2
+),
+sc AS (
+  SELECT g.doc_id,
+         CAST(round(-log2(greatest(coalesce(lm.cond_prob, 1e-6), 1e-6)) * 1e6)
+              AS BIGINT) AS bm
+  FROM g LEFT JOIN lm USING (ngram)
+),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(bm) AS BIGINT) AS bits_micro
+  FROM sc GROUP BY doc_id
+),
+-- integer micro-bits per ngram, binned: width = 20e6 // 64 = 312500
+bb AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+         CASE WHEN a.n_ngrams > 0
+              THEN CAST(a.bits_micro // a.n_ngrams AS BIGINT) END AS mb_per_ngram,
+         CASE WHEN a.n_ngrams > 0
+              THEN CAST(least(63, (a.bits_micro // a.n_ngrams) // 312500) AS INT)
+         END AS ppl_bin
+  FROM documents d LEFT JOIN a USING (doc_id)
+),
+hist AS (
+  SELECT source, ppl_bin, count(*) AS n
+  FROM bb WHERE ppl_bin IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT source, ppl_bin,
+         sum(n) OVER (PARTITION BY source ORDER BY ppl_bin) AS cum,
+         sum(n) OVER (PARTITION BY source) AS tot
+  FROM hist
+),
+cuts AS (
+  SELECT source,
+         min(CASE WHEN 3 * cum >= tot THEN ppl_bin END) AS c1,
+         min(CASE WHEN 3 * cum >= 2 * tot THEN ppl_bin END) AS c2
+  FROM c GROUP BY source
+)
+SELECT bb.doc_id, bb.source, bb.n_ngrams, bb.mb_per_ngram, bb.ppl_bin,
+       CASE WHEN bb.ppl_bin IS NULL THEN 'unscored'
+            WHEN bb.ppl_bin <= cuts.c1 THEN 'head'
+            WHEN bb.ppl_bin <= cuts.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM bb LEFT JOIN cuts USING (source)"""
 
 ORACLES["text_bpe_pairs"] = f"""WITH t AS (
   SELECT {_TOKS} AS toks FROM documents

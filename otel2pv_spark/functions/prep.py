@@ -825,3 +825,61 @@ def conv_features(
             - F.unix_micros(F.min(F.col(ts_col).cast("timestamp")))
         ).alias("duration_us"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k rows
+    with the smallest priority ``(h(id) << 20) // weight`` win, where
+    h is the repo's 32-bit md5 slice — a fixed-k companion to the
+    rate-based samplers above (those keep an *expected* fraction;
+    curriculum/eval-subset builds need an exact-size draw biased
+    toward high-quality rows). Doubling a row's weight halves its
+    priority, so inclusion odds scale with weight (the integer-ratio
+    analog of exponential-clock / Efraimidis-Spirakis u^(1/w)
+    sampling; the textbook form needs pow/log, whose last-ulp
+    behavior differs per libm — floor division on BIGINTs is exact in
+    every engine, which is what makes the draw reproducible AND
+    oracle-checkable). Weights clamp to >= 1; h < 2^32 so the shifted
+    numerator < 2^52 — exact BIGINT, no overflow.
+
+    Output: (id, weight, priority, rank), rank 1..k by (priority, id).
+
+    Scale shape: the ranking triple is 3 narrow columns; selection is
+    the shared two-level top-k — partial top-k per input partition,
+    then one <= k x P-row merge window. The corpus is never globally
+    sorted and no group lands in one task."""
+    from .topk import two_level_topk
+
+    w = (
+        F.greatest(F.lit(1), F.col(weight_col).cast("bigint"))
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # DIV, not `/`: Spark's `/` is double division, and a double
+    # quotient near 2^32 can round across the floor the BIGINT cast
+    # would take — `x DIV w` stays in exact integer arithmetic,
+    # matching DuckDB's `//` on every input
+    scored = df.select(
+        F.col(id_col), w.alias("weight"), F.shiftleft(h, 20).alias("_num")
+    ).select(
+        id_col, "weight", F.expr("_num DIV weight").alias("priority")
+    )
+    picked = two_level_topk(
+        scored, [], [F.col("priority").asc(), F.col(id_col).asc()], k
+    )
+    return picked.select(id_col, "weight", "priority", F.col("rank").cast("int").alias("rank"))

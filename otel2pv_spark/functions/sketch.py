@@ -43,6 +43,9 @@ __all__ = [
     "bloom_build",
     "bloom_merge",
     "bloom_probe",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
 ]
 
 _TWO33 = 1 << 33  # rho <= 33, so 2^(33-rho) is an exact BIGINT
@@ -316,3 +319,110 @@ def bloom_probe(
         out_col, F.when(F.col(key_col).isNotNull(), member)
     )
     return out.drop(*[f"_hit{i}" for i in range(k)])
+
+
+def _cms_bucket(key_col: str, row: int, width_log2: int, salt: str):
+    """Row ``row``'s bucket for one key — a 32-bit md5 slice mod 2^w,
+    identical in DuckDB as
+    ``('0x'||substr(md5(key||'#i#salt'),1,8))::BIGINT % 2^w``."""
+    return _hex_bigint(
+        F.md5(
+            F.concat(F.col(key_col).cast("string"), F.lit(f"#{row}#{salt}"))
+        ),
+        1,
+        8,
+    ) % (1 << width_log2)
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width_log2: int = 10,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over ``key_col``:
+    one row per non-empty cell — (row_idx INT, bucket BIGINT,
+    cnt BIGINT). The third mergeable summary next to HLL (distincts)
+    and Bloom (membership): CMS answers "about how many times" for ANY
+    key with bounded state — depth x 2^w cells regardless of key
+    cardinality — so per-key frequencies over a 10^12-row stream keep
+    a maintainable aggregate where an exact (key, count) table grows
+    with the vocabulary.
+
+    Scale shape: the depth row-hashes explode map-side, then ONE
+    map-side-combined sum groupBy on (row_idx, bucket); the result is
+    <= depth x 2^w rows — broadcastable no matter how many keys went
+    in. Merging append batches is a plain cell-wise sum
+    (:func:`cms_merge`); NULL keys contribute nothing.
+    """
+    w = F.lit(1) if weight_col is None else F.col(weight_col).cast("bigint")
+    cells = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("_k"), w.alias("_w"))
+        .select(
+            "_k",
+            "_w",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_idx"),
+        )
+        .select(
+            F.col("row_idx").cast("int").alias("row_idx"),
+            # per-row bucket: md5(key || '#' || row || '#' || salt)
+            (
+                _hex_bigint(
+                    F.md5(
+                        F.concat(
+                            F.col("_k"),
+                            F.lit("#"),
+                            F.col("row_idx").cast("string"),
+                            F.lit(f"#{salt}"),
+                        )
+                    ),
+                    1,
+                    8,
+                )
+                % (1 << width_log2)
+            ).alias("bucket"),
+            F.col("_w"),
+        )
+    )
+    return cells.groupBy("row_idx", "bucket").agg(F.sum("_w").alias("cnt"))
+
+
+def cms_merge(states: list[DataFrame]) -> DataFrame:
+    """Merge sketch states from append batches: cell-wise sum."""
+    unioned = reduce(DataFrame.unionByName, states)
+    return unioned.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    df: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    depth: int = 4,
+    width_log2: int = 10,
+    salt: str = "cms-v1",
+    out_col: str = "cnt_est",
+) -> DataFrame:
+    """Point-query every row of ``df`` against a sketch: depth
+    broadcast hash joins (the sketch is <= depth x 2^w rows), NO
+    shuffle of the probe side — the estimate is the MIN over the
+    key's depth cells (one-sided: never an underestimate; over by
+    <= 2n/2^w with prob >= 1 - 2^-depth). An absent cell reads 0."""
+    out = df
+    ests = []
+    for i in range(depth):
+        bkt, cnt = f"_bkt{i}", f"_cnt{i}"
+        out = out.withColumn(bkt, _cms_bucket(key_col, i, width_log2, salt))
+        side = F.broadcast(
+            cms.filter(F.col("row_idx") == i).select(
+                F.col("bucket").alias(bkt), F.col("cnt").alias(cnt)
+            )
+        )
+        out = out.join(side, on=bkt, how="left").drop(bkt)
+        ests.append(F.coalesce(F.col(cnt), F.lit(0)))
+    est = F.least(*ests)
+    return out.withColumn(
+        out_col, F.when(F.col(key_col).isNotNull(), est)
+    ).drop(*[f"_cnt{i}" for i in range(depth)])

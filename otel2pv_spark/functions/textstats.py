@@ -1064,3 +1064,105 @@ def histogram_quantiles(
         F.round(F.lit(lo) + (F.col("bin") + 1) * width, 6).alias("upper_edge"),
         "n_docs",
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    lm: DataFrame,
+    by: str = "source",
+    n: int = 3,
+    unk_prob: float = 1e-6,
+    bins: int = 64,
+    hi_micro: int = 20_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et
+    al. 2020): score every document against a reference LM
+    (:func:`lm_perplexity`), then split each ``by`` domain at its own
+    perplexity tertiles — 'head' is the cleanest third of the domain,
+    'tail' the noisiest, so a downstream sampler can mix buckets
+    instead of applying one global threshold that would starve
+    high-perplexity domains.
+
+    Determinism contract: the per-doc metric is integer micro-bits
+    per n-gram (``bits_micro DIV n_ngrams`` — exact BIGINT floor, no
+    float averaging), binned into ``bins`` fixed-width integer bins
+    over [0, hi_micro); tertile cuts come from the per-domain bin
+    histogram with exact integer thresholds (``3 * cum >= total`` /
+    ``3 * cum >= 2 * total``), so every comparison on the way to a
+    bucket label is integer arithmetic an oracle reproduces exactly.
+    Docs with no n-grams (shorter than n tokens) bucket 'unscored'.
+
+    Scale shape: one LM join + per-doc groupBy (lm_perplexity), then
+    ONE map-side-combined groupBy onto the |domains| x bins histogram;
+    cuts are computed on that config-sized state (the only windows run
+    over it, never the corpus) and broadcast back — the corpus is
+    scanned once and never globally sorted. hi_micro defaults just
+    above the unk-floor cost (-log2(1e-6) ~ 19.93 bits), so the top
+    bin is the all-unknown pathology.
+    """
+    width_micro = hi_micro // bins
+    scored = lm_perplexity(
+        df, lm, n=n, unk_prob=unk_prob, id_col=id_col, text_col=text_col
+    ).select(id_col, "n_ngrams", "bits_micro")
+    metric = F.when(
+        F.col("n_ngrams") > 0, F.expr("bits_micro DIV n_ngrams")
+    )
+    binned = (
+        df.select(id_col, by)
+        .join(scored, id_col)
+        .select(
+            id_col,
+            by,
+            F.col("n_ngrams"),
+            metric.alias("mb_per_ngram"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.least(
+                    F.lit(bins - 1),
+                    F.expr(f"(bits_micro DIV n_ngrams) DIV {width_micro}"),
+                ).cast("int"),
+            ).alias("ppl_bin"),
+        )
+    )
+    hist = (
+        binned.filter(F.col("ppl_bin").isNotNull())
+        .groupBy(by, "ppl_bin")
+        .agg(F.count("*").alias("_n"))
+    )
+    # tertile cut bins on the config-sized histogram: smallest bin
+    # whose cumulative count reaches 1/3 (resp. 2/3) of the domain
+    w_cum = Window.partitionBy(by).orderBy("ppl_bin")
+    w_all = Window.partitionBy(by)
+    c = hist.select(
+        by,
+        "ppl_bin",
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_all).alias("_tot"),
+    )
+    cuts = c.groupBy(by).agg(
+        F.min(F.when(3 * F.col("_cum") >= F.col("_tot"), F.col("ppl_bin"))).alias(
+            "_cut1"
+        ),
+        F.min(
+            F.when(3 * F.col("_cum") >= 2 * F.col("_tot"), F.col("ppl_bin"))
+        ).alias("_cut2"),
+    )
+    bucket = (
+        F.when(F.col("ppl_bin").isNull(), F.lit("unscored"))
+        .when(F.col("ppl_bin") <= F.col("_cut1"), F.lit("head"))
+        .when(F.col("ppl_bin") <= F.col("_cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        binned.join(F.broadcast(cuts), by, "left")
+        .select(
+            id_col,
+            by,
+            F.col("n_ngrams"),
+            "mb_per_ngram",
+            "ppl_bin",
+            bucket.alias("bucket"),
+        )
+    )

@@ -189,3 +189,45 @@ class TestRollupHll:
             # p=8 keeps per-grain cardinalities in the linear-counting
             # regime on the fixture — near-exact
             assert abs(r.n_hll - r.n_users) <= max(3, 0.2 * r.n_users)
+
+
+class TestCountMin:
+    def test_estimate_never_underestimates_and_merge_matches(self, spark):
+        """CMS one-sidedness: est >= exact for every key even with a
+        width (2^2=4) far below the key count; merging two halves must
+        equal the single-pass sketch cell-for-cell."""
+        rows = [(i, f"k{i % 13}") for i in range(200)]
+        df = spark.createDataFrame(rows, ["i", "k"]).select("i", "k")
+        exact = {r["k"]: r["c"] for r in df.groupBy("k").agg(
+            F.count("*").alias("c")).collect()}
+        cms = sketch.cms_build(df, "k", depth=4, width_log2=2)
+        keys = df.select("k").distinct()
+        est = {
+            r["k"]: r["cnt_est"]
+            for r in sketch.cms_estimate(
+                keys, "k", cms, depth=4, width_log2=2
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        assert all(est[k] >= exact[k] for k in exact)
+        # a fixture this overloaded must actually collide somewhere
+        assert any(est[k] > exact[k] for k in exact)
+
+        half_a = df.filter(F.col("i") < 100)
+        half_b = df.filter(F.col("i") >= 100)
+        merged = sketch.cms_merge([
+            sketch.cms_build(half_a, "k", depth=4, width_log2=2),
+            sketch.cms_build(half_b, "k", depth=4, width_log2=2),
+        ])
+        one = {(r["row_idx"], r["bucket"]): r["cnt"] for r in cms.collect()}
+        two = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
+        assert one == two
+
+    def test_null_keys_skipped_and_probe_null(self, spark):
+        df = spark.createDataFrame([("a",), (None,)], ["k"])
+        cms = sketch.cms_build(df, "k", depth=2, width_log2=3)
+        # only the non-null key contributes cells
+        assert cms.agg(F.sum("cnt")).collect()[0][0] == 2  # depth rows
+        probed = sketch.cms_estimate(df, "k", cms, depth=2, width_log2=3)
+        got = {r["k"]: r["cnt_est"] for r in probed.collect()}
+        assert got["a"] == 1 and got[None] is None
