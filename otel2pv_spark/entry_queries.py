@@ -199,6 +199,43 @@ def q_text_fingerprint(spark, sf_dir):
     return ts.fingerprint(_docs(spark, sf_dir))
 
 
+# Gopher-rule trippers seeded by modulo (the raw corpus is one-line
+# alpha word salad: without seeding, the bullet/ellipsis/symbol/alpha
+# rules would all be vacuously green). Applied in fixed order so
+# overlapping modulos stay deterministic.
+GOPHER_BULLET_TAIL = "\n" + "\n".join(["- filler bullet item"] * 20)
+GOPHER_ELLIPSIS_TAIL = "\ntrailing thought...\nanother one..."
+GOPHER_HASH_TAIL = " " + " ".join(["#"] * 15)
+GOPHER_DIGIT_TAIL = " " + " ".join(str(100 + i) for i in range(40))
+# the corpus vocabulary contains at most one of the paper's 8 stop
+# words ('the'), so without this tail ok_stopwords — and with it keep —
+# would be vacuously all-false
+GOPHER_STOP_TAIL = " and that would go with the others to be kept"
+_GOPHER_MODS = [
+    (6, GOPHER_BULLET_TAIL),
+    (8, GOPHER_ELLIPSIS_TAIL),
+    (10, GOPHER_HASH_TAIL),
+    (15, GOPHER_DIGIT_TAIL),
+    (2, GOPHER_STOP_TAIL),
+]
+
+
+def gopher_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = [F.col("text")] + [
+        F.when(F.col("doc_id") % m == 0, F.lit(tail)).otherwise(F.lit(""))
+        for m, tail in _GOPHER_MODS
+    ]
+    return d.select("doc_id", F.concat(*parts).alias("text"))
+
+
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher per-rule quality flags over the seeded fixture: every
+    rule has both true and false rows (short docs trip word-count
+    naturally; the seeded tails trip bullet/ellipsis/symbol/alpha)."""
+    return ts.gopher_rules(gopher_fixture(spark, sf_dir))
+
+
 # repeated boilerplate seeded onto doc_id%13==0 rows (the raw corpus
 # never trips the repetition thresholds, which would leave the
 # is_repetitive column vacuously all-false)
@@ -677,6 +714,14 @@ def q_prep_sample_weighted(spark, sf_dir):
     )
 
 
+def q_text_lm_backoff(spark, sf_dir):
+    """Stupid-backoff scoring, corpus self-trained: trigram tier when
+    the pruned trigram survives, else 0.4-damped bigram tier, else
+    0.16-damped unigram tier — per-doc tier hit counts are exact
+    integers, costs integer micro-bits."""
+    return ts.lm_backoff_score(_docs(spark, sf_dir), n=3, min_count=2)
+
+
 def q_text_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail bucketing: per-source perplexity
     tertiles over the corpus-trained trigram LM, every cut and
@@ -695,6 +740,7 @@ QUERIES = {
     "prep_decontaminate_neardup": q_prep_decontaminate_neardup,
     "prep_sample_weighted": q_prep_sample_weighted,
     "text_cms_counts": q_text_cms_counts,
+    "text_lm_backoff": q_text_lm_backoff,
     "text_ppl_buckets": q_text_ppl_buckets,
     "prep_dsir_weights": q_prep_dsir_weights,
     "prep_chunks": q_prep_chunks,
@@ -715,6 +761,7 @@ QUERIES = {
     "dedup_bloom_probe": q_dedup_bloom_probe,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
+    "text_gopher_rules": q_text_gopher_rules,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_classifier": q_text_classifier,
@@ -1405,6 +1452,71 @@ SELECT doc_id, weight, priority,
        CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rank
 FROM s QUALIFY rank <= 50"""
 
+_SHINGLES2B = "[array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]"
+
+ORACLES["text_lm_backoff"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+u AS (SELECT unnest(w) AS tok FROM t),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY tok),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM uni),
+bi AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c2
+  FROM (SELECT unnest({_SHINGLES2B}) AS g FROM t WHERE len(w) >= 2)
+  GROUP BY g HAVING count(*) >= 2
+),
+tri AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c3
+  FROM (SELECT unnest({_SHINGLES3}) AS g FROM t WHERE len(w) >= 3)
+  GROUP BY g HAVING count(*) >= 2
+),
+pos AS (
+  SELECT doc_id, ngram,
+         array_to_string((string_split(ngram, ' '))[1:2], ' ') AS ctx,
+         array_to_string((string_split(ngram, ' '))[2:3], ' ') AS suf,
+         (string_split(ngram, ' '))[2] AS w2,
+         (string_split(ngram, ' '))[3] AS w3
+  FROM (SELECT doc_id, unnest({_SHINGLES3}) AS ngram FROM t WHERE len(w) >= 3)
+),
+j AS (
+  SELECT p.doc_id, tri.c3, bc.c2 AS c_ctx, bs.c2 AS c_suf,
+         u2.c1 AS c_w2, u3.c1 AS c_w3, tot.n_total
+  FROM pos p
+  LEFT JOIN tri ON tri.g = p.ngram
+  LEFT JOIN bi bc ON bc.g = p.ctx
+  LEFT JOIN bi bs ON bs.g = p.suf
+  LEFT JOIN uni u2 ON u2.tok = p.w2
+  LEFT JOIN uni u3 ON u3.tok = p.w3
+  CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id,
+         CASE WHEN c3 IS NOT NULL THEN 'tri'
+              WHEN c_suf IS NOT NULL THEN 'bi'
+              ELSE 'uni' END AS tier,
+         CAST(round(-log2(greatest(
+           CASE WHEN c3 IS NOT NULL THEN c3 / c_ctx
+                WHEN c_suf IS NOT NULL THEN 0.4 * c_suf / c_w2
+                ELSE 0.4 * 0.4 * coalesce(c_w3, 0) / n_total END,
+           1e-9)) * 1e6) AS BIGINT) AS bm
+  FROM j
+),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN tier = 'tri' THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+         CAST(sum(CASE WHEN tier = 'bi' THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+         CAST(sum(CASE WHEN tier = 'uni' THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+         CAST(sum(bm) AS BIGINT) AS bits_micro
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+       CAST(coalesce(a.n_uni, 0) AS BIGINT) AS n_uni,
+       CAST(coalesce(a.bits_micro, 0) AS BIGINT) AS bits_micro
+FROM documents d LEFT JOIN a USING (doc_id)"""
+
 ORACLES["text_ppl_buckets"] = f"""WITH t AS (
   SELECT doc_id, {_TOKS} AS w FROM documents
 ),
@@ -1843,6 +1955,46 @@ SELECT doc_id, n_chars, n_tokens,
        round(least(n_tokens / 100.0, 1.0) * 0.4
              + (stop / greatest(n_tokens, 1)) * 0.3
              + (uniq / greatest(n_tokens, 1)) * 0.3, 4) AS quality
+FROM m"""
+
+_GOPHER_SEED = "text" + "".join(
+    f" || CASE WHEN doc_id % {m} = 0 THEN '{tail}' ELSE '' END"
+    for m, tail in _GOPHER_MODS
+)
+_GW = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_GL = "string_split(text, chr(10))"
+
+ORACLES["text_gopher_rules"] = f"""WITH s AS (
+  SELECT doc_id, {_GOPHER_SEED} AS text FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len({_GW}) AS BIGINT) AS n_words,
+    CAST(len({_GL}) AS BIGINT) AS n_lines,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+    CAST(len(list_filter({_GW}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+    CAST(len(list_filter({_GL}, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter({_GL}, l -> l LIKE '%...')) AS BIGINT) AS n_ell_lines,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                         st -> list_contains({_TOKS}, st))) AS BIGINT) AS n_stops
+  FROM s
+)
+SELECT doc_id, n_words, n_lines,
+       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       3 * n_words <= word_chars AND word_chars <= 10 * n_words AS ok_mean_word_len,
+       10 * (n_hash + n_ell) < n_words AS ok_symbol_ratio,
+       10 * n_bullet < 9 * n_lines AS ok_bullet_lines,
+       10 * n_ell_lines < 3 * n_lines AS ok_ellipsis_lines,
+       5 * n_alpha >= 4 * n_words AS ok_alpha_words,
+       n_stops >= 2 AS ok_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+       AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+       AND (10 * (n_hash + n_ell) < n_words)
+       AND (10 * n_bullet < 9 * n_lines)
+       AND (10 * n_ell_lines < 3 * n_lines)
+       AND (5 * n_alpha >= 4 * n_words)
+       AND (n_stops >= 2) AS keep
 FROM m"""
 
 ORACLES["text_langid"] = f"""WITH t AS (

@@ -1166,3 +1166,268 @@ def ppl_buckets(
             bucket.alias("bucket"),
         )
     )
+
+
+# Gopher rule-filter stop set (Rae et al. 2021, appendix A1.1: "contains
+# at least two of the following English words": the, be, to, of, and,
+# that, have, with).
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher quality-rule flags (Rae et al. 2021, appendix A1.1) — the
+    per-rule boolean complement to the composite :func:`quality_score`
+    and the n-gram-repetition half in :func:`repetition_scores`:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio < 0.1 ('#' chars and '...' runs; the paper
+      uses the unicode ellipsis — substituted with its ASCII spelling)
+    - < 90% of lines start with a bullet ('- ' or '* ')
+    - < 30% of lines end with an ellipsis ('...')
+    - >= 80% of words contain at least one alphabetic character
+    - contains >= 2 distinct words from the paper's 8-word stop set
+
+    ``keep`` is the conjunction. Every ratio threshold is evaluated as
+    an exact integer cross-multiplication (10*n_sym < n_words,
+    10*n_bullet < 9*n_lines, ...), so the flags are reproducible
+    bit-for-bit by any engine — no float division anywhere. Words are
+    whitespace-split (punctuation attached, per the paper's tokenizer-
+    free reading); lines split on newline, empties kept.
+
+    Scale shape: one codegen projection, zero shuffles, zero UDFs —
+    the rules compose with `prep.curate`'s keep/drop gate as one more
+    AND term over the same scan.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    # sum of word lengths == chars left after removing all whitespace
+    word_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"\s+", "")
+    ).cast("bigint")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_hash = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
+    ).cast("bigint")
+    # '...' occurrences: replace() removes non-overlapping runs left to
+    # right in both Spark and DuckDB; each removal is exactly 3 chars
+    n_ellipsis = (
+        (
+            F.length(text_col)
+            - F.length(F.replace(F.col(text_col), F.lit("...")))
+        )
+        / 3
+    ).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* "),
+        )
+    ).cast("bigint")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("bigint")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    tok = tokens(text_col)
+    n_stops = F.size(
+        F.filter(stops, lambda s: F.array_contains(tok, s))
+    ).cast("bigint")
+
+    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_word_len = (3 * n_words <= word_chars) & (
+        word_chars <= 10 * n_words
+    )
+    ok_symbol_ratio = 10 * (n_hash + n_ellipsis) < n_words
+    ok_bullet_lines = 10 * n_bullet < 9 * n_lines
+    ok_ellipsis_lines = 10 * n_ell_lines < 3 * n_lines
+    ok_alpha_words = 5 * n_alpha_words >= 4 * n_words
+    ok_stopwords = n_stops >= 2
+    keep = (
+        ok_word_count
+        & ok_mean_word_len
+        & ok_symbol_ratio
+        & ok_bullet_lines
+        & ok_ellipsis_lines
+        & ok_alpha_words
+        & ok_stopwords
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_word_len.alias("ok_mean_word_len"),
+        ok_symbol_ratio.alias("ok_symbol_ratio"),
+        ok_bullet_lines.alias("ok_bullet_lines"),
+        ok_ellipsis_lines.alias("ok_ellipsis_lines"),
+        ok_alpha_words.alias("ok_alpha_words"),
+        ok_stopwords.alias("ok_stopwords"),
+        keep.alias("keep"),
+    )
+
+
+def lm_backoff_score(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    n: int = 3,
+    min_count: int = 2,
+    alpha: float = 0.4,
+    unk_prob: float = 1e-9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid-backoff n-gram scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale distributed
+    LM whose whole point was that an inexpensive count-ratio score with
+    a constant backoff factor matches smoothed Kneser-Ney once counts
+    come from enough data). Complements :func:`lm_perplexity`: the MLE
+    table there scores a pruned-away or unseen n-gram at a flat unk
+    floor, while backoff recovers a graded signal from the (n-1)- and
+    unigram tiers:
+
+        S(w3|w1 w2) = c(w1w2w3)/c(w1w2)        if c(w1w2w3) > 0
+                    = alpha * c(w2w3)/c(w2)     elif c(w2w3) > 0
+                    = alpha^2 * c(w3)/N         else (floored at unk)
+
+    ``ref`` is the training corpus (defaults to ``df`` itself — the
+    CCNet self-scoring setup). Bigram/trigram tables prune below
+    ``min_count``; unigrams are kept whole (vocabulary-sized). Because
+    every trigram occurrence contains its context bigram,
+    c(w1w2) >= c(w1w2w3), so a surviving trigram's denominator is
+    always present under equal pruning — no null denominators.
+
+    Determinism contract: like lm_perplexity, each position's cost is
+    quantized row-locally to integer micro-bits before the per-doc sum;
+    the per-tier hit counts (n_tri/n_bi/n_uni) are exact integers.
+
+    Scale shape: the corpus explodes once into trigram positions, then
+    takes FOUR equi-joins — trigram table on the full gram, bigram
+    table on the suffix bigram, unigram table on w2 and on w3. The
+    count tables are pruned aggregates (orders of magnitude smaller
+    than the corpus; the unigram table is vocabulary-sized and
+    broadcast); hot grams skew the big joins and AQE splits them. One
+    map-side-combined groupBy(doc) finishes. No driver-side state.
+    """
+    from .dedup import shingles
+
+    ref = df if ref is None else ref
+    rtoks = ref.select(tokens(text_col).alias("_w"))
+    uni = (
+        rtoks.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    # total token count: derived from the unigram table, not a second
+    # corpus scan (the table is vocabulary-sized)
+    uni = uni.localCheckpoint()
+    total = uni.agg(F.sum("c1").alias("n_total"))
+    # materialized once: the bigram table joins TWICE below (context
+    # and suffix) with different pushed filters, which breaks
+    # ReuseExchange and would re-scan + re-explode the corpus (the
+    # ngram_lm lesson)
+    bi = (
+        rtoks.select(F.explode(shingles(F.col("_w"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    ).localCheckpoint()
+    tri = (
+        rtoks.select(F.explode(shingles(F.col("_w"), n)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c3"))
+        .filter(F.col("c3") >= min_count)
+    )
+
+    grams = df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
+        id_col, F.explode(shingles(F.col("_w"), n)).alias("ngram")
+    )
+    pos = grams.select(
+        id_col,
+        "ngram",
+        F.substring_index("ngram", " ", n - 1).alias("_ctx"),
+        F.substring_index("ngram", " ", -(n - 1)).alias("_suf"),
+        F.substring_index(
+            F.substring_index("ngram", " ", -(n - 1)), " ", 1
+        ).alias("_w2"),
+        F.substring_index("ngram", " ", -1).alias("_w3"),
+    )
+    j = (
+        pos.join(tri.select(F.col("g").alias("ngram"), "c3"), "ngram", "left")
+        .join(
+            bi.select(F.col("g").alias("_suf"), F.col("c2").alias("c_suf")),
+            "_suf",
+            "left",
+        )
+        .join(
+            bi.select(F.col("g").alias("_ctx"), F.col("c2").alias("c_ctx")),
+            "_ctx",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("_w2"), F.col("c1").alias("c_w2"))),
+            "_w2",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("_w3"), F.col("c1").alias("c_w3"))),
+            "_w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    a = F.lit(float(alpha))
+    p = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c_ctx"))
+        .when(
+            F.col("c_suf").isNotNull(),
+            a * F.col("c_suf") / F.col("c_w2"),
+        )
+        .otherwise(
+            a * a * F.coalesce(F.col("c_w3"), F.lit(0)) / F.col("n_total")
+        )
+    )
+    tier = (
+        F.when(F.col("c3").isNotNull(), F.lit("tri"))
+        .when(F.col("c_suf").isNotNull(), F.lit("bi"))
+        .otherwise(F.lit("uni"))
+    )
+    scored = j.select(
+        id_col,
+        F.round(
+            -F.log2(F.greatest(p, F.lit(float(unk_prob)))) * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("_bm"),
+        tier.alias("_tier"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum(F.when(F.col("_tier") == "tri", 1).otherwise(0)).alias("n_tri"),
+        F.sum(F.when(F.col("_tier") == "bi", 1).otherwise(0)).alias("n_bi"),
+        F.sum(F.when(F.col("_tier") == "uni", 1).otherwise(0)).alias("n_uni"),
+        F.sum("_bm").alias("bits_micro"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.coalesce("n_bi", F.lit(0)).cast("bigint").alias("n_bi"),
+            F.coalesce("n_uni", F.lit(0)).cast("bigint").alias("n_uni"),
+            F.coalesce("bits_micro", F.lit(0)).cast("bigint").alias("bits_micro"),
+        )
+    )

