@@ -541,6 +541,44 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def _phash_table(spark, sf_dir):
+    return mm.media_phash(mm.attach_fake_media(_docs(spark, sf_dir)))
+
+
+def q_multimodal_phash(spark, sf_dir):
+    """64-bit perceptual hash as 4 sign-safe 16-bit band columns —
+    pure codegen over the media bytes (fake DCT kernel; see
+    multimodal.media_phash)."""
+    return _phash_table(spark, sf_dir)
+
+
+def q_multimodal_phash_neardup(spark, sf_dir):
+    """Multi-index Hamming near-dup over the phash bands. Seeded both
+    ways: doc_id%25 rows get a 3-bit-flipped copy (inside max_hamming=3
+    — must pair with their base) and doc_id%40 rows a copy with 4 bits
+    flipped inside band0 only (bands 1-3 still match, so the pair IS a
+    band candidate but hamming 4 > 3 — proving the exact filter, not
+    just banding, decides membership)."""
+    base = _phash_table(spark, sf_dir)
+    near = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "phash_hex",
+        F.expr("band0 ^ 1").alias("band0"),
+        "band1",
+        F.expr("band2 ^ 6").alias("band2"),
+        "band3",
+    )
+    far = base.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        "phash_hex",
+        F.expr("band0 ^ 15").alias("band0"),
+        "band1",
+        "band2",
+        "band3",
+    )
+    return mm.phash_neardup(base.unionByName(near).unionByName(far))
+
+
 def q_prep_scrub(spark, sf_dir):
     return pp.scrub_text(pii_fixture(spark, sf_dir))
 
@@ -803,6 +841,8 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_phash": q_multimodal_phash,
+    "multimodal_phash_neardup": q_multimodal_phash_neardup,
 }
 
 
@@ -2609,3 +2649,46 @@ SELECT doc_id,
        round((doc_id % 16 + 16) / 64.0, 6) AS f2,
        round((doc_id % 9 + 9) / 32.0, 6) AS f3
 FROM documents"""
+
+# Spark's hex() is uppercase (the Python kernels' bytes.hex() above is
+# lowercase) — hence upper() inside the phash md5.
+_PHASH = "md5(upper(md5(text)))"
+
+ORACLES["multimodal_phash"] = f"""
+SELECT doc_id,
+       substr({_PHASH}, 1, 16) AS phash_hex,
+       ('0x' || substr({_PHASH}, 1, 4))::BIGINT AS band0,
+       ('0x' || substr({_PHASH}, 5, 4))::BIGINT AS band1,
+       ('0x' || substr({_PHASH}, 9, 4))::BIGINT AS band2,
+       ('0x' || substr({_PHASH}, 13, 4))::BIGINT AS band3
+FROM documents"""
+
+ORACLES["multimodal_phash_neardup"] = f"""WITH p AS (
+  SELECT doc_id,
+         ('0x' || substr({_PHASH}, 1, 4))::BIGINT AS band0,
+         ('0x' || substr({_PHASH}, 5, 4))::BIGINT AS band1,
+         ('0x' || substr({_PHASH}, 9, 4))::BIGINT AS band2,
+         ('0x' || substr({_PHASH}, 13, 4))::BIGINT AS band3
+  FROM documents
+), u AS (
+  SELECT * FROM p
+  UNION ALL
+  SELECT doc_id + 10000000, xor(band0, 1), band1, xor(band2, 6), band3
+  FROM p WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, xor(band0, 15), band1, band2, band3
+  FROM p WHERE doc_id % 40 = 0
+), c AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM u l JOIN u r
+    ON l.doc_id < r.doc_id
+   AND (l.band0 = r.band0 OR l.band1 = r.band1
+        OR l.band2 = r.band2 OR l.band3 = r.band3)
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+          + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+            AS INT) AS hamming
+FROM c JOIN u a ON a.doc_id = c.id_a JOIN u b ON b.doc_id = c.id_b
+WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+    + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3"""

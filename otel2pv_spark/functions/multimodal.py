@@ -181,6 +181,105 @@ def sample_frames(
     return df.select(id_col, "media").mapInPandas(kernel, schema=out_schema)
 
 
+PHASH_BANDS = 4  # 64-bit hash as 4 x 16-bit band columns
+
+
+def media_phash(df: DataFrame, id_col="doc_id", fake: bool = True) -> DataFrame:
+    """Perceptual 64-bit media hash, stored as ``PHASH_BANDS`` 16-bit
+    band columns (band0..band3) — the storage layout multi-index
+    Hamming search needs, and sign-safe in every engine (a full 64-bit
+    value can't live in a signed BIGINT; four 16-bit slices can).
+
+    The REAL kernel is a DCT pHash over the decoded image (a
+    mapInPandas batch over :func:`decode_image`, plugging in at the
+    same marked point as :func:`extract_features`); this container has
+    no decode libs, so the fake derives the 64 bits from
+    md5(hex(bytes)) in pure codegen — zero UDFs, and exactly
+    reproducible by a SQL oracle. The search structure downstream is
+    identical either way.
+    """
+    if not fake:
+        decode_image(b"", "phash")  # raises: real decode unavailable here
+    h = F.md5(F.hex(F.col("media")))
+    bands = [
+        F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10)
+        .cast("bigint")
+        .alias(f"band{i}")
+        for i in range(PHASH_BANDS)
+    ]
+    return df.select(id_col, F.substring(h, 1, 16).alias("phash_hex"), *bands)
+
+
+def phash_neardup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate media pairs under Hamming distance, via
+    multi-index hashing (Norouzi et al. 2012): two 64-bit hashes within
+    ``max_hamming <= PHASH_BANDS - 1`` bit flips must agree EXACTLY on
+    at least one 16-bit band (pigeonhole), so candidates come from
+    per-band equality self-joins — never an all-pairs product — and the
+    exact ``bit_count(xor)`` filter runs only on candidates.
+
+    Scale shape: the band table is narrow (id + one band value per
+    row); one shuffle on the (band_idx, band_value) key, AQE skew-join
+    splits hot buckets (e.g. solid-color images sharing a band), then a
+    co-partitioned id join rehydrates the full hashes for the exact
+    distance check. Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError(
+            f"multi-index with {PHASH_BANDS} bands is exact only for "
+            f"max_hamming <= {PHASH_BANDS - 1}, got {max_hamming}"
+        )
+    hashes = df.select(
+        id_col, *[f"band{i}" for i in range(PHASH_BANDS)]
+    ).localCheckpoint()  # snapshot: joined 3x below, never recompute
+    band_rows = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"), F.col(f"band{i}").alias("bv")
+                )
+                for i in range(PHASH_BANDS)
+            ])
+        ).alias("_b"),
+    ).select("_id", F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv"))
+    pairs = (
+        band_rows.alias("l")
+        .join(
+            band_rows.alias("r"),
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = hashes.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"band{i}").alias(f"_la{i}") for i in range(PHASH_BANDS)],
+    )
+    b = hashes.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"band{i}").alias(f"_lb{i}") for i in range(PHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"_la{i} ^ _lb{i}")) for i in range(PHASH_BANDS)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def media_metadata(df: DataFrame, id_col="doc_id") -> DataFrame:
     """Metadata-only projection — verifies column pruning keeps the
     binary column out of the scan when not needed."""

@@ -981,3 +981,35 @@ def test_lm_backoff_tiers_golden(spark):
     # doc1's two tri positions contribute 0 bits (prob exactly 1):
     # recompute doc1's bi/uni residue and confirm the sum decomposes
     assert out[1]["n_bi"] + out[1]["n_uni"] == 3
+
+
+def test_phash_neardup_pigeonhole_golden(spark):
+    """Multi-index Hamming search: <=3 flips always pairs (pigeonhole
+    guarantees a band match), 4 flips in one band is a candidate the
+    exact filter must kill, 4 flips spread across all bands is never
+    even a candidate."""
+    from otel2pv_spark.functions import multimodal as mm
+
+    rows = [
+        (1, 100, 200, 300, 400),   # base
+        (2, 101, 200, 298, 400),   # 3 bits flipped (^1, ^6) -> pair
+        (3, 107, 200, 300, 400),   # 4 bits in band0 (^15) -> candidate, killed
+        (4, 101, 201, 301, 401),   # 1 bit per band -> no band match w/ base
+        (5, 100, 200, 300, 400),   # exact dup -> hamming 0
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "band0", "band1", "band2", "band3"]
+    )
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.phash_neardup(df, max_hamming=3).collect()
+    }
+    assert out[(1, 5)] == 0
+    assert out[(1, 2)] == 3 and out[(2, 5)] == 3
+    assert (1, 3) not in out and (1, 4) not in out
+    # doc4 vs doc2: band0 101==101 matches -> candidate; xor hamming is
+    # band1 1 + band2 (298^301=7 -> 3) + band3 1 = 5 -> killed
+    assert (2, 4) not in out
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mm.phash_neardup(df, max_hamming=4)
