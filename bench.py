@@ -93,6 +93,11 @@ HEADLINE = [
     "text_top_ngrams",
     "conv_features",
     "dedup_conversations",
+    "text_gopher_rules",
+    "text_lm_backoff",
+    "multimodal_phash_neardup",
+    "prep_url_dedup",
+    "dedup_survivors",
 ]
 
 

@@ -579,6 +579,50 @@ def q_multimodal_phash_neardup(spark, sf_dir):
     return mm.phash_neardup(base.unionByName(near).unionByName(far))
 
 
+def url_fixture(spark, sf_dir):
+    """Deterministic URL per document, varying every normalization
+    axis: scheme case, www prefix, host case, trailing slash, utm
+    tracking params mixed with a real param, fragments. norm_url
+    collapses to doc_id % 100 — 5 copies per URL at sf0.01."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (i % 50).cast("string"), F.lit(".Example.COM"),
+        F.lit("/page/"), (i % 100).cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("?utm_source=feed&id=7&utm_medium=x"))
+        .when(i % 5 == 1, F.lit("?id=7"))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_prep_url_normalize(spark, sf_dir):
+    return pp.normalize_urls(url_fixture(spark, sf_dir))
+
+
+def q_prep_url_dedup(spark, sf_dir):
+    """URL-level dedup over canonical forms — the RefinedWeb first
+    tier. id%5 in {0,1} keeps ?id=7 after utm stripping, so the five
+    same-page variants of each (host, path) collapse either way."""
+    return pp.url_dedup(url_fixture(spark, sf_dir))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Quality-aware survivor selection over LSH+CC clusters: highest
+    quality (here: text length — the near-dup +200000 copies carry an
+    appended tail, so quality genuinely overrides the lowest-id rule),
+    ties broken by lowest id (exact +100000 copies lose to their
+    originals)."""
+    d = docs_fixture(spark, sf_dir)
+    clusters = dd.dedup_clusters(d)
+    qual = d.select("doc_id", F.length("text").cast("bigint").alias("quality"))
+    return dd.cluster_survivors(clusters, qual)
+
+
 def q_prep_scrub(spark, sf_dir):
     return pp.scrub_text(pii_fixture(spark, sf_dir))
 
@@ -771,6 +815,9 @@ def q_text_ppl_buckets(spark, sf_dir):
 QUERIES = {
     "curation_audit": q_curation_audit,
     "prep_scrub": q_prep_scrub,
+    "prep_url_normalize": q_prep_url_normalize,
+    "prep_url_dedup": q_prep_url_dedup,
+    "dedup_survivors": q_dedup_survivors,
     "prep_curate": q_prep_curate,
     "prep_split": q_prep_split,
     "prep_pack": q_prep_pack,
@@ -1967,6 +2014,88 @@ sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
 SELECT l.doc_id, l.cluster_id, sz.cluster_size,
        l.doc_id = l.cluster_id AS is_canonical
 FROM lab l JOIN sz USING (cluster_id)"""
+
+ORACLES["dedup_survivors"] = f"""WITH RECURSIVE {_DOCS_CTE},
+{_SHINGLE_CTE},
+{_LSH_CTES},
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN sym e ON e.u = r.node
+),
+lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+jq AS (
+  SELECT lab.doc_id, lab.cluster_id,
+         CAST(length(d.text) AS BIGINT) AS quality
+  FROM lab JOIN docs d USING (doc_id)
+),
+best AS (SELECT cluster_id, max(quality) AS bq FROM jq GROUP BY cluster_id),
+bid AS (
+  SELECT jq.cluster_id, min(jq.doc_id) AS keep_id
+  FROM jq JOIN best ON jq.cluster_id = best.cluster_id
+                   AND jq.quality = best.bq
+  GROUP BY jq.cluster_id
+)
+SELECT jq.doc_id, jq.cluster_id, jq.quality,
+       jq.doc_id = bid.keep_id AS keep
+FROM jq JOIN bid USING (cluster_id)"""
+
+_URL_FIXTURE = """
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+    || '/page/' || CAST(doc_id % 100 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=7&utm_medium=x'
+             WHEN doc_id % 5 = 1 THEN '?id=7' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents"""
+
+_URL_NORM_CTES = f"""u AS ({_URL_FIXTURE}
+), n AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS ns
+  FROM u
+), p AS (
+  SELECT doc_id, url, ns,
+    regexp_extract(ns, '^[^/?]+') AS host_raw,
+    substr(ns, length(regexp_extract(ns, '^[^/?]+')) + 1) AS rest
+  FROM n
+), m AS (
+  SELECT doc_id, url,
+    regexp_replace(lower(host_raw), '^www\\.', '') AS host,
+    regexp_replace(regexp_replace(rest, '\\?.*$', ''), '/+$', '') AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+      x -> x <> '' AND NOT x LIKE 'utm_%')) AS params
+  FROM p
+), normed AS (
+  SELECT doc_id, url,
+    host || path
+    || (CASE WHEN len(params) > 0
+             THEN '?' || array_to_string(params, '&') ELSE '' END) AS norm_url,
+    regexp_extract(host, '[^.]+\\.[^.]+$') AS domain
+  FROM m
+)"""
+
+ORACLES["prep_url_normalize"] = f"""WITH {_URL_NORM_CTES}
+SELECT doc_id, url, norm_url, domain FROM normed"""
+
+ORACLES["prep_url_dedup"] = f"""WITH {_URL_NORM_CTES},
+canon AS (
+  SELECT norm_url, min(doc_id) AS canon_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM normed GROUP BY norm_url
+)
+SELECT n.doc_id, n.norm_url, n.domain, c.n_copies,
+       n.doc_id <> c.canon_id AS is_duplicate
+FROM normed n JOIN canon c USING (norm_url)"""
 
 ORACLES["text_token_count"] = f"""
 SELECT doc_id,

@@ -730,3 +730,50 @@ def exact_substring_dedup(
         F.size("_cov").cast("bigint").alias("n_tokens_removed"),
         F.concat_ws(" ", kept).alias("text_kept"),
     )
+
+
+def cluster_survivors(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware survivor selection over dedup clusters: instead of
+    dedup_clusters' keep-lowest-id rule, keep the HIGHEST-quality member
+    of each cluster (ties broken by lowest id) and flag the rest for
+    drop — the production policy when near-duplicates differ in
+    cleanliness (e.g. one copy is the un-boilerplated original).
+
+    Scale shape: no window over members of a cluster (a viral document
+    can have millions of near-copies — a per-cluster sort would put
+    them all in one task). Per-cluster argmax is ONE map-side-combined
+    groupBy of struct(quality, -id) MAX, then an equi-join back on the
+    cluster key — both co-partitioned on cluster_col, skew handled by
+    AQE. Quality should be an exact (integer / fixed-point) score so
+    the keep flag is engine-reproducible; float quality works but ties
+    then depend on float equality.
+    """
+    j = clusters.select(id_col, cluster_col).join(
+        quality.select(id_col, quality_col), id_col
+    )
+    best = j.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("_b")
+    )
+    return (
+        j.join(best, cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            quality_col,
+            (
+                (F.col(quality_col) == F.col("_b.q"))
+                & (F.col(id_col) == -F.col("_b.nid"))
+            ).alias("keep"),
+        )
+    )

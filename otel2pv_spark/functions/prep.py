@@ -245,7 +245,15 @@ def shuffle_deterministic(
     base = df.select(F.col(id_col), h.alias("_h"), pid.alias("_pid"))
     w = Window.partitionBy("_pid").orderBy("_h", id_col)
     local = base.withColumn("_lr", F.row_number().over(w))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # offsets table is config-sized (<= P <= 65536 rows), so a
+    # single-partition running sum is the right plan; the literal
+    # partition key states that on purpose (and keeps WindowExec from
+    # warning about an accidental global window)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         base.groupBy("_pid")
         .agg(F.count("*").alias("_n"))
@@ -883,3 +891,75 @@ def priority_sample(
         scored, [], [F.col("priority").asc(), F.col(id_col).asc()], k
     )
     return picked.select(id_col, "weight", "priority", F.col("rank").cast("int").alias("rank"))
+
+
+def normalize_urls(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Canonical URL form for URL-level dedup (the RefinedWeb /
+    CCNet-style first dedup tier: most exact duplicates on the web are
+    the same page fetched under trivially different URLs):
+
+    - drop the fragment and the scheme
+    - lowercase the host, strip a leading ``www.``
+    - strip trailing slashes from the path
+    - drop ``utm_*`` tracking params, keep the rest SORTED (param order
+      never distinguishes pages)
+
+    plus the registered domain (last two host labels) for per-domain
+    caps and blocklists. Pure codegen list/regex expressions in the
+    Java-regex ∩ RE2 subset — zero shuffle, zero UDFs.
+    """
+    no_frag = F.regexp_replace(F.col(url_col), "#.*$", "")
+    no_scheme = F.regexp_replace(no_frag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host_raw = F.regexp_extract(no_scheme, "^[^/?]+", 0)
+    rest = no_scheme.substr(
+        F.length(host_raw) + 1, F.length(no_scheme)
+    )
+    host = F.regexp_replace(F.lower(host_raw), "^www\\.", "")
+    path = F.regexp_replace(F.regexp_replace(rest, "\\?.*$", ""), "/+$", "")
+    q = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != F.lit("")) & ~p.startswith("utm_"),
+        )
+    )
+    norm = F.concat(
+        host,
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+    domain = F.regexp_extract(host, "[^.]+\\.[^.]+$", 0)
+    return df.select(
+        id_col,
+        F.col(url_col),
+        norm.alias("norm_url"),
+        domain.alias("domain"),
+    )
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """URL-level exact dedup over the canonical form: first-id
+    canonical per norm_url, the rest flagged duplicates. Same scale
+    shape as exact text dedup — one map-side-combined groupBy on the
+    normalized key, equi-join back (no window over hot URLs)."""
+    normed = normalize_urls(df, id_col, url_col)
+    canon = normed.groupBy("norm_url").agg(
+        F.min(id_col).alias("_canon_id"),
+        F.count("*").alias("n_copies"),
+    )
+    return (
+        normed.join(canon, "norm_url")
+        .select(
+            id_col,
+            "norm_url",
+            "domain",
+            "n_copies",
+            (F.col(id_col) != F.col("_canon_id")).alias("is_duplicate"),
+        )
+    )

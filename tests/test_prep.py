@@ -398,3 +398,57 @@ def test_mix_corpus_null_source_rows_surface(spark):
     assert set(rows) == {1, 2}
     assert rows[2]["n_copies"] == 0 and rows[2]["rate"] == 0.0
     assert rows[1]["n_copies"] == 1
+
+
+def test_normalize_urls_golden(spark):
+    """Every normalization axis: scheme/case, www, fragment, trailing
+    slash, utm stripping with param sort, registered domain."""
+    rows = [
+        (1, "HTTPS://WWW.Example.COM/A/B/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com/A/B?a=1&b=2"),
+        (3, "https://sub.shop.example.org/"),
+        (4, "ftp://Files.Example.net/pub//"),
+        (5, "https://example.com"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in prep.normalize_urls(
+            spark.createDataFrame(rows, ["doc_id", "url"])
+        ).collect()
+    }
+    assert out[1]["norm_url"] == "example.com/A/B?a=1&b=2"
+    assert out[2]["norm_url"] == "example.com/A/B?a=1&b=2"
+    assert out[1]["domain"] == "example.com"
+    assert out[3]["norm_url"] == "sub.shop.example.org"
+    assert out[3]["domain"] == "example.org"
+    assert out[4]["norm_url"] == "files.example.net/pub"
+    assert out[5]["norm_url"] == "example.com"
+    # 1 and 2 collapse under url_dedup; lower id is canonical
+    dd = {
+        r["doc_id"]: r.asDict()
+        for r in prep.url_dedup(
+            spark.createDataFrame(rows, ["doc_id", "url"])
+        ).collect()
+    }
+    assert dd[1]["is_duplicate"] is False and dd[2]["is_duplicate"] is True
+    assert dd[1]["n_copies"] == 2 and dd[3]["n_copies"] == 1
+
+
+def test_cluster_survivors_golden(spark):
+    """Highest quality survives; ties break to lowest id; singleton
+    clusters always keep."""
+    from otel2pv_spark.functions import dedup as ddp
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 70), (8, 80), (9, 80)],
+        ["doc_id", "cluster_id"],
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 1), (8, 4), (9, 4)],
+        ["doc_id", "quality"],
+    )
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in ddp.cluster_survivors(clusters, quality).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 7: True, 8: True, 9: False}
