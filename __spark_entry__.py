@@ -244,6 +244,16 @@ def q_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep_fn.conv_features(_tr(spark, sf_dir))
 
 
+def q_prep_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT pair construction over the transcript carrier: one example
+    per assistant turn, context = previous 4 turns as 'role: text'
+    lines (bounded window frame — per-row state never exceeds the
+    context length, whatever the conversation length)."""
+    from otel2pv_spark.functions import prep as prep_fn
+
+    return prep_fn.sft_examples(_tr(spark, sf_dir), context_turns=4)
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-conversation near-dup candidates: each conversation's
     turns concatenated in turn order become one document, then the
@@ -711,6 +721,20 @@ ORACLES["conv_features"] = with_transcripts("""SELECT
   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
 FROM transcripts GROUP BY conv_id""")
 
+ORACLES["prep_sft_examples"] = with_transcripts("""SELECT
+  conv_id, turn_idx,
+  coalesce(array_to_string(
+    list(role || ': ' || text) OVER w, chr(10)), '') AS context,
+  text AS target,
+  CAST(count(*) OVER w AS BIGINT) AS n_context_turns,
+  CAST(coalesce(sum(length(role || ': ' || text)) OVER w, 0) AS BIGINT)
+    AS context_chars,
+  turn_idx > 4 AS truncated
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+QUALIFY role = 'assistant'""")
+
 # conversation-level LSH: the per-document shingle/minhash/band CTEs
 # verbatim (entry_queries), over turn-order-concatenated conversations
 from otel2pv_spark.entry_queries import _LSH_CTES, _SHINGLE_CTE  # noqa: E402
@@ -921,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_hll": q_events_rollup_hll,
         "layout_zorder": q_layout_zorder,
         "conv_features": q_conv_features,
+        "prep_sft_examples": q_prep_sft_examples,
         "dedup_conversations": q_dedup_conversations,
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,

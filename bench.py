@@ -98,6 +98,7 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "prep_url_dedup",
     "dedup_survivors",
+    "prep_sft_examples",
 ]
 
 

@@ -963,3 +963,61 @@ def url_dedup(
             (F.col(id_col) != F.col("_canon_id")).alias("is_duplicate"),
         )
     )
+
+
+def sft_examples(
+    tr: DataFrame,
+    context_turns: int = 4,
+    target_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT (context, target) pair construction over the transcript
+    carrier: one training example per ``target_role`` turn, whose
+    context is the previous ``context_turns`` turns rendered as
+    ``role: text`` lines in turn order.
+
+    Scale shape: one shuffle on the pipeline's own conv_id key; the
+    window frame is ROWS BETWEEN context_turns PRECEDING AND 1
+    PRECEDING, so per-row state is bounded by the context length —
+    a million-turn conversation never materializes as one list (the
+    unbounded collect_list-per-conversation formulation would). Hot
+    conversations skew the conv partition exactly like sequencing does;
+    the block-salted treatment applies unchanged if needed.
+
+    Output columns: conv_id, turn_idx, context (newline-joined, ''
+    when the target opens the conversation), target, n_context_turns,
+    context_chars, truncated (true when older turns fell out of the
+    frame).
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(-context_turns, -1)
+    )
+    line = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+    out = tr.select(
+        conv_col,
+        idx_col,
+        F.col(role_col),
+        F.col(text_col),
+        F.array_join(F.collect_list(line).over(w), "\n").alias("context"),
+        F.count("*").over(w).cast("bigint").alias("n_context_turns"),
+        F.coalesce(F.sum(F.length(line)).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("context_chars"),
+    )
+    return (
+        out.filter(F.col(role_col) == target_role)
+        .select(
+            conv_col,
+            idx_col,
+            "context",
+            F.col(text_col).alias("target"),
+            "n_context_turns",
+            "context_chars",
+            (F.col(idx_col) > context_turns).alias("truncated"),
+        )
+    )

@@ -452,3 +452,31 @@ def test_cluster_survivors_golden(spark):
         for r in ddp.cluster_survivors(clusters, quality).collect()
     }
     assert out == {1: False, 2: True, 3: False, 7: True, 8: True, 9: False}
+
+
+def test_sft_examples_golden(spark):
+    """Context is the previous K turns as 'role: text' lines, bounded
+    by the frame; opening-turn targets get empty context."""
+    rows = [
+        ("c1", 0, "user", "q1"),
+        ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "tool", "t1"),
+        ("c1", 3, "user", "q2"),
+        ("c1", 4, "assistant", "a2"),
+        ("c2", 0, "assistant", "opener"),
+    ]
+    tr = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {
+        (r.conv_id, r.turn_idx): r.asDict()
+        for r in prep.sft_examples(tr, context_turns=2).collect()
+    }
+    assert set(out) == {("c1", 1), ("c1", 4), ("c2", 0)}
+    assert out[("c1", 1)]["context"] == "user: q1"
+    assert out[("c1", 1)]["target"] == "a1"
+    assert out[("c1", 1)]["truncated"] is False
+    # frame keeps only the last 2 turns: tool t1 dropped at turn 4? no —
+    # turns 2,3 are the last two before 4
+    assert out[("c1", 4)]["context"] == "tool: t1\nuser: q2"
+    assert out[("c1", 4)]["n_context_turns"] == 2
+    assert out[("c1", 4)]["truncated"] is True
+    assert out[("c2", 0)]["context"] == "" and out[("c2", 0)]["context_chars"] == 0
