@@ -796,6 +796,29 @@ def q_prep_sample_weighted(spark, sf_dir):
     )
 
 
+NORM_TAIL = "  Él dijo: 42 Cafés!!  El dijo 00 cafes  "
+
+
+def norm_fixture(spark, sf_dir):
+    """Accents/digits/punct/extra-whitespace seeded onto doc_id%9==0
+    rows (the raw corpus is already lowercase ASCII word salad, which
+    normalization would pass through untouched)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(NORM_TAIL)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_text_normalize(spark, sf_dir):
+    """CCNet canonical form + hash: the seeded tail's two renderings
+    ('Él dijo: 42 Cafés!!' / 'el dijo 00 cafes') collapse to identical
+    normalized text."""
+    return ts.normalize_text(norm_fixture(spark, sf_dir))
+
+
 def q_text_lm_backoff(spark, sf_dir):
     """Stupid-backoff scoring, corpus self-trained: trigram tier when
     the pruned trigram survives, else 0.4-damped bigram tier, else
@@ -826,6 +849,7 @@ QUERIES = {
     "prep_sample_weighted": q_prep_sample_weighted,
     "text_cms_counts": q_text_cms_counts,
     "text_lm_backoff": q_text_lm_backoff,
+    "text_normalize": q_text_normalize,
     "text_ppl_buckets": q_text_ppl_buckets,
     "prep_dsir_weights": q_prep_dsir_weights,
     "prep_chunks": q_prep_chunks,
@@ -2165,6 +2189,25 @@ SELECT doc_id, n_words, n_lines,
        AND (5 * n_alpha >= 4 * n_words)
        AND (n_stops >= 2) AS keep
 FROM m"""
+
+ORACLES["text_normalize"] = f"""WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || '{NORM_TAIL}' ELSE text END AS text
+  FROM documents
+), n AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          translate(lower(text),
+                    'áàâäãåéèêëíìîïóòôöõúùûüýÿñç',
+                    'aaaaaaeeeeiiiiooooouuuuyync'),
+          '[0-9]', '0', 'g'),
+        '[^a-z0-9 \t\n]', ' ', 'g'),
+      '\\s+', ' ', 'g')) AS norm_text
+  FROM s
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_hash FROM n"""
 
 ORACLES["text_langid"] = f"""WITH t AS (
   SELECT doc_id, {_TOKS} AS w FROM documents

@@ -1431,3 +1431,39 @@ def lm_backoff_score(
             F.coalesce("bits_micro", F.lit(0)).cast("bigint").alias("bits_micro"),
         )
     )
+
+
+# Latin accent fold table for normalize_text (fixed, portable: Spark
+# translate() and DuckDB translate() treat both strings as parallel
+# per-character maps).
+ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿñç"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyync"
+
+
+def normalize_text(
+    df: DataFrame,
+    strip_punct: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style text normalization (Wenzek et al. 2019 §4.1 — the
+    canonical form documents are HASHED in before dedup, so trivially
+    different renderings of the same page collapse): lowercase, fold
+    common Latin accents, map every digit to 0, optionally strip
+    punctuation, collapse whitespace runs. Emits the normal form and
+    its md5 (``norm_hash``) so it composes directly with exact_dedup's
+    groupBy-on-hash shape.
+
+    One codegen projection — zero shuffles, zero UDFs; byte-identical
+    in DuckDB (same translate table, same RE2∩Java regex subset).
+    """
+    t = F.translate(F.lower(F.col(text_col)), ACCENT_SRC, ACCENT_DST)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    if strip_punct:
+        t = F.regexp_replace(t, "[^a-z0-9 \t\n]", " ")
+    t = F.trim(F.regexp_replace(t, "\\s+", " "))
+    return df.select(
+        id_col,
+        t.alias("norm_text"),
+        F.md5(t).alias("norm_hash"),
+    )

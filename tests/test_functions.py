@@ -1013,3 +1013,29 @@ def test_phash_neardup_pigeonhole_golden(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         mm.phash_neardup(df, max_hamming=4)
+
+
+def test_normalize_text_golden(spark):
+    """Two renderings of the same sentence collapse to one hash; digit
+    and accent folding behave per CCNet (Wenzek et al. 2019)."""
+    from otel2pv_spark.functions import textstats as ts
+
+    rows = [
+        (1, "  Él dijo: 42 Cafés!!  "),
+        (2, "el dijo 00 cafes"),
+        (3, "plain ascii stays put"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ts.normalize_text(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["norm_text"] == "el dijo 00 cafes"
+    assert out[1]["norm_hash"] == out[2]["norm_hash"]
+    assert out[3]["norm_text"] == "plain ascii stays put"
+    # punctuation retained when strip_punct=False
+    kept = ts.normalize_text(
+        spark.createDataFrame(rows, ["doc_id", "text"]), strip_punct=False
+    ).collect()
+    assert {r["doc_id"]: r["norm_text"] for r in kept}[1] == "el dijo: 00 cafes!!"

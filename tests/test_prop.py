@@ -264,3 +264,37 @@ def test_bpe_pair_counts_matches_counter_reference(spark, texts):
             for x, y in zip(w, w[1:]):
                 want[f"{x} {y}"] += 1
     assert got == dict(want)
+
+
+URL_HOST = st.sampled_from(
+    ["Example.COM", "www.example.com", "WWW.Shop.Example.org", "a.b.co"]
+)
+URL_PATH = st.sampled_from(["", "/", "/p", "/P/Q", "/p/q//", "/p%20x"])
+URL_QS = st.sampled_from(
+    ["", "?a=1", "?utm_source=x", "?b=2&a=1", "?utm_a=1&z=9&utm_b=2", "?a=1&a=1"]
+)
+URL_FRAG = st.sampled_from(["", "#f", "#a/b?c=1"])
+URL_SCHEME = st.sampled_from(["http://", "HTTPS://", "ftp://"])
+URLS = st.builds(
+    lambda s, h, p, q, f: s + h + p + q + f,
+    URL_SCHEME, URL_HOST, URL_PATH, URL_QS, URL_FRAG,
+)
+
+
+@SET
+@given(st.lists(URLS, min_size=1, max_size=12))
+def test_normalize_urls_idempotent_and_invariant(spark, urls):
+    """normalize(normalize(u)) == normalize(u), and the canonical form
+    never retains scheme, fragment, utm params, or a trailing slash."""
+    rows = [(i, u) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    once = prep.normalize_urls(df)
+    got = {r.doc_id: r.norm_url for r in once.collect()}
+    again = prep.normalize_urls(
+        once.select("doc_id", once.norm_url.alias("url"))
+    )
+    got2 = {r.doc_id: r.norm_url for r in again.collect()}
+    assert got == got2
+    for v in got.values():
+        assert "://" not in v and "#" not in v and "utm_" not in v
+        assert not v.endswith("/")
