@@ -729,10 +729,12 @@ ORACLES["prep_sft_examples"] = with_transcripts("""SELECT
   CAST(count(*) OVER w AS BIGINT) AS n_context_turns,
   CAST(coalesce(sum(length(role || ': ' || text)) OVER w, 0) AS BIGINT)
     AS context_chars,
-  turn_idx > 4 AS truncated
+  count(*) OVER wa > 4 AS truncated
 FROM transcripts
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
-             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+       wa AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 QUALIFY role = 'assistant'""")
 
 # conversation-level LSH: the per-document shingle/minhash/band CTEs

@@ -2084,7 +2084,7 @@ _URL_NORM_CTES = f"""u AS ({_URL_FIXTURE}
 ), n AS (
   SELECT doc_id, url,
     regexp_replace(regexp_replace(url, '#.*$', ''),
-                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS ns
+                   '^([A-Za-z][A-Za-z0-9+.-]*:)?//', '') AS ns
   FROM u
 ), p AS (
   SELECT doc_id, url, ns,
@@ -2097,7 +2097,7 @@ _URL_NORM_CTES = f"""u AS ({_URL_FIXTURE}
     regexp_replace(regexp_replace(rest, '\\?.*$', ''), '/+$', '') AS path,
     list_sort(list_filter(
       string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
-      x -> x <> '' AND NOT x LIKE 'utm_%')) AS params
+      x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params
   FROM p
 ), normed AS (
   SELECT doc_id, url,
@@ -2176,16 +2176,16 @@ ORACLES["text_gopher_rules"] = f"""WITH s AS (
 SELECT doc_id, n_words, n_lines,
        n_words >= 50 AND n_words <= 100000 AS ok_word_count,
        3 * n_words <= word_chars AND word_chars <= 10 * n_words AS ok_mean_word_len,
-       10 * (n_hash + n_ell) < n_words AS ok_symbol_ratio,
-       10 * n_bullet < 9 * n_lines AS ok_bullet_lines,
-       10 * n_ell_lines < 3 * n_lines AS ok_ellipsis_lines,
+       10 * (n_hash + n_ell) <= n_words AS ok_symbol_ratio,
+       10 * n_bullet <= 9 * n_lines AS ok_bullet_lines,
+       10 * n_ell_lines <= 3 * n_lines AS ok_ellipsis_lines,
        5 * n_alpha >= 4 * n_words AS ok_alpha_words,
        n_stops >= 2 AS ok_stopwords,
        (n_words >= 50 AND n_words <= 100000)
        AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
-       AND (10 * (n_hash + n_ell) < n_words)
-       AND (10 * n_bullet < 9 * n_lines)
-       AND (10 * n_ell_lines < 3 * n_lines)
+       AND (10 * (n_hash + n_ell) <= n_words)
+       AND (10 * n_bullet <= 9 * n_lines)
+       AND (10 * n_ell_lines <= 3 * n_lines)
        AND (5 * n_alpha >= 4 * n_words)
        AND (n_stops >= 2) AS keep
 FROM m"""

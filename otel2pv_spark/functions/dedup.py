@@ -753,13 +753,23 @@ def cluster_survivors(
     AQE. Quality should be an exact (integer / fixed-point) score so
     the keep flag is engine-reproducible; float quality works but ties
     then depend on float equality.
+
+    Unscored members (present in ``clusters``, absent from ``quality``)
+    are NOT dropped: they surface with null quality and lose to any
+    scored member; a cluster whose members are all unscored falls back
+    to the lowest-id rule, so every input row appears in the output
+    with an explicit keep decision.
     """
     j = clusters.select(id_col, cluster_col).join(
-        quality.select(id_col, quality_col), id_col
+        quality.select(id_col, quality_col), id_col, "left"
     )
+    # scored-beats-unscored flag first, then quality, then -id; the
+    # winner is identified by its (unique) id, never by comparing a
+    # possibly-null quality for equality
     best = j.groupBy(cluster_col).agg(
         F.max(
             F.struct(
+                F.col(quality_col).isNotNull().cast("int").alias("s"),
                 F.col(quality_col).alias("q"),
                 (-F.col(id_col)).alias("nid"),
             )
@@ -771,9 +781,6 @@ def cluster_survivors(
             id_col,
             cluster_col,
             quality_col,
-            (
-                (F.col(quality_col) == F.col("_b.q"))
-                & (F.col(id_col) == -F.col("_b.nid"))
-            ).alias("keep"),
+            (F.col(id_col) == -F.col("_b.nid")).alias("keep"),
         )
     )

@@ -911,7 +911,10 @@ def normalize_urls(
     Java-regex ∩ RE2 subset — zero shuffle, zero UDFs.
     """
     no_frag = F.regexp_replace(F.col(url_col), "#.*$", "")
-    no_scheme = F.regexp_replace(no_frag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    # optional-scheme + '//' prefix: also strips protocol-relative
+    # '//host/path' links (common in crawled HTML), which would
+    # otherwise leave the host inside the path un-normalized
+    no_scheme = F.regexp_replace(no_frag, "^([A-Za-z][A-Za-z0-9+.-]*:)?//", "")
     host_raw = F.regexp_extract(no_scheme, "^[^/?]+", 0)
     rest = no_scheme.substr(
         F.length(host_raw) + 1, F.length(no_scheme)
@@ -997,6 +1000,15 @@ def sft_examples(
         .orderBy(idx_col)
         .rowsBetween(-context_turns, -1)
     )
+    # truncation = actual preceding rows fell out of the frame — a
+    # COUNT over the unbounded-preceding frame, NOT a turn_idx
+    # comparison (indices may be 1-based or gapped by upstream reject
+    # filtering); same partition/order as w, so the sort is shared
+    w_all = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     line = F.concat_ws(": ", F.col(role_col), F.col(text_col))
     out = tr.select(
         conv_col,
@@ -1008,6 +1020,7 @@ def sft_examples(
         F.coalesce(F.sum(F.length(line)).over(w), F.lit(0))
         .cast("bigint")
         .alias("context_chars"),
+        (F.count("*").over(w_all) > context_turns).alias("truncated"),
     )
     return (
         out.filter(F.col(role_col) == target_role)
@@ -1018,6 +1031,6 @@ def sft_examples(
             F.col(text_col).alias("target"),
             "n_context_turns",
             "context_chars",
-            (F.col(idx_col) > context_turns).alias("truncated"),
+            "truncated",
         )
     )

@@ -1187,10 +1187,11 @@ def gopher_rules(
 
     - word count in [min_words, max_words]
     - mean word length in [3, 10] characters
-    - symbol-to-word ratio < 0.1 ('#' chars and '...' runs; the paper
-      uses the unicode ellipsis — substituted with its ASCII spelling)
-    - < 90% of lines start with a bullet ('- ' or '* ')
-    - < 30% of lines end with an ellipsis ('...')
+    - symbol-to-word ratio <= 0.1 ('#' chars and '...' runs; the paper
+      uses the unicode ellipsis — substituted with its ASCII spelling,
+      and removes on STRICTLY greater, so exact-threshold docs keep)
+    - <= 90% of lines start with a bullet ('- ' or '* ')
+    - <= 30% of lines end with an ellipsis ('...')
     - >= 80% of words contain at least one alphabetic character
     - contains >= 2 distinct words from the paper's 8-word stop set
 
@@ -1249,9 +1250,12 @@ def gopher_rules(
     ok_mean_word_len = (3 * n_words <= word_chars) & (
         word_chars <= 10 * n_words
     )
-    ok_symbol_ratio = 10 * (n_hash + n_ellipsis) < n_words
-    ok_bullet_lines = 10 * n_bullet < 9 * n_lines
-    ok_ellipsis_lines = 10 * n_ell_lines < 3 * n_lines
+    # the paper REMOVES on strictly-greater ratios ("symbol-to-word
+    # ratio greater than 0.1", ">90%" bullets, ">30%" ellipsis), so
+    # docs sitting exactly on a threshold are KEPT — hence <=
+    ok_symbol_ratio = 10 * (n_hash + n_ellipsis) <= n_words
+    ok_bullet_lines = 10 * n_bullet <= 9 * n_lines
+    ok_ellipsis_lines = 10 * n_ell_lines <= 3 * n_lines
     ok_alpha_words = 5 * n_alpha_words >= 4 * n_words
     ok_stopwords = n_stops >= 2
     keep = (
@@ -1322,6 +1326,13 @@ def lm_backoff_score(
     """
     from .dedup import shingles
 
+    if n != 3:
+        # the tier tables and ngram context/suffix parsing below are
+        # the trigram construction; a generic-order version would need
+        # n-1 backoff tables, not a silently-wrong bigram join
+        raise NotImplementedError(
+            f"lm_backoff_score implements the trigram recursion (n=3), got n={n}"
+        )
     ref = df if ref is None else ref
     rtoks = ref.select(tokens(text_col).alias("_w"))
     uni = (

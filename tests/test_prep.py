@@ -452,6 +452,17 @@ def test_cluster_survivors_golden(spark):
         for r in ddp.cluster_survivors(clusters, quality).collect()
     }
     assert out == {1: False, 2: True, 3: False, 7: True, 8: True, 9: False}
+    # unscored members surface (not silently dropped), lose to scored
+    # ones, and an all-unscored cluster falls back to lowest id
+    c2 = spark.createDataFrame(
+        [(1, 10), (2, 10), (5, 50), (6, 50)], ["doc_id", "cluster_id"]
+    )
+    q2 = spark.createDataFrame([(2, 7)], ["doc_id", "quality"])
+    out2 = {
+        r["doc_id"]: (r["keep"], r["quality"])
+        for r in ddp.cluster_survivors(c2, q2).collect()
+    }
+    assert out2 == {1: (False, None), 2: (True, 7), 5: (True, None), 6: (False, None)}
 
 
 def test_sft_examples_golden(spark):
@@ -480,3 +491,11 @@ def test_sft_examples_golden(spark):
     assert out[("c1", 4)]["n_context_turns"] == 2
     assert out[("c1", 4)]["truncated"] is True
     assert out[("c2", 0)]["context"] == "" and out[("c2", 0)]["context_chars"] == 0
+    # truncated counts actual preceding rows, not turn_idx values:
+    # gapped indices (upstream rejects removed turns) must not lie
+    gappy = spark.createDataFrame(
+        [("c3", 10, "user", "q"), ("c3", 99, "assistant", "a")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    g = prep.sft_examples(gappy, context_turns=2).collect()[0]
+    assert g.truncated is False and g.n_context_turns == 1
