@@ -191,3 +191,40 @@ def test_ngram_jaccard_candidate_mode_bounded_by_candidates(spark, sf_dir):
     cands = dd.minhash_lsh_candidates(docs)
     plan = _plan(dd.ngram_jaccard_pairs(docs, candidates=cands))
     assert "Scan parquet" not in plan, plan
+
+
+def test_sft_examples_single_exchange_shared_sort(spark, sf_dir):
+    """Both window frames (bounded context, unbounded truncation count)
+    must share ONE conv exchange, ONE sort, ONE Window operator — the
+    second frame must not buy a second shuffle or sort."""
+    from otel2pv_spark.functions import prep
+
+    tr = datagen.synth_transcripts(spark, n_convs=50, partitions=4)
+    plan = _plan(prep.sft_examples(tr))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert plan.count("Window ") == 1, plan
+
+
+def test_phash_neardup_no_allpairs(spark, sf_dir):
+    """Candidate generation must be the banded equi self-join — never a
+    cartesian/broadcast-nested-loop product over the corpus."""
+    from otel2pv_spark.functions import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = mm.phash_neardup(mm.media_phash(mm.attach_fake_media(docs)))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_url_dedup_partial_agg(spark, sf_dir):
+    """The norm_url groupBy must partial-aggregate map-side (two
+    HashAggregate levels around one exchange)."""
+    from otel2pv_spark.entry_queries import url_fixture
+    from otel2pv_spark.functions import prep
+
+    df = prep.url_dedup(url_fixture(spark, sf_dir))
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
