@@ -99,6 +99,7 @@ HEADLINE = [
     "prep_url_dedup",
     "dedup_survivors",
     "prep_sft_examples",
+    "text_classifier_train",
 ]
 
 

@@ -819,6 +819,20 @@ def q_text_normalize(spark, sf_dir):
     return ts.normalize_text(norm_fixture(spark, sf_dir))
 
 
+def q_text_classifier_train(spark, sf_dir):
+    """Distributed hard-sigmoid logistic training, 2 full-batch GD
+    iterations over 16+1 hashed buckets; label = doc contains the
+    token 'spark' (fixture vocabulary), so the learned weights are a
+    real signal, not noise. Bit-exact integer micro-unit arithmetic —
+    the oracle replays both iterations as unrolled CTEs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.array_contains(ts.tokens("text"), "spark").alias("label"),
+    )
+    return ts.train_linear_classifier(d, iters=2, dim=16)
+
+
 def q_text_lm_backoff(spark, sf_dir):
     """Stupid-backoff scoring, corpus self-trained: trigram tier when
     the pruned trigram survives, else 0.4-damped bigram tier, else
@@ -874,6 +888,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_classifier": q_text_classifier,
+    "text_classifier_train": q_text_classifier_train,
     "text_vocab": q_text_vocab,
     "text_top_ngrams": q_text_top_ngrams,
     "text_ngram_lm": q_text_ngram_lm,
@@ -1564,6 +1579,69 @@ SELECT doc_id, weight, priority,
 FROM s QUALIFY rank <= 50"""
 
 _SHINGLES2B = "[array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]"
+
+def _clf_train_oracle_sql(iters=2, dim=16, lr_num=1, lr_den=2) -> str:
+    """Unrolled-CTE replay of train_linear_classifier: one
+    (margin, err, gradient, weight) CTE block per GD iteration.
+    floor-div = (a - pmod(a,b)) // b (exact multiple, so DuckDB's
+    truncating // is safe); hard sigmoid = clamped 500000 + (m >> 2)."""
+
+    def fdiv(a, b):
+        return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+
+    ctes = [
+        f"""t AS (
+  SELECT doc_id, {_TOKS} AS w,
+         CAST(CAST(list_contains({_TOKS}, 'spark') AS INT) AS BIGINT)
+           * 1000000 AS y_u
+  FROM documents
+)""",
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM t)",
+        f"bk AS (SELECT CAST(unnest(range({dim + 1})) AS BIGINT) AS b)",
+        f"""f AS (
+  SELECT doc_id, y_u, b, CAST(count(*) AS BIGINT) AS x FROM (
+    SELECT doc_id, y_u,
+           unnest(list_append(
+             [('0x' || substr(md5(tok || '#clf-train-v1'), 1, 4))::BIGINT
+                % {dim} for tok in w],
+             CAST({dim} AS BIGINT))) AS b
+    FROM t)
+  GROUP BY doc_id, y_u, b
+)""",
+        "w0 AS (SELECT b, CAST(0 AS BIGINT) AS wu FROM bk)",
+    ]
+    step = fdiv(f"{fdiv('g.gs', 'g.nd')} * {lr_num}", str(lr_den))
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes += [
+            f"""m{k} AS (
+  SELECT f.doc_id, CAST(sum(w.wu * f.x) AS BIGINT) AS m
+  FROM f JOIN w{p} w USING (b) GROUP BY f.doc_id
+)""",
+            f"""e{k} AS (
+  SELECT t.doc_id,
+         greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+                  500000 + (m{k}.m >> 2))) - t.y_u AS e
+  FROM t JOIN m{k} USING (doc_id)
+)""",
+            f"""g{k} AS (
+  SELECT f.b, CAST(sum(f.x * e{k}.e) AS BIGINT) AS gs, max(n.nd) AS nd
+  FROM f JOIN e{k} USING (doc_id) CROSS JOIN n GROUP BY f.b
+)""",
+            f"""w{k} AS (
+  SELECT w{p}.b, CAST(w{p}.wu - coalesce({step}, 0) AS BIGINT) AS wu
+  FROM w{p} LEFT JOIN g{k} g ON g.b = w{p}.b
+)""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT b AS bucket, wu AS weight_micro, wu / 1000000.0 AS weight FROM w{iters}"""
+    )
+
+
+ORACLES["text_classifier_train"] = _clf_train_oracle_sql()
 
 ORACLES["text_lm_backoff"] = f"""WITH t AS (
   SELECT doc_id, {_TOKS} AS w FROM documents

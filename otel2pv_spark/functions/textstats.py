@@ -1478,3 +1478,119 @@ def normalize_text(
         t.alias("norm_text"),
         F.md5(t).alias("norm_hash"),
     )
+
+
+def _clf_bucket(tok_col, dim: int, salt: str):
+    """Feature bucket of a token: first-4-hex md5(token '#' salt) mod
+    dim. DuckDB-identical:
+    ('0x'||substr(md5(t||'#'||salt),1,4))::BIGINT % dim."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", tok_col, F.lit(salt))), 1, 4),
+            16, 10,
+        ).cast("bigint")
+        % dim
+    )
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    iters: int = 3,
+    dim: int = 64,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "clf-train-v1",
+) -> DataFrame:
+    """Distributed training of the hashed linear quality classifier —
+    the training half of :func:`classifier_score` (which only infers).
+    Full-batch gradient descent with a HARD sigmoid
+    p = clamp(1/2 + margin/4, 0, 1) (Hinton-style piecewise-linear
+    logistic): the hard sigmoid is the point, not a shortcut — its
+    gradient arithmetic is EXACT in scaled integers (micro-units,
+    floor-div by shift), so training is bit-reproducible across
+    engines and partitionings, where true-sigmoid training would drift
+    per-libm. fastText's hashing trick maps tokens to ``dim`` buckets
+    (+ one bias bucket at index ``dim``).
+
+    Per iteration (all integer micro-unit arithmetic):
+        margin_u(doc) = Σ_b w_u[b] · x_b
+        p_u = clamp(500000 + (margin_u >> 2), 0, 1e6)
+        err_u = p_u - y·1e6
+        g_u[b] = floor(Σ_docs err_u · x_b / n_docs)
+        w_u[b] -= floor(g_u[b] · lr_num / lr_den)
+
+    Scale shape: the (doc, bucket, count) feature table is built ONCE
+    and snapshotted (every iteration reuses it — the k-means lesson);
+    each iteration is one broadcast join of the config-sized weight
+    table (dim+1 rows) + one map-side-combined groupBy(doc) + one
+    groupBy(bucket) gradient agg. The per-iteration driver collect is
+    dim+1 rows — model state, not data (the make_anchors precedent).
+    Returns (bucket, weight_micro, weight).
+    """
+    tok = tokens(text_col)
+    feats = (
+        df.select(
+            F.col(id_col),
+            (F.col(label_col).cast("int").cast("bigint") * 1_000_000).alias("_y_u"),
+            F.explode(
+                F.concat(
+                    F.transform(tok, lambda t: _clf_bucket(t, dim, salt)),
+                    F.array(F.lit(dim).cast("bigint")),  # bias bucket
+                )
+            ).alias("_b"),
+        )
+        .groupBy(id_col, "_y_u", "_b")
+        .agg(F.count("*").alias("_x"))
+    ).localCheckpoint()  # reused every iteration: never recompute the corpus scan
+    n_docs = df.count()
+    spark = df.sparkSession
+
+    w = {b: 0 for b in range(dim + 1)}
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(b, wu) for b, wu in w.items()], "_b bigint, _w_u bigint"
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "_b")
+            .groupBy(id_col, "_y_u")
+            .agg(F.sum(F.col("_w_u") * F.col("_x")).alias("_m_u"))
+        )
+        err = margins.select(
+            id_col,
+            (
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.least(
+                        F.lit(1_000_000).cast("bigint"),
+                        F.lit(500_000) + F.shiftright(F.col("_m_u"), 2),
+                    ),
+                )
+                - F.col("_y_u")
+            ).alias("_e_u"),
+        )
+        gsum = (
+            feats.join(err, id_col)
+            .groupBy("_b")
+            .agg(F.sum(F.col("_e_u") * F.col("_x")).alias("_g_sum"))
+        )
+        # floor-div via pmod (DuckDB // truncates toward zero; this is
+        # exact floor in both engines)
+        def _fdiv(a, b: int):
+            d = F.lit(b).cast("bigint")
+            return ((a - F.pmod(a, d)) / d).cast("bigint")
+
+        g_u = _fdiv(F.col("_g_sum"), n_docs)
+        step = gsum.select("_b", _fdiv(g_u * lr_num, lr_den).alias("_step"))
+        for row in step.collect():  # dim+1 rows: model state, not data
+            w[row["_b"]] = w[row["_b"]] - row["_step"]
+
+    out = spark.createDataFrame(
+        sorted((int(b), int(wu)) for b, wu in w.items()),
+        "bucket bigint, weight_micro bigint",
+    )
+    return out.select(
+        "bucket", "weight_micro", (F.col("weight_micro") / 1e6).alias("weight")
+    )

@@ -1039,3 +1039,42 @@ def test_normalize_text_golden(spark):
         spark.createDataFrame(rows, ["doc_id", "text"]), strip_punct=False
     ).collect()
     assert {r["doc_id"]: r["norm_text"] for r in kept}[1] == "el dijo: 00 cafes!!"
+
+
+def test_train_linear_classifier_exact_and_learns(spark):
+    """One GD iteration from zero weights is hand-checkable: err is
+    +/-500000, gradients average exactly, lr=1/2 halves the step. And
+    on a separable corpus the planted token's bucket goes positive."""
+    import hashlib
+
+    from otel2pv_spark.functions import textstats as ts
+
+    def bucket(tok, dim=4):
+        return int(hashlib.md5(f"{tok}#clf-train-v1".encode()).hexdigest()[:4], 16) % dim
+
+    b_a, b_b = bucket("aa"), bucket("bb")
+    assert b_a != b_b  # fixture relies on no collision at dim=4
+    docs = spark.createDataFrame(
+        [(1, "aa aa", 1), (2, "bb", 0)], ["doc_id", "text", "label"]
+    )
+    w = {
+        r.bucket: r.weight_micro
+        for r in ts.train_linear_classifier(docs, iters=1, dim=4).collect()
+    }
+    # doc1 err=-500000 on (b_a x2, bias), doc2 err=+500000 on (b_b, bias):
+    # g(b_a) = -1e6/2, g(b_b) = 5e5/2, g(bias) = 0; step = g/2
+    assert w[b_a] == 250_000
+    assert w[b_b] == -125_000
+    assert w[4] == 0
+    # learnability: the 'spark' bucket dominates after 3 iterations
+    corpus = spark.createDataFrame(
+        [(1, "spark spark fast", 1), (2, "slow table row", 0),
+         (3, "spark join", 1), (4, "row line sort", 0)],
+        ["doc_id", "text", "label"],
+    )
+    w3 = {
+        r.bucket: r.weight_micro
+        for r in ts.train_linear_classifier(corpus, iters=3, dim=8).collect()
+    }
+    sb = bucket("spark", 8)
+    assert w3[sb] == max(w3.values()) and w3[sb] > 0
