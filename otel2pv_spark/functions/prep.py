@@ -247,8 +247,9 @@ def shuffle_deterministic(
     local = base.withColumn("_lr", F.row_number().over(w))
     # offsets table is config-sized (<= P <= 65536 rows), so a
     # single-partition running sum is the right plan; the literal
-    # partition key states that on purpose (and keeps WindowExec from
-    # warning about an accidental global window)
+    # partition key states that on purpose (Catalyst folds it back to
+    # an empty spec — WindowExec's warning for this documented case is
+    # demoted in session.get_spark instead)
     w_off = (
         Window.partitionBy(F.lit(0))
         .orderBy("_pid")

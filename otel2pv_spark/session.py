@@ -83,4 +83,19 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec warns on every empty-partition window. The ONLY such
+    # windows in this repo are deliberately config-sized: the final
+    # k×P-row merge of two_level_topk and the ≤65536-row offsets sum in
+    # prep.shuffle_deterministic — both documented at the call site
+    # (partitioning them by a literal doesn't help: Catalyst constant-
+    # folds foldable partition keys back to an empty spec). Any NEW
+    # unpartitioned window over real data is still caught by the plan
+    # tests (tests/test_plans.py asserts exchange/sort shapes).
+    jvm = spark.sparkContext._jvm
+    try:
+        jvm.org.apache.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        ).setLevel(jvm.org.apache.log4j.Level.ERROR)
+    except Exception:
+        pass  # logging backend differences must never fail the session
     return spark
