@@ -833,6 +833,57 @@ def q_text_classifier_train(spark, sf_dir):
     return ts.train_linear_classifier(d, iters=2, dim=16)
 
 
+def q_classifier_auc(spark, sf_dir):
+    """Exact Mann-Whitney ROC-AUC of the hashed classifier's margin
+    against the 'doc contains token spark' ground truth — completes
+    the train/infer/evaluate loop. The score is the integer micro-unit
+    mean hashed token weight (floor-div, pmod-exact), so every rank
+    comparison is BIGINT and the AUC numerator is bit-reproducible."""
+    tok = ts.tokens("text")
+    w_milli = lambda t: (  # noqa: E731  — (md5 % 2001) - 1000 ∈ [-1000, 1000]
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", t, F.lit("clf-v1"))), 1, 8), 16, 10
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    sum_milli = F.aggregate(tok, F.lit(0).cast("bigint"), lambda a, t: a + w_milli(t))
+    n = F.size(tok).cast("bigint")
+    a = sum_milli * 1000
+    score_u = F.when(n > 0, ((a - F.pmod(a, n)) / n).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    scored = _docs(spark, sf_dir).select(
+        score_u.alias("score_u"),
+        F.array_contains(tok, "spark").alias("label"),
+    )
+    return ts.ranking_auc(scored)
+
+
+def q_embed_hash(spark, sf_dir):
+    """Hashed text embedding (signed feature hashing, dim=16) — the
+    text→vector bridge to the embedding-side ops. Emits scalar
+    summaries + md5 of the exact integer vector (driver-canonicalizable
+    AND fully oracle-checkable: pure md5 arithmetic)."""
+    emb = ts.hashed_embedding(_docs(spark, sf_dir), dim=16)
+    return emb.select(
+        "doc_id",
+        "nnz",
+        "norm_sq",
+        F.md5(
+            F.array_join(F.transform("vec", lambda x: x.cast("string")), ",")
+        ).alias("vec_md5"),
+    )
+
+
+def q_embed_hash_topk(spark, sf_dir):
+    """Nearest neighbor by sparse inner product over the hashed
+    embedding components: inverted-index join on the feature bucket
+    (never all-pairs, never densified), integer-exact ranking."""
+    comp = ts.hashed_components(_docs(spark, sf_dir), dim=16)
+    return sim.sparse_dot_topk(comp, k=1)
+
+
 def q_text_lm_backoff(spark, sf_dir):
     """Stupid-backoff scoring, corpus self-trained: trigram tier when
     the pruned trigram survives, else 0.4-damped bigram tier, else
@@ -889,6 +940,9 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_classifier": q_text_classifier,
     "text_classifier_train": q_text_classifier_train,
+    "classifier_auc": q_classifier_auc,
+    "embed_hash": q_embed_hash,
+    "embed_hash_topk": q_embed_hash_topk,
     "text_vocab": q_text_vocab,
     "text_top_ngrams": q_text_top_ngrams,
     "text_ngram_lm": q_text_ngram_lm,
@@ -1458,6 +1512,106 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(1.0 / (1.0 + exp(-mw)), 6) AS score,
        round(1.0 / (1.0 + exp(-mw)), 6) >= 0.5 AS label
 FROM s"""
+
+ORACLES["classifier_auc"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(w, x ->
+           ((('0x' || substr(md5(x || '#clf-v1'), 1, 8))::BIGINT % 2001) - 1000)
+         )), 0) AS BIGINT) * 1000 AS a,
+         CAST(len(w) AS BIGINT) AS n,
+         list_contains(w, 'spark') AS label
+  FROM t
+),
+scored AS (
+  SELECT CASE WHEN n > 0
+              THEN (a - ((a % n + n) % n)) // n
+              ELSE 0 END AS s,
+         label
+  FROM sc
+),
+g AS (
+  SELECT s,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM scored GROUP BY s
+),
+c AS (
+  SELECT pos, neg,
+         CAST(coalesce(sum(neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cumneg
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(neg) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS auc_num_x2
+  FROM c
+)
+SELECT n_pos, n_neg, auc_num_x2,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         (auc_num_x2 * 1000000
+          - ((auc_num_x2 * 1000000 % (2 * n_pos * n_neg) + 2 * n_pos * n_neg)
+             % (2 * n_pos * n_neg)))
+         // (2 * n_pos * n_neg) END AS auc_micro,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(CAST(auc_num_x2 AS DOUBLE) / (2 * n_pos * n_neg), 6)
+       END AS auc
+FROM tot"""
+
+_EMB_COMP = f"""t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+comp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok || '#emb-v1'), 1, 4))::BIGINT % 16 AS bucket,
+         1 - 2 * ((('0x' || substr(md5(tok || '#emb-v1'), 5, 1))::BIGINT) % 2)
+           AS sgn
+  FROM u
+),
+s AS (
+  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS val
+  FROM comp GROUP BY doc_id, bucket HAVING sum(sgn) <> 0
+)"""
+
+ORACLES["embed_hash"] = f"""WITH {_EMB_COMP},
+grid AS (
+  SELECT d.doc_id, i.bucket
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(16)) AS bucket) i
+),
+v AS (
+  SELECT g.doc_id, g.bucket, coalesce(s.val, 0) AS val
+  FROM grid g LEFT JOIN s USING (doc_id, bucket)
+),
+vec AS (
+  SELECT doc_id, list(val ORDER BY bucket) AS vec FROM v GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(len(list_filter(vec, x -> x <> 0)) AS BIGINT) AS nnz,
+       CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS norm_sq,
+       md5(array_to_string(list_transform(vec, x -> CAST(x AS VARCHAR)), ','))
+         AS vec_md5
+FROM vec"""
+
+ORACLES["embed_hash_topk"] = f"""WITH {_EMB_COMP},
+p AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         CAST(sum(a.val * b.val) AS BIGINT) AS dot
+  FROM s a JOIN s b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 1"""
 
 ORACLES["text_vocab"] = f"""WITH t AS (
   SELECT doc_id, {_TOKS} AS w FROM documents

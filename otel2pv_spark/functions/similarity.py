@@ -697,3 +697,52 @@ def semantic_dedup(
         "cluster",
         F.coalesce("_is_dup", F.lit(False)).alias("is_semdup"),
     )
+
+
+def sparse_dot_topk(
+    components: DataFrame,
+    k: int = 1,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    val_col: str = "val",
+) -> DataFrame:
+    """Inverted-index sparse inner-product top-k: nearest neighbors by
+    dot product over a sparse (id, bucket, val) component table (e.g.
+    ``textstats.hashed_components``) WITHOUT ever densifying or
+    all-pairs cross-joining. The classic IR construction: self-join the
+    posting lists on the feature bucket, so a candidate pair is scored
+    only if it shares ≥1 nonzero feature — exactly the pairs with a
+    nonzero dot product.
+
+    Integer-exact end to end when ``val`` is integral: ranking is by
+    (dot DESC, neighbor id ASC), no floats anywhere.
+
+    Scale shape: one join co-partitioned on ``bucket`` (posting lists;
+    AQE skew-split handles hot features), one map-side-combined
+    groupBy(pair) for the dot, then the shared two-level top-k — never
+    a per-query global window. At 100 TB the join IS the sparse matrix
+    product A·Aᵀ restricted to nonzero blocks, which is the right
+    candidate set.
+    """
+    a = components.select(
+        F.col(id_col).alias("query_id"),
+        F.col(bucket_col).alias("_b"),
+        F.col(val_col).alias("_va"),
+    )
+    b = components.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("_b"),
+        F.col(val_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("_va") * F.col("_vb")).alias("dot"))
+    )
+    return two_level_topk(
+        pairs,
+        ["query_id"],
+        [F.col("dot").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "dot", "rank")

@@ -1444,6 +1444,183 @@ def lm_backoff_score(
     )
 
 
+def hashed_components(
+    df: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "emb-v1",
+) -> DataFrame:
+    """Sparse signed feature-hashing components of a text column — the
+    (id, bucket, val) inverted-index form of :func:`hashed_embedding`
+    (Weinberger et al. 2009 hashing trick, signed variant): each token
+    hashes to a bucket b = md5[0:4] mod ``dim`` with sign ±1 from
+    md5[4], and val(id, b) = Σ signs. Exact BIGINT everywhere.
+    Components with val = 0 (signs cancelled) are dropped — they carry
+    nothing through either the dense vector or a sparse dot product.
+
+    Scale shape: explode → one map-side-combined groupBy(id, bucket).
+    This sparse form is the one to JOIN on (see
+    ``similarity.sparse_dot_topk``); densify only at the edge.
+    """
+    h = F.md5(F.concat_ws("#", F.col("_tok"), F.lit(salt)))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % dim
+    sign = 1 - 2 * (F.conv(F.substring(h, 5, 1), 16, 10).cast("bigint") % 2)
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+        .select(id_col, bucket.alias("bucket"), sign.alias("_sgn"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_sgn").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "emb-v1",
+) -> DataFrame:
+    """Dense hashed text embedding: the ``dim``-wide BIGINT vector form
+    of :func:`hashed_components` — the bridge from the text corpus to
+    every embedding-side op (ANN top-k, PCA, JL, semdedup) when no
+    model-produced embedding column exists. Deterministic, integer-
+    exact, and engine-portable (md5 arithmetic only).
+
+    Output: (id, vec array<bigint>, nnz, norm_sq). Zero-token and
+    null-text docs keep an all-zero vector (left join back onto the
+    input ids — never silently dropped).
+
+    Scale shape: one groupBy(id) assembling ≤ ``dim`` map entries per
+    doc on top of the components' groupBy — the dense row is built
+    exactly once, after all reduction. No UDFs; map lookup + transform
+    are codegen.
+    """
+    comp = hashed_components(df, dim, id_col, text_col, salt)
+    maps = comp.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("val")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0).cast("bigint")
+        ),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        df.select(id_col)
+        .join(maps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                vec, F.array_repeat(zero, dim)
+            ).alias("vec"),
+        )
+        .select(
+            id_col,
+            "vec",
+            F.size(F.filter("vec", lambda x: x != 0)).cast("bigint").alias("nnz"),
+            F.aggregate(
+                "vec", zero, lambda acc, x: acc + x * x
+            ).alias("norm_sq"),
+        )
+    )
+
+
+def ranking_auc(
+    df: DataFrame,
+    score_col: str = "score_u",
+    label_col: str = "label",
+    block: int = 1 << 16,
+) -> DataFrame:
+    """Exact distributed ROC-AUC via the Mann-Whitney rank-sum identity
+    — the evaluation half of the classifier loop (train →
+    :func:`train_linear_classifier`, infer → :func:`classifier_score`,
+    evaluate → here). AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻),
+    so over per-distinct-score class counts (pos_s, neg_s):
+
+        num×2 = Σ_s pos_s · (2·cumneg_lt(s) + neg_s)
+        AUC   = num×2 / (2 · n_pos · n_neg)
+
+    All counting is BIGINT — ties contribute exact halves because the
+    numerator is kept doubled — so the result is bit-reproducible
+    across engines and partitionings (``score_col`` must be integral).
+
+    Scale shape (the two-level cumulative-sum pattern, cf.
+    ``two_level_topk``): a naive ``sum OVER (ORDER BY score)`` is ONE
+    task holding every distinct score. Instead (1) map-side-combined
+    groupBy(score) collapses the corpus to distinct-score rows;
+    (2) block-level neg totals (floor-div ``block``) get their running
+    offsets in a window over #blocks rows (config-sized); (3) the
+    within-block cumulative runs partitioned BY block — parallel,
+    partition-bounded. One row out: (n_pos, n_neg, auc_num_x2,
+    auc_micro, auc).
+    """
+    s = F.col(score_col).cast("bigint")
+    is_pos = F.col(label_col).cast("boolean")
+    g = (
+        df.select(s.alias("_s"), is_pos.alias("_p"))
+        .groupBy("_s")
+        .agg(
+            F.sum(F.when(F.col("_p"), 1).otherwise(0)).alias("_pos"),
+            F.sum(F.when(F.col("_p"), 0).otherwise(1)).alias("_neg"),
+        )
+    )
+    # floor-div block id (pmod keeps it exact for negative scores)
+    blk_of = ((F.col("_s") - F.pmod(F.col("_s"), F.lit(block))) / block).cast(
+        "bigint"
+    )
+    g = g.withColumn("_blk", blk_of)
+    w_blk = (
+        Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    )  # one row per block: config-sized single-partition window
+    blk = (
+        g.groupBy("_blk")
+        .agg(F.sum("_neg").alias("_bneg"))
+        .withColumn("_off", F.coalesce(F.sum("_bneg").over(w_blk), F.lit(0)))
+        .drop("_bneg")
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        g.join(F.broadcast(blk), "_blk")
+        .withColumn(
+            "_cumneg",
+            F.col("_off") + F.coalesce(F.sum("_neg").over(w_in), F.lit(0)),
+        )
+    )
+    tot = cum.agg(
+        F.sum("_pos").cast("bigint").alias("n_pos"),
+        F.sum("_neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("_pos") * (F.lit(2) * F.col("_cumneg") + F.col("_neg"))
+        )
+        .cast("bigint")
+        .alias("auc_num_x2"),
+    )
+    pairs_x2 = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    num = F.col("auc_num_x2")
+    auc_micro = F.when(
+        pairs_x2 > 0,
+        (
+            (num * 1_000_000 - F.pmod(num * 1_000_000, pairs_x2)) / pairs_x2
+        ).cast("bigint"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "auc_num_x2",
+        auc_micro.alias("auc_micro"),
+        F.when(pairs_x2 > 0, F.round(num / pairs_x2, 6)).alias("auc"),
+    )
+
+
 # Latin accent fold table for normalize_text (fixed, portable: Spark
 # translate() and DuckDB translate() treat both strings as parallel
 # per-character maps).

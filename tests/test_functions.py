@@ -10,6 +10,7 @@ from otel2pv_spark.entry_queries import docs_fixture
 from otel2pv_spark.functions import dedup as dd
 from otel2pv_spark.functions import multimodal as mm
 from otel2pv_spark.functions import similarity as sim
+from otel2pv_spark.functions import textstats as ts
 
 
 def test_exact_dedup_finds_planted_dups(spark, sf_dir):
@@ -1078,3 +1079,87 @@ def test_train_linear_classifier_exact_and_learns(spark):
     }
     sb = bucket("spark", 8)
     assert w3[sb] == max(w3.values()) and w3[sb] > 0
+
+
+def test_ranking_auc_golden_with_ties(spark):
+    # scores: pos {3, 2, 2}, neg {2, 1, 0}
+    # pairs (pos > neg): 3>2,3>1,3>0, 2>1,2>0 (x2) = 7; ties (2==2) x2 pos
+    # AUC = (7 + 0.5*2) / 9 = 8/9
+    rows = [(3, True), (2, True), (2, True), (2, False), (1, False), (0, False)]
+    df = spark.createDataFrame(rows, "score_u bigint, label boolean")
+    out = ts.ranking_auc(df).collect()[0]
+    assert out["n_pos"] == 3 and out["n_neg"] == 3
+    assert out["auc_num_x2"] == 16  # 2*7 + 2 ties
+    assert out["auc_micro"] == 888888  # floor(16e6 / 18)
+    assert abs(out["auc"] - 16 / 18) < 1e-6
+
+    # degenerate: single class -> NULL auc, counts still exact
+    one = spark.createDataFrame([(5, True), (1, True)], "score_u bigint, label boolean")
+    row = ts.ranking_auc(one).collect()[0]
+    assert row["n_pos"] == 2 and row["n_neg"] == 0
+    assert row["auc"] is None and row["auc_micro"] is None
+
+    # invariant to block size (two-level split is internal only)
+    small = ts.ranking_auc(df, block=2).collect()[0]
+    assert small["auc_num_x2"] == 16 and small["auc_micro"] == 888888
+
+
+def test_hashed_embedding_consistency(spark):
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "beta delta"),
+        (3, ""),          # zero-token doc keeps an all-zero vector
+        (4, None),        # null text too
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    emb = {r["doc_id"]: r for r in ts.hashed_embedding(df, dim=8).collect()}
+    assert set(emb) == {1, 2, 3, 4}
+    for r in emb.values():
+        assert len(r["vec"]) == 8
+        assert r["norm_sq"] == sum(v * v for v in r["vec"])
+        assert r["nnz"] == sum(1 for v in r["vec"] if v != 0)
+    assert all(v == 0 for v in emb[3]["vec"]) and emb[3]["norm_sq"] == 0
+    assert all(v == 0 for v in emb[4]["vec"])
+
+    # dense vec == densified sparse components
+    comp = ts.hashed_components(df, dim=8).collect()
+    dense = {i: [0] * 8 for i in (1, 2, 3, 4)}
+    for c in comp:
+        assert c["val"] != 0  # cancelled components dropped
+        dense[c["doc_id"]][c["bucket"]] = c["val"]
+    for i, r in emb.items():
+        assert list(r["vec"]) == dense[i]
+
+
+def test_sparse_dot_topk_matches_dense(spark):
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma delta"),
+        (3, "epsilon zeta eta theta"),
+        (4, "alpha epsilon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    comp = ts.hashed_components(df, dim=16)
+    got = {
+        r["query_id"]: (r["neighbor_id"], r["dot"])
+        for r in sim.sparse_dot_topk(comp, k=1).collect()
+    }
+    vecs = {r["doc_id"]: r["vec"] for r in ts.hashed_embedding(df, dim=16).collect()}
+
+    def shares_bucket(va, vb):
+        return any(a != 0 and b != 0 for a, b in zip(va, vb))
+
+    for q, vq in vecs.items():
+        best = max(
+            (
+                (sum(a * b for a, b in zip(vq, vn)), -n)
+                for n, vn in vecs.items()
+                if n != q and shares_bucket(vq, vn)
+            ),
+            default=None,
+        )
+        if best is None:
+            assert q not in got  # no shared nonzero feature -> no candidate
+        else:
+            dot, neg_n = best
+            assert got[q] == (-neg_n, dot)
