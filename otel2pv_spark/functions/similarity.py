@@ -724,6 +724,10 @@ def sparse_dot_topk(
     product A·Aᵀ restricted to nonzero blocks, which is the right
     candidate set.
     """
+    # the posting-list table feeds BOTH sides of the self-join and AQE
+    # does not reuse self-join exchanges (the LSH band-table lesson):
+    # materialize it once instead of re-running the upstream reduction.
+    components = components.localCheckpoint()
     a = components.select(
         F.col(id_col).alias("query_id"),
         F.col(bucket_col).alias("_b"),

@@ -1568,6 +1568,10 @@ def ranking_auc(
             F.sum(F.when(F.col("_p"), 1).otherwise(0)).alias("_pos"),
             F.sum(F.when(F.col("_p"), 0).otherwise(1)).alias("_neg"),
         )
+        # distinct-score table feeds BOTH the block offsets and the
+        # within-block cumulative: snapshot it (it is corpus-reduction
+        # output, small) so the corpus is scanned and shuffled ONCE.
+        .localCheckpoint()
     )
     # floor-div block id (pmod keeps it exact for negative scores)
     blk_of = ((F.col("_s") - F.pmod(F.col("_s"), F.lit(block))) / block).cast(

@@ -228,3 +228,54 @@ def test_url_dedup_partial_agg(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_ranking_auc_two_level_cumsum(spark, sf_dir):
+    """AUC's cumulative-negatives must stay two-level: the only
+    single-partition steps are the block-offset window (one row per
+    block) and the final scalar agg; the per-score cumulative window is
+    partitioned BY block; the corpus reduction is snapshotted once (no
+    second scan of the source)."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sc = docs.select(
+        (F.col("doc_id") % 100).cast("bigint").alias("score_u"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    plan = _plan(ts.ranking_auc(sc))
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    assert "windowspecdefinition(_blk" in plan, plan
+    # snapshotted distinct-score table: both consumers read the RDD,
+    # the parquet source appears in NO branch of this plan
+    assert "ExistingRDD" in plan and "FileScan parquet" not in plan, plan
+
+
+def test_sparse_dot_topk_no_allpairs_single_materialization(spark, sf_dir):
+    """Sparse inner-product top-k must be a posting-list equi-join
+    (never a cartesian/nested-loop), read the components from ONE
+    materialization on both sides, and rank through the two-level
+    pattern with the rank-limit pushdown active."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(sim.sparse_dot_topk(ts.hashed_components(docs, dim=16), k=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Generate") == 0, plan  # upstream explode ran once, pre-snapshot
+    assert "ExistingRDD" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "_pid" in plan, plan  # partition-salted partial top-k
+
+
+def test_hashed_embedding_no_python_one_explode(spark, sf_dir):
+    """The dense hashed embedding is codegen-only (no Python UDFs), one
+    token explode, and reduction exchanges on (id, bucket) then id —
+    densification happens strictly after all aggregation."""
+    from otel2pv_spark.functions import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(ts.hashed_embedding(docs, dim=16))
+    assert "Python" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
