@@ -166,3 +166,28 @@ def test_catalog_compact(spark, tmp_path):
     assert len(after) == 4  # clustered: one file per partition value
     assert cat.read("parted").groupBy("sink").count().count() == 4
     assert cat.read("parted").count() == 10_000
+
+
+def test_per_turn_text_equality_stable_order(spark, sf_dir, tmp_path):
+    """The BASELINE.json per-row invariant, literally: under the stable
+    (conv_id, turn_idx) ordering, every routed row's text is
+    byte-identical to the input transcript's text for that turn, the
+    ordering key is unique on both sides, and routed ∪ rejects == input
+    keys exactly (nothing dropped, nothing invented)."""
+    cfg = pipeline.PipelineConfig(out_root=str(tmp_path / "out"))
+    pipeline.run_from_events(spark, sf_dir, cfg)
+    inp = datagen.transcripts_from_events(spark, sf_dir)
+    out = spark.read.parquet(str(tmp_path / "out" / "sequenced_events"))
+    rej = spark.read.parquet(str(tmp_path / "out" / "rejects"))
+
+    in_rows = {(r.conv_id, r.turn_idx): r.text for r in inp.collect()}
+    out_rows = [(r.conv_id, r.turn_idx, r.text) for r in out.collect()]
+    rej_keys = {(r.conv_id, r.turn_idx) for r in rej.collect()}
+
+    out_keys = [(c, t) for c, t, _ in out_rows]
+    assert len(out_keys) == len(set(out_keys))  # stable order key unique
+    assert len(in_rows) == len(inp.collect())
+    for c, t, text in out_rows:
+        assert text == in_rows[(c, t)], (c, t)  # byte-identical pass-through
+    assert set(out_keys) | rej_keys == set(in_rows)
+    assert set(out_keys) & rej_keys == set()
