@@ -522,10 +522,100 @@ def q_pipeline_tree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the transcript table in ONE
+    aggregation pass (operators/checks.py): key uniqueness, domain
+    membership, FK coverage, regex conformance, row-count floor. Two
+    checks are deliberately non-vacuous failures on this corpus: the
+    garbled rows break the grok-prefix regex, and non-tool turns carry
+    tool='' which has no tool_meta row."""
+    from otel2pv_spark.operators import checks as checks_op
+
+    suite = [
+        checks_op.Check("conv_id_not_null", "not_null", column="conv_id"),
+        checks_op.Check(
+            "conv_key_unique", "unique", columns=("conv_id", "turn_idx")
+        ),
+        checks_op.Check(
+            "role_domain",
+            "accepted_values",
+            column="role",
+            values=("user", "assistant", "tool"),
+        ),
+        checks_op.Check("turn_idx_min", "min", column="turn_idx", limit=0),
+        checks_op.Check(
+            "text_grok_prefix", "matches", column="text", pattern="^event="
+        ),
+        checks_op.Check(
+            "tool_fk", "ref_integrity", column="tool", ref="tool_meta"
+        ),
+        checks_op.Check("row_floor", "row_count_min", limit=1),
+    ]
+    return checks_op.run_checks(
+        _tr(spark, sf_dir), suite, refs={"tool_meta": datagen.tool_meta(spark)}
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 _W = "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"
 
 ORACLES: dict[str, str] = {}
+
+ORACLES["pipeline_checks"] = with_transcripts(
+    """SELECT 'conv_id_not_null' AS check_name, 'not_null' AS kind,
+       'conv_id' AS "column",
+       CAST((SELECT count(*) FROM transcripts) AS BIGINT) AS "rows",
+       CAST((SELECT count(*) FROM transcripts WHERE conv_id IS NULL) AS BIGINT)
+         AS violations,
+       (SELECT count(*) FROM transcripts WHERE conv_id IS NULL) = 0 AS passed
+UNION ALL
+SELECT 'conv_key_unique', 'unique', 'conv_id,turn_idx',
+       CAST((SELECT count(*) FROM transcripts
+             WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL) AS BIGINT),
+       CAST((SELECT count(*) - count(DISTINCT (conv_id, turn_idx))
+             FROM transcripts
+             WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL) AS BIGINT),
+       (SELECT count(*) - count(DISTINCT (conv_id, turn_idx))
+        FROM transcripts
+        WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL) = 0
+UNION ALL
+SELECT 'role_domain', 'accepted_values', 'role',
+       CAST((SELECT count(*) FROM transcripts) AS BIGINT),
+       CAST((SELECT count(*) FROM transcripts
+             WHERE role IS NULL
+                OR role NOT IN ('user', 'assistant', 'tool')) AS BIGINT),
+       (SELECT count(*) FROM transcripts
+        WHERE role IS NULL OR role NOT IN ('user', 'assistant', 'tool')) = 0
+UNION ALL
+SELECT 'turn_idx_min', 'min', 'turn_idx',
+       CAST((SELECT count(*) FROM transcripts) AS BIGINT),
+       CAST((SELECT count(*) FROM transcripts WHERE turn_idx < 0) AS BIGINT),
+       (SELECT count(*) FROM transcripts WHERE turn_idx < 0) = 0
+UNION ALL
+SELECT 'text_grok_prefix', 'matches', 'text',
+       CAST((SELECT count(*) FROM transcripts) AS BIGINT),
+       CAST((SELECT count(*) FROM transcripts
+             WHERE text IS NULL
+                OR NOT regexp_matches(text, '^event=')) AS BIGINT),
+       (SELECT count(*) FROM transcripts
+        WHERE text IS NULL OR NOT regexp_matches(text, '^event=')) = 0
+UNION ALL
+SELECT 'tool_fk', 'ref_integrity', 'tool',
+       CAST((SELECT count(*) FROM transcripts) AS BIGINT),
+       CAST((SELECT count(*) FROM transcripts
+             WHERE tool IS NOT NULL
+               AND tool NOT IN (SELECT tool FROM tool_meta)) AS BIGINT),
+       (SELECT count(*) FROM transcripts
+        WHERE tool IS NOT NULL
+          AND tool NOT IN (SELECT tool FROM tool_meta)) = 0
+UNION ALL
+SELECT 'row_floor', 'row_count_min', '',
+       CAST((SELECT count(*) FROM transcripts) AS BIGINT),
+       CAST(CASE WHEN (SELECT count(*) FROM transcripts) < 1
+            THEN 1 ELSE 0 END AS BIGINT),
+       (SELECT count(*) FROM transcripts) >= 1""",
+    [TOOL_META_CTE],
+)
 
 ORACLES["parse_extract"] = with_transcripts(
     f"SELECT {', '.join(PARSE_COLS)} FROM parsed WHERE parse_ok",
@@ -963,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_hot_counts": q_pipeline_hot_counts,
         "pipeline_pandas_counts": q_pipeline_pandas_counts,
         "pipeline_tree_counts": q_pipeline_tree_counts,
+        "pipeline_checks": q_pipeline_checks,
     }
     out.update(entry_queries.QUERIES)
     out.update(tree_queries.QUERIES)

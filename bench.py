@@ -67,6 +67,8 @@ HEADLINE = [
     "ann_pq_topk",
     "text_quality",
     "text_classifier",
+    "classifier_auc",
+    "embed_hash_topk",
     "text_ngram_lm",
     "text_lm_perplexity",
     "prep_cap_per_group",

@@ -879,8 +879,11 @@ def q_embed_hash(spark, sf_dir):
 def q_embed_hash_topk(spark, sf_dir):
     """Nearest neighbor by sparse inner product over the hashed
     embedding components: inverted-index join on the feature bucket
-    (never all-pairs, never densified), integer-exact ranking."""
-    comp = ts.hashed_components(_docs(spark, sf_dir), dim=16)
+    (never all-pairs, never densified), integer-exact ranking.
+    dim=4096 keeps posting lists short — pair volume is
+    Σ_b |posting(b)|², so the hashing dimension is the sparsity knob
+    (dim=16 here would BE the all-pairs join)."""
+    comp = ts.hashed_components(_docs(spark, sf_dir), dim=4096)
     return sim.sparse_dot_topk(comp, k=1)
 
 
@@ -1562,13 +1565,14 @@ SELECT n_pos, n_neg, auc_num_x2,
        END AS auc
 FROM tot"""
 
-_EMB_COMP = f"""t AS (
+def _emb_comp_cte(dim: int) -> str:
+    return f"""t AS (
   SELECT doc_id, {_TOKS} AS w FROM documents
 ),
 u AS (SELECT doc_id, unnest(w) AS tok FROM t),
 comp AS (
   SELECT doc_id,
-         ('0x' || substr(md5(tok || '#emb-v1'), 1, 4))::BIGINT % 16 AS bucket,
+         ('0x' || substr(md5(tok || '#emb-v1'), 1, 4))::BIGINT % {dim} AS bucket,
          1 - 2 * ((('0x' || substr(md5(tok || '#emb-v1'), 5, 1))::BIGINT) % 2)
            AS sgn
   FROM u
@@ -1578,7 +1582,8 @@ s AS (
   FROM comp GROUP BY doc_id, bucket HAVING sum(sgn) <> 0
 )"""
 
-ORACLES["embed_hash"] = f"""WITH {_EMB_COMP},
+
+ORACLES["embed_hash"] = f"""WITH {_emb_comp_cte(16)},
 grid AS (
   SELECT d.doc_id, i.bucket
   FROM (SELECT doc_id FROM documents) d
@@ -1598,7 +1603,7 @@ SELECT doc_id,
          AS vec_md5
 FROM vec"""
 
-ORACLES["embed_hash_topk"] = f"""WITH {_EMB_COMP},
+ORACLES["embed_hash_topk"] = f"""WITH {_emb_comp_cte(4096)},
 p AS (
   SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
          CAST(sum(a.val * b.val) AS BIGINT) AS dot

@@ -705,6 +705,7 @@ def sparse_dot_topk(
     id_col: str = "doc_id",
     bucket_col: str = "bucket",
     val_col: str = "val",
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Inverted-index sparse inner-product top-k: nearest neighbors by
     dot product over a sparse (id, bucket, val) component table (e.g.
@@ -722,8 +723,25 @@ def sparse_dot_topk(
     groupBy(pair) for the dot, then the shared two-level top-k — never
     a per-query global window. At 100 TB the join IS the sparse matrix
     product A·Aᵀ restricted to nonzero blocks, which is the right
-    candidate set.
+    candidate set — PROVIDED the feature space is actually sparse:
+    pair volume is Σ_b |posting(b)|², so the hashing dimension must be
+    sized so posting lists stay short (dim=16 over a whole corpus is an
+    all-pairs join wearing a hat; use thousands of buckets). For
+    corpora with pathological hot features, ``max_posting`` drops
+    buckets whose posting list exceeds it before the join — the classic
+    stop-feature / prefix-filtering guard (changes results for pairs
+    whose ONLY shared features were dropped; exact when None).
     """
+    if max_posting is not None:
+        hot = (
+            components.groupBy(bucket_col)
+            .count()
+            .filter(F.col("count") > max_posting)
+            .select(bucket_col)
+        )
+        components = components.join(
+            F.broadcast(hot), bucket_col, "left_anti"
+        )
     # the posting-list table feeds BOTH sides of the self-join and AQE
     # does not reuse self-join exchanges (the LSH band-table lesson):
     # materialize it once instead of re-running the upstream reduction.
