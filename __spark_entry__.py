@@ -556,6 +556,80 @@ def q_pipeline_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the transcript table
+    (operators/profile.py): null/distinct counts, typed min/max,
+    string avg length — one column-pruned scan, one scalar-row
+    shuffle, #columns output rows."""
+    from otel2pv_spark.operators import profile as prof_op
+
+    return prof_op.profile_table(_tr(spark, sf_dir))
+
+
+def q_table_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift between this batch (all turns) and a reference
+    batch (turns 0-5 of every conversation): exact-integer ppm
+    thresholds; turn_idx/ts range drift and the conv_id distinct-rate
+    shift are deliberately non-vacuous on this split."""
+    from otel2pv_spark.operators import profile as prof_op
+
+    tr = _tr(spark, sf_dir)
+    cur = prof_op.profile_table(tr)
+    ref = prof_op.profile_table(tr.filter(F.col("turn_idx") < 6))
+    return prof_op.profile_drift(cur, ref, distinct_drift_ppm=50_000)
+
+
+def q_rollup_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-spike detection: exact-integer trailing z-test (3σ over the
+    previous 4 observed windows) on the daily per-event_type rollup —
+    the window runs over aggregated buckets, never corpus rows."""
+    from otel2pv_spark.operators import profile as prof_op
+
+    ev = datagen.load_events(spark, sf_dir)
+    roll = agg_op.rollup_time_windows(ev, width="1 day").select(
+        "event_type", "window_start_us", "n_events"
+    )
+    return prof_op.anomaly_flags(
+        roll, "n_events", by="event_type", order_col="window_start_us",
+        trail=4, nsigma=3,
+    )
+
+
+def q_match_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous CEP pattern over the sequenced stream: a 'view' turn
+    immediately followed by a 'click' turn within the conversation —
+    lead() windows on the same conv_id exchange the sequencer uses."""
+    from otel2pv_spark.operators import pattern as pat_op
+
+    return pat_op.match_steps(
+        _parsed_good(spark, sf_dir),
+        ["event_type = 'view'", "event_type = 'click'"],
+    )
+
+
+def q_funnel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-reach funnel view → click → purchase per conversation:
+    staged filtered min-joins on the conv_id key — no per-key arrays,
+    no per-key sort, hot conversations cost the same per row."""
+    from otel2pv_spark.operators import pattern as pat_op
+
+    return pat_op.funnel(
+        _parsed_good(spark, sf_dir),
+        [
+            "event_type = 'view'",
+            "event_type = 'click'",
+            "event_type = 'purchase'",
+        ],
+    )
+
+
+def q_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool inter-turn latency distribution (span durations): lag
+    on the conv_id window → exact micro deltas → one groupBy with
+    exact percentiles (percentile_approx at 10^12 turns, same plan)."""
+    return agg_op.latency_stats(_tr(spark, sf_dir), by="tool")
+
+
 # ------------------------------------------------------------- oracle SQL
 _W = "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"
 
@@ -615,6 +689,191 @@ SELECT 'row_floor', 'row_count_min', '',
             THEN 1 ELSE 0 END AS BIGINT),
        (SELECT count(*) FROM transcripts) >= 1""",
     [TOOL_META_CTE],
+)
+
+# profile oracle: one aggregate CTE over the table, one UNION ALL arm
+# per column. Independently-written DuckDB rendering of the profile
+# semantics (HUGEINT sums cast; timestamps via strftime %f = 6-digit
+# micros, the DuckDB spelling of date_format SSSSSS).
+_PROF_COLS = [
+    ("conv_id", "string", "str"),
+    ("turn_idx", "int", "num"),
+    ("role", "string", "str"),
+    ("text", "string", "str"),
+    ("tool", "string", "str"),
+    ("ts", "timestamp_ntz", "ts"),
+]
+
+
+def _profile_sql(src: str, with_len: bool = True) -> tuple[str, str]:
+    """(aggregate-CTE body, per-column UNION ALL arms over ``_prof``)."""
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    arms = []
+    for c, dt, kind in _PROF_COLS:
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nn_{c}"
+        )
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        if kind == "num":
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS mx_{c}")
+            mn, mx = f"mn_{c}", f"mx_{c}"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            aggs.append(
+                f"strftime(min({c}), '%Y-%m-%d %H:%M:%S.%f') AS mn_{c}"
+            )
+            aggs.append(
+                f"strftime(max({c}), '%Y-%m-%d %H:%M:%S.%f') AS mx_{c}"
+            )
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"mn_{c}", f"mx_{c}"
+        else:
+            aggs.append(f"min({c}) AS mn_{c}")
+            aggs.append(f"max({c}) AS mx_{c}")
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"mn_{c}", f"mx_{c}"
+        if kind == "str":
+            aggs.append(f"round(avg(length({c})), 6) AS ln_{c}")
+            ln = f"ln_{c}"
+        else:
+            ln = "CAST(NULL AS DOUBLE)"
+        arm = (
+            f"SELECT '{c}' AS \"column\", '{dt}' AS dtype, n_rows,"
+            f" nn_{c} AS n_null, nd_{c} AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {ms} AS min_str, {xs} AS max_str"
+        )
+        if with_len:
+            arm += f", {ln} AS avg_len"
+        arm += " FROM _prof"
+        arms.append(arm)
+    return (
+        f"(SELECT {', '.join(aggs)} FROM {src})",
+        "\nUNION ALL\n".join(arms),
+    )
+
+
+_PROF_AGG, _PROF_ARMS = _profile_sql("transcripts")
+ORACLES["table_profile"] = with_transcripts(
+    f"SELECT * FROM (\n{_PROF_ARMS}\n)",
+    [f"_prof AS {_PROF_AGG}"],
+)
+
+_PA_C, _AR_C = _profile_sql("transcripts", with_len=False)
+_PA_R, _AR_R = _profile_sql(
+    "(SELECT * FROM transcripts WHERE turn_idx < 6)", with_len=False
+)
+ORACLES["table_profile_drift"] = with_transcripts(
+    """SELECT
+  COALESCE(c."column", r."column") AS "column",
+  CASE WHEN c."column" IS NOT NULL AND r."column" IS NOT NULL THEN 'both'
+       WHEN c."column" IS NOT NULL THEN 'added' ELSE 'removed' END AS status,
+  COALESCE(c.dtype <> r.dtype, FALSE) AS dtype_drift,
+  CASE WHEN c."column" IS NOT NULL AND r."column" IS NOT NULL
+       THEN abs(c.n_null * r.n_rows - r.n_null * c.n_rows) * 1000000
+            > 10000 * c.n_rows * r.n_rows
+       ELSE FALSE END AS null_drift,
+  CASE WHEN c."column" IS NOT NULL AND r."column" IS NOT NULL
+       THEN abs(c.n_distinct * r.n_rows - r.n_distinct * c.n_rows) * 1000000
+            > 50000 * c.n_rows * r.n_rows
+       ELSE FALSE END AS distinct_drift,
+  CASE WHEN c."column" IS NOT NULL AND r."column" IS NOT NULL
+       THEN COALESCE((c.min_num < r.min_num) OR (c.max_num > r.max_num),
+                     (c.min_str < r.min_str) OR (c.max_str > r.max_str),
+                     FALSE)
+       ELSE FALSE END AS range_drift
+FROM cur c FULL OUTER JOIN ref r ON c."column" = r."column\"""",
+    [
+        f"_prof AS {_PA_C}",
+        f"cur AS (\n{_AR_C}\n)",
+        f"_prof2 AS {_PA_R}",
+        f"ref AS (\n{_AR_R.replace('_prof', '_prof2')}\n)",
+    ],
+)
+
+ORACLES["rollup_anomalies"] = """WITH r AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) AS window_start_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, window_start_us, n_events,
+         CAST(count(n_events) OVER tw AS BIGINT) AS k,
+         CAST(sum(n_events) OVER tw AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) OVER tw AS BIGINT) AS q
+  FROM r
+  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_us
+                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start_us, n_events, k AS trail_n,
+       CASE WHEN k = 4 AND (4 * q - s * s) > 0
+            THEN round((4 * n_events - s)
+                 / sqrt(CAST(4 * (4 * q - s * s) AS DOUBLE) / 3), 6)
+       END AS zscore,
+       CASE WHEN k = 4
+            THEN CASE WHEN (4 * q - s * s) > 0
+                 THEN (4 * n_events - s) * (4 * n_events - s) * 3
+                      > 9 * 4 * (4 * q - s * s)
+                 ELSE 4 * n_events <> s END
+            ELSE FALSE END AS anomaly
+FROM w"""
+
+ORACLES["match_steps"] = with_transcripts(
+    """SELECT conv_id, turn_idx AS match_start, ti1 AS match_end
+FROM (
+  SELECT conv_id, turn_idx, event_type,
+         lead(event_type) OVER w AS et1,
+         lead(turn_idx) OVER w AS ti1
+  FROM (SELECT conv_id, turn_idx, event_type FROM parsed WHERE parse_ok)
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+WHERE event_type = 'view' AND et1 = 'click'""",
+    [PARSED_CTE],
+)
+
+ORACLES["funnel_reach"] = with_transcripts(
+    """SELECT s1.conv_id, s1.step_1, s2.step_2, s3.step_3,
+       CAST(CASE WHEN s1.step_1 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN s2.step_2 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN s3.step_3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS reached
+FROM s1 LEFT JOIN s2 ON s1.conv_id = s2.conv_id
+        LEFT JOIN s3 ON s1.conv_id = s3.conv_id""",
+    [
+        PARSED_CTE,
+        "g AS (SELECT conv_id, turn_idx, event_type FROM parsed"
+        " WHERE parse_ok)",
+        "s1 AS (SELECT conv_id, min(turn_idx) AS step_1 FROM g"
+        " WHERE event_type = 'view' GROUP BY conv_id)",
+        "s2 AS (SELECT g.conv_id, min(g.turn_idx) AS step_2 FROM g"
+        " JOIN s1 ON g.conv_id = s1.conv_id"
+        " WHERE g.event_type = 'click' AND g.turn_idx > s1.step_1"
+        " GROUP BY g.conv_id)",
+        "s3 AS (SELECT g.conv_id, min(g.turn_idx) AS step_3 FROM g"
+        " JOIN s2 ON g.conv_id = s2.conv_id"
+        " WHERE g.event_type = 'purchase' AND g.turn_idx > s2.step_2"
+        " GROUP BY g.conv_id)",
+    ],
+)
+
+ORACLES["latency_stats"] = with_transcripts(
+    """SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       min(delta) AS min_us, max(delta) AS max_us,
+       round(avg(delta), 6) AS avg_us,
+       round(quantile_cont(delta, 0.5), 6) AS p50_us,
+       round(quantile_cont(delta, 0.9), 6) AS p90_us,
+       round(quantile_cont(delta, 0.99), 6) AS p99_us
+FROM (
+  SELECT tool,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) AS delta
+  FROM transcripts
+)
+WHERE delta IS NOT NULL
+GROUP BY tool""",
 )
 
 ORACLES["parse_extract"] = with_transcripts(
@@ -1054,6 +1313,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pandas_counts": q_pipeline_pandas_counts,
         "pipeline_tree_counts": q_pipeline_tree_counts,
         "pipeline_checks": q_pipeline_checks,
+        "table_profile": q_table_profile,
+        "table_profile_drift": q_table_profile_drift,
+        "rollup_anomalies": q_rollup_anomalies,
+        "match_steps": q_match_steps,
+        "funnel_reach": q_funnel_reach,
+        "latency_stats": q_latency_stats,
     }
     out.update(entry_queries.QUERIES)
     out.update(tree_queries.QUERIES)

@@ -86,6 +86,11 @@ HEADLINE = [
     "enrich_interval",
     "events_rollup_hourly",
     "events_rollup_incremental",
+    "pipeline_checks",
+    "table_profile",
+    "rollup_anomalies",
+    "funnel_reach",
+    "latency_stats",
     "events_rollup_hll",
     "dedup_bloom_probe",
     "layout_zorder",

@@ -297,3 +297,49 @@ def rollup_merge(
         ).alias("value_sum_micro"),
     )
     return merged, old_seen.unionByName(novel)
+
+
+def latency_stats(
+    df: DataFrame,
+    by: str = "tool",
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-``by`` inter-turn latency distribution — the span-duration
+    metric of a trace pipeline (time from the previous turn to this
+    one, attributed to this turn's tool/role).
+
+    lag(ts) over the (key, order) window → delta in exact epoch
+    microseconds (BIGINT; the window reuses the same key exchange as
+    every sequencing window) → ONE groupBy(by) emitting count, min,
+    max, the exact mean in micro-units (sum/count computed as rounded
+    double), and exact linear-interpolation percentiles
+    (matches DuckDB quantile_cont). First turns have no predecessor
+    and are excluded.
+
+    Scale shape: the groupBy input is one BIGINT per turn; percentiles
+    are exact sort-based per group — at 10^12 turns swap F.percentile
+    for percentile_approx (t-digest, same plan shape, bounded memory)
+    or feed the deltas to the mergeable fixed-bin histogram in
+    functions/sketch.py.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key).orderBy(order_col)
+    delta = (us - F.lag(us).over(w)).alias("_delta_us")
+    d = df.select(F.col(by), delta).filter(F.col("_delta_us").isNotNull())
+    return d.groupBy(by).agg(
+        F.count("*").alias("n_spans"),
+        F.min("_delta_us").alias("min_us"),
+        F.max("_delta_us").alias("max_us"),
+        F.round(F.avg("_delta_us"), 6).alias("avg_us"),
+        *[
+            F.round(F.percentile("_delta_us", F.lit(p)), 6).alias(
+                f"p{int(p * 100)}_us"
+            )
+            for p in ps
+        ],
+    )
