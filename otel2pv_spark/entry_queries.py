@@ -877,14 +877,19 @@ def q_embed_hash(spark, sf_dir):
 
 
 def q_embed_hash_topk(spark, sf_dir):
-    """Nearest neighbor by sparse inner product over the hashed
-    embedding components: inverted-index join on the feature bucket
-    (never all-pairs, never densified), integer-exact ranking.
-    dim=4096 keeps posting lists short — pair volume is
-    Σ_b |posting(b)|², so the hashing dimension is the sparsity knob
-    (dim=16 here would BE the all-pairs join)."""
-    comp = ts.hashed_components(_docs(spark, sf_dir), dim=4096)
-    return sim.sparse_dot_topk(comp, k=1)
+    """Nearest neighbors by sparse inner product over the hashed
+    embedding components for a bounded QUERY set (doc_id % 100 == 0)
+    against the whole corpus: inverted-index join on the feature
+    bucket, integer-exact ranking. The query restriction is what keeps
+    this linear in the corpus — the fixture vocabulary is tiny (~31
+    words), so every feature is hot and an UNRESTRICTED posting-list
+    self-join is Σ_b |posting(b)|² ≈ all-pairs whatever the hashing
+    dimension (measured: 200 s at sf0.1 vs ~2 s restricted); dense
+    corpus×corpus top-k belongs to the LSH/IVF candidate paths."""
+    docs = _docs(spark, sf_dir)
+    comp = ts.hashed_components(docs, dim=4096)
+    q = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    return sim.sparse_dot_topk(comp, k=1, queries=q)
 
 
 def q_text_lm_backoff(spark, sf_dir):
@@ -1608,6 +1613,7 @@ p AS (
   SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
          CAST(sum(a.val * b.val) AS BIGINT) AS dot
   FROM s a JOIN s b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % 100 = 0
   GROUP BY a.doc_id, b.doc_id
 ),
 r AS (

@@ -706,6 +706,7 @@ def sparse_dot_topk(
     bucket_col: str = "bucket",
     val_col: str = "val",
     max_posting: int | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted-index sparse inner-product top-k: nearest neighbors by
     dot product over a sparse (id, bucket, val) component table (e.g.
@@ -731,6 +732,17 @@ def sparse_dot_topk(
     buckets whose posting list exceeds it before the join — the classic
     stop-feature / prefix-filtering guard (changes results for pairs
     whose ONLY shared features were dropped; exact when None).
+
+    ``queries`` (a DataFrame with ``id_col``) restricts the QUERY side
+    to those ids — the retrieval shape. This is the knob that keeps the
+    op scalable when the corpus is feature-DENSE (tiny vocabulary, hot
+    features in every document): all-pairs pair volume is
+    Σ_b |posting(b)|² and no hashing dimension can fix it, because a
+    hot FEATURE's posting list is its document frequency whatever the
+    bucket count; query-restricted volume is Σ_b |Q_b|·|posting(b)|,
+    linear in the corpus for a bounded query set. Corpus×corpus top-k
+    over a dense corpus is inherently quadratic — route THAT through
+    the LSH/IVF candidate paths instead.
     """
     if max_posting is not None:
         hot = (
@@ -746,7 +758,12 @@ def sparse_dot_topk(
     # does not reuse self-join exchanges (the LSH band-table lesson):
     # materialize it once instead of re-running the upstream reduction.
     components = components.localCheckpoint()
-    a = components.select(
+    qside = components
+    if queries is not None:
+        qside = components.join(
+            F.broadcast(queries.select(id_col).distinct()), id_col, "left_semi"
+        )
+    a = qside.select(
         F.col(id_col).alias("query_id"),
         F.col(bucket_col).alias("_b"),
         F.col(val_col).alias("_va"),

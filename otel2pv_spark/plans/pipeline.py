@@ -75,6 +75,12 @@ class PipelineConfig:
 
     out_root: str = "/tmp/otel2pv_out"
     use_pandas_parse: bool = False
+    # extraction rule set for the parse stage (None = default_rules).
+    # Replayable config: fixing a rule and re-running the DLQ is
+    # replay_rejects() — the reference's reprocess-the-dead-letter
+    # workflow (invalid messages park with their raw payload,
+    # Server/consumers.go:776-790, and re-enter after a config fix).
+    parse_rules: list | None = None
     seq_array_mode: bool = True            # outputAppSequenceFieldType, sequencer.go:251
     seq_out_col: str = "previous_event_ids"
     seq_id_map_col: str | None = None      # outputAppFieldSequenceIdMap
@@ -239,7 +245,9 @@ def build_single_pass(
     per-input-partition lineage; invalid rows carry ``reject_reason``
     and a reserved reject sink."""
     df = transcripts.withColumn("src_partition_id", F.spark_partition_id())
-    parsed = parse_op.parse(df, use_pandas=cfg.use_pandas_parse)
+    parsed = parse_op.parse(
+        df, rules=cfg.parse_rules, use_pandas=cfg.use_pandas_parse
+    )
 
     if cfg.tree_mode:
         # General-tree plan: the Arrow DFS kernel is a genuine second
@@ -507,4 +515,48 @@ def run_incremental(
         "recomputed_convs": keys.count(),
         "wall_sec": wall,
         "committed": man.committed_steps(),
+    }
+
+
+def replay_rejects(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+) -> dict:
+    """Re-drive the DLQ after a config fix — the batch form of the
+    reference's reprocess-the-dead-letter workflow (invalid messages
+    park with their raw payload and re-enter once the extractor config
+    is corrected, Server/consumers.go:776-790).
+
+    Because prev-links are conversation-scoped, a parked row cannot be
+    re-sequenced in isolation: its recovery changes its NEIGHBORS'
+    links too (a recovered turn un-resets the gap after it). So replay
+    = read the committed rejects table, take the DISTINCT affected
+    conversations, and run the incremental recompute over exactly
+    those conversations under the NEW ``cfg`` (fixed ``parse_rules``)
+    — giving tables bit-identical to a from-scratch run with the fixed
+    config (run_incremental's invariant). Conversations whose rows
+    still fail simply land back in the rejects table.
+
+    Scale shape: the rejects read is a tiny table; the recompute scans
+    only affected conversations (semi-join pushdown / Iceberg
+    snapshot-diff at the real target); the merge is replace_keys.
+    """
+    cat = Catalog(spark, cfg.out_root)
+    # materialize the key set BEFORE the merge: the incremental run
+    # atomically replaces the rejects table these keys are derived
+    # from, and a lazy plan would re-read the deleted files afterwards
+    # (Iceberg analog: pin the snapshot the keys came from).
+    rejected_convs = (
+        cat.read("rejects").select("conv_id").distinct().localCheckpoint()
+    )
+    n_convs = rejected_convs.count()
+    if n_convs == 0:
+        return {"rejects_before_convs": 0, "recomputed_convs": 0}
+    res = run_incremental(spark, transcripts, cfg, rejected_convs)
+    remaining = cat.read("rejects").count()
+    return {
+        **res,
+        "rejects_before_convs": n_convs,
+        "rejects_after_rows": remaining,
     }

@@ -299,3 +299,57 @@ class Catalog:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
+
+    # ----------------------------------------------------------- bucketing
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: str,
+        n_buckets: int = 32,
+        sort_by: tuple[str, ...] | None = None,
+    ) -> str:
+        """Write ``table`` hash-bucketed on ``bucket_by`` (optionally
+        sorted within buckets) and register it in the session catalog —
+        the layout that makes every later equi-join / groupBy on the
+        bucket key SHUFFLE-FREE: two tables bucketed on the same key
+        with the same bucket count sort-merge-join with zero Exchange
+        on either side (asserted in tests), and with ``sort_by`` on the
+        join key the per-task sort disappears too.
+
+        This is how the 10^12-turn deployment co-locates the sequenced
+        table with per-conversation side tables (tree edges, verify
+        output, incremental deltas): pay the conv_id shuffle ONCE at
+        write time, never again across runs. Iceberg analog: a
+        ``bucket(N, conv_id)`` partition transform + sorted data files
+        with storage-partitioned joins; the parquet stand-in uses the
+        session-catalog bucketed-table support (metadata lives in the
+        session catalog, so a NEW session must re-register — Iceberg
+        makes it durable).
+
+        Returns the registered table identifier.
+        """
+        ident = "o2pv_" + "".join(
+            ch if ch.isalnum() else "_" for ch in table
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        path = self.path(table + ".bucketed")
+        shutil.rmtree(path, ignore_errors=True)
+        w = (
+            df.write.format(self.fmt)
+            .mode("overwrite")
+            .bucketBy(n_buckets, bucket_by)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.option("path", path).saveAsTable(ident)
+        return ident
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Read a table written by ``write_bucketed`` WITH its bucket
+        metadata (a plain parquet read of the same files would lose the
+        layout and reintroduce the shuffle)."""
+        ident = "o2pv_" + "".join(
+            ch if ch.isalnum() else "_" for ch in table
+        )
+        return self.spark.table(ident)
