@@ -623,6 +623,36 @@ def q_funnel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleene-plus CEP: maximal runs of >= 2 CONSECUTIVE error turns
+    per conversation (gaps-and-islands over the conv_id exchange) —
+    the error-burst alert a log pipeline pages on."""
+    from otel2pv_spark.operators import pattern as pat_op
+
+    return pat_op.match_runs(
+        _parsed_good(spark, sf_dir), "event_type = 'error'", min_len=2
+    )
+
+
+def q_events_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention overlap from sketches: per event_type, distinct users
+    active in the first half of the month AND the second, by HLL
+    inclusion-exclusion — the register-level union is exact (per-
+    register MAX), only the three estimates are approximate; both
+    inputs stay bounded register states at any user cardinality."""
+    ev = datagen.load_events(spark, sf_dir).withColumn(
+        "u", F.col("user_id").cast("string")
+    )
+    cut = "2024-01-16"
+    a = sketch_fn.hll_state(
+        ev.filter(F.col("ts") < cut), ("event_type",), "u"
+    )
+    b = sketch_fn.hll_state(
+        ev.filter(F.col("ts") >= cut), ("event_type",), "u"
+    )
+    return sketch_fn.hll_intersect_estimate(a, b, ("event_type",))
+
+
 def q_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool inter-turn latency distribution (span durations): lag
     on the conv_id window → exact micro deltas → one groupBy with
@@ -856,6 +886,35 @@ FROM s1 LEFT JOIN s2 ON s1.conv_id = s2.conv_id
         " WHERE g.event_type = 'purchase' AND g.turn_idx > s2.step_2"
         " GROUP BY g.conv_id)",
     ],
+)
+
+ORACLES["error_bursts"] = with_transcripts(
+    """SELECT conv_id, min(turn_idx) AS run_start, max(turn_idx) AS run_end,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM (
+  SELECT conv_id, turn_idx, _rn,
+         _rn - row_number() OVER (PARTITION BY conv_id ORDER BY _rn)
+           AS _island
+  FROM (
+    SELECT conv_id, turn_idx, event_type,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS _rn
+    FROM parsed WHERE parse_ok
+  )
+  WHERE event_type = 'error'
+)
+GROUP BY conv_id, _island
+HAVING count(*) >= 2""",
+    [PARSED_CTE],
+)
+
+ORACLES["events_hll_intersect"] = sketch_fn.hll_intersect_oracle_sql(
+    "SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events"
+    " WHERE ts < TIMESTAMP '2024-01-16'",
+    "SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events"
+    " WHERE ts >= TIMESTAMP '2024-01-16'",
+    "event_type",
+    "u",
 )
 
 ORACLES["latency_stats"] = with_transcripts(
@@ -1318,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_anomalies": q_rollup_anomalies,
         "match_steps": q_match_steps,
         "funnel_reach": q_funnel_reach,
+        "error_bursts": q_error_bursts,
+        "events_hll_intersect": q_events_hll_intersect,
         "latency_stats": q_latency_stats,
     }
     out.update(entry_queries.QUERIES)

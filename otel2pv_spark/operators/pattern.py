@@ -115,3 +115,45 @@ def funnel(
         *[f"step_{i}" for i in range(1, len(steps) + 1)],
         reached.cast("int").alias("reached"),
     )
+
+
+def match_runs(
+    df: DataFrame,
+    pred: Column | str,
+    min_len: int = 2,
+    by: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Maximal runs of >= ``min_len`` CONSECUTIVE rows satisfying
+    ``pred`` (per key, in stream order) — the Kleene-plus complement of
+    ``match_steps`` and the classic ops alert ("3+ consecutive errors
+    in one conversation").
+
+    Gaps-and-islands with two row_numbers over the SAME key partition:
+    rows where pred holds get island id rn_all − rn_pred, one groupBy
+    emits (key, run_start, run_end, run_len) per maximal island. Both
+    windows and the groupBy share the one key exchange; per-task state
+    is two counters, so a 10^7-turn conversation streams through
+    without materializing anything per-run.
+    """
+    w = Window.partitionBy(by).orderBy(order_col)
+    p = _as_col(pred)
+    marked = df.select(
+        by,
+        F.col(order_col),
+        p.alias("_p"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    hits = marked.filter(F.col("_p")).withColumn(
+        "_island",
+        F.col("_rn")
+        - F.row_number().over(Window.partitionBy(by).orderBy("_rn")),
+    )
+    runs = hits.groupBy(by, "_island").agg(
+        F.min(order_col).alias("run_start"),
+        F.max(order_col).alias("run_end"),
+        F.count("*").cast("bigint").alias("run_len"),
+    )
+    return runs.filter(F.col("run_len") >= min_len).select(
+        by, "run_start", "run_end", "run_len"
+    )

@@ -205,3 +205,52 @@ def test_plan_shapes(spark):
     # the window must be keyed (hashpartitioning on k), never global
     assert "SinglePartition" not in aplan
     assert "hashpartitioning(k" in aplan
+
+
+def test_match_runs_golden(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "e"), ("c1", 1, "e"), ("c1", 2, "x"),
+            ("c1", 3, "e"), ("c1", 5, "e"), ("c1", 6, "e"),  # idx gap ok
+            ("c2", 0, "e"),                                   # lone: < min
+            ("c3", 0, "x"), ("c3", 1, "e"), ("c3", 2, "e"),
+        ],
+        "conv_id string, turn_idx int, x string",
+    )
+    out = sorted(
+        (r.conv_id, r.run_start, r.run_end, r.run_len)
+        for r in pat.match_runs(df, "x = 'e'", min_len=2).collect()
+    )
+    # runs are maximal and by stream adjacency (turn 3,5,6 is ONE run:
+    # turn 4 does not exist, so the rows are consecutive in stream)
+    assert out == [
+        ("c1", 0, 1, 2),
+        ("c1", 3, 6, 3),
+        ("c3", 1, 2, 2),
+    ]
+
+
+def test_hll_intersect_sanity(spark):
+    from otel2pv_spark.functions import sketch as sk
+
+    # A = 0..599, B = 300..899 → |A∩B| = 300, |A∪B| = 900
+    a = spark.range(0, 600).select(
+        F.lit("k").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b = spark.range(300, 900).select(
+        F.lit("k").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    sa = sk.hll_state(a, ("g",), "v")
+    sb = sk.hll_state(b, ("g",), "v")
+    r = sk.hll_intersect_estimate(sa, sb, ("g",)).collect()[0]
+    # p=8 standard error ~6.5% per estimate; allow a loose band
+    assert 400 <= r.n_a <= 800 and 400 <= r.n_b <= 800
+    assert 650 <= r.n_union <= 1150
+    assert 100 <= r.n_intersect_est <= 500
+    # disjoint sets clamp at 0 rather than going negative
+    c = spark.range(10_000, 10_600).select(
+        F.lit("k").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    sc = sk.hll_state(c, ("g",), "v")
+    r2 = sk.hll_intersect_estimate(sa, sc, ("g",)).collect()[0]
+    assert r2.n_intersect_est >= 0
