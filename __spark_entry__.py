@@ -623,6 +623,25 @@ def q_funnel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key census: top-5 tool values with exact corpus share — the
+    pre-flight diagnostic for choosing the skew path (map-side-combined
+    count, broadcast total, shared two-level top-k; the '' pseudo-tool
+    holding ~2/3 of rows is exactly the hot key it exists to expose)."""
+    from otel2pv_spark.operators import profile as prof_op
+
+    return prof_op.key_skew(_tr(spark, sf_dir), key="tool", k=5)
+
+
+def q_suggested_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion from the table profile (the bootstrap half
+    of the quality gate): profile a known-good batch once, enforce the
+    suggested suite on every future batch."""
+    from otel2pv_spark.operators import profile as prof_op
+
+    return prof_op.suggest_checks(prof_op.profile_table(_tr(spark, sf_dir)))
+
+
 def q_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleene-plus CEP: maximal runs of >= 2 CONSECUTIVE error turns
     per conversation (gaps-and-islands over the conv_id exchange) —
@@ -886,6 +905,40 @@ FROM s1 LEFT JOIN s2 ON s1.conv_id = s2.conv_id
         " WHERE g.event_type = 'purchase' AND g.turn_idx > s2.step_2"
         " GROUP BY g.conv_id)",
     ],
+)
+
+ORACLES["key_skew"] = with_transcripts(
+    """SELECT tool, n, share_ppm, CAST(rank AS INT) AS rank
+FROM (
+  SELECT tool, n,
+         CAST(floor(n * 1000000 / total) AS BIGINT) AS share_ppm,
+         row_number() OVER (ORDER BY n DESC, tool ASC) AS rank
+  FROM c, t
+)
+WHERE rank <= 5""",
+    [
+        "c AS (SELECT tool, CAST(count(*) AS BIGINT) AS n"
+        " FROM transcripts GROUP BY tool)",
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)",
+    ],
+)
+
+ORACLES["suggested_checks"] = with_transcripts(
+    """SELECT * FROM (
+  SELECT "column", 'not_null' AS kind, '' AS param FROM prof
+  WHERE n_null = 0 AND n_rows > 0
+  UNION ALL
+  SELECT "column", 'unique', '' FROM prof
+  WHERE n_distinct = n_rows - n_null AND n_rows > 0
+  UNION ALL
+  SELECT "column", 'accepted_values', 'n=' || CAST(n_distinct AS VARCHAR)
+  FROM prof
+  WHERE dtype = 'string' AND n_distinct <= 20 AND n_distinct > 0
+  UNION ALL
+  SELECT "column", 'min', CAST(min_num AS VARCHAR) FROM prof
+  WHERE min_num IS NOT NULL
+)""",
+    [f"_prof AS {_PROF_AGG}", f"prof AS (\n{_PROF_ARMS}\n)"],
 )
 
 ORACLES["error_bursts"] = with_transcripts(
@@ -1379,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_reach": q_funnel_reach,
         "error_bursts": q_error_bursts,
         "events_hll_intersect": q_events_hll_intersect,
+        "key_skew": q_key_skew,
+        "suggested_checks": q_suggested_checks,
         "latency_stats": q_latency_stats,
     }
     out.update(entry_queries.QUERIES)

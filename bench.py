@@ -90,6 +90,8 @@ HEADLINE = [
     "table_profile",
     "rollup_anomalies",
     "funnel_reach",
+    "error_bursts",
+    "events_hll_intersect",
     "latency_stats",
     "events_rollup_hll",
     "dedup_bloom_probe",

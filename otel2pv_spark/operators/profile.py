@@ -257,3 +257,101 @@ def anomaly_flags(
         zscore.alias("zscore"),
         flag.alias("anomaly"),
     )
+
+
+def key_skew(
+    df: DataFrame,
+    key: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` hottest values of ``key`` with their corpus share —
+    the diagnostic that decides whether the skew path
+    (``hot_block_size``, salting, AQE skew-join) is needed BEFORE a
+    job hits it: a key holding >1% of 10^12 rows is a 10^10-row window
+    partition.
+
+    One map-side-combined groupBy(key) (a hot key moves O(tasks)
+    partial counts, never its rows), a one-row total joined by
+    broadcast, then the shared two-level top-k — the global final
+    window sees <= k x P pre-ranked rows, never the key census.
+    share_ppm is exact integer floor(count * 1e6 / total).
+    """
+    from ..functions.topk import two_level_topk
+
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    shared = counts.join(F.broadcast(total))
+    ranked = two_level_topk(
+        shared,
+        [],
+        [F.col("n").desc(), F.col(key).asc()],
+        k,
+    )
+    return ranked.select(
+        key,
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(F.col("n") * F.lit(1_000_000) / F.col("_total"))
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def suggest_checks(profile: DataFrame, domain_max: int = 20) -> DataFrame:
+    """Constraint suggestion from a ``profile_table`` output — the
+    bootstrap half of the quality gate (profile a known-good batch
+    once, run the suggested suite against every future batch):
+
+    - 0 nulls observed            → suggest ``not_null``
+    - n_distinct == n_rows        → suggest ``unique``
+    - string with <= domain_max
+      distinct values             → suggest ``accepted_values``
+    - numeric                     → suggest ``min`` at the observed min
+
+    Pure column algebra over the #columns-row profile (driver-trivial
+    at any corpus size); emits (column, kind, param) rows directly
+    consumable as operators/checks.py Check specs. Suggestions are
+    observations, not guarantees — gate them through a human or a
+    holdout batch before enforcement (the Deequ caveat).
+    """
+    p = profile
+    rows_nonnull = F.col("n_rows") - F.col("n_null")
+    suggestions = [
+        F.when(
+            (F.col("n_null") == 0) & (F.col("n_rows") > 0),
+            F.struct(
+                F.lit("not_null").alias("kind"), F.lit("").alias("param")
+            ),
+        ),
+        F.when(
+            (F.col("n_distinct") == rows_nonnull) & (F.col("n_rows") > 0),
+            F.struct(F.lit("unique").alias("kind"), F.lit("").alias("param")),
+        ),
+        F.when(
+            (F.col("dtype") == "string")
+            & (F.col("n_distinct") <= domain_max)
+            & (F.col("n_distinct") > 0),
+            F.struct(
+                F.lit("accepted_values").alias("kind"),
+                F.concat(
+                    F.lit("n="), F.col("n_distinct").cast("string")
+                ).alias("param"),
+            ),
+        ),
+        F.when(
+            F.col("min_num").isNotNull(),
+            F.struct(
+                F.lit("min").alias("kind"),
+                F.col("min_num").cast("string").alias("param"),
+            ),
+        ),
+    ]
+    out = p.select(
+        "column",
+        F.explode(
+            F.filter(F.array(*suggestions), lambda s: s.isNotNull())
+        ).alias("_s"),
+    )
+    return out.select(
+        "column", F.col("_s.kind").alias("kind"), F.col("_s.param").alias("param")
+    )

@@ -254,3 +254,36 @@ def test_hll_intersect_sanity(spark):
     sc = sk.hll_state(c, ("g",), "v")
     r2 = sk.hll_intersect_estimate(sa, sc, ("g",)).collect()[0]
     assert r2.n_intersect_est >= 0
+
+
+def test_key_skew_golden(spark):
+    rows = [("hot", i) for i in range(80)] + [("a", 0), ("b", 0)] * 10
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = {r.k: r for r in prof.key_skew(df, "k", k=3).collect()}
+    assert out["hot"].rank == 1 and out["hot"].n == 80
+    assert out["hot"].share_ppm == 800_000
+    # ties broken by key asc
+    assert (out["a"].rank, out["b"].rank) == (2, 3)
+    assert out["a"].share_ppm == 100_000
+
+
+def test_suggest_checks_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x1", None),
+            (2, "b", "x2", 5.0),
+            (3, "a", "x3", 7.0),
+        ],
+        "id int, cat string, uid string, maybe double",
+    )
+    out = {
+        (r.column, r.kind): r.param
+        for r in prof.suggest_checks(prof.profile_table(df)).collect()
+    }
+    assert ("id", "not_null") in out and ("id", "unique") in out
+    assert ("id", "min") in out and out[("id", "min")] == "1.0"
+    assert out[("cat", "accepted_values")] == "n=2"
+    assert ("cat", "unique") not in out
+    assert ("maybe", "not_null") not in out  # has a null
+    assert ("maybe", "unique") in out        # 2 distinct over 2 non-null
+    assert ("uid", "unique") in out
