@@ -546,3 +546,85 @@ def stream_hll_state(
         .agg(F.max("rho").alias("rho"))
         .select(*_win_us(), *keys, "register", "rho")
     )
+
+
+def run_stream_anomaly(
+    event_stream: DataFrame,
+    state_path: str,
+    alerts_path: str,
+    checkpoint: str,
+    width: str = "1 day",
+    key: str = "event_type",
+    trail: int = 4,
+    nsigma: int = 3,
+    watermark_delay: str = "2 hours",
+    available_now: bool = False,
+):
+    """Live log-spike alerting: the streaming port of
+    ``profile.anomaly_flags``, sharing the batch operator VERBATIM so
+    the live and backfill paths can never disagree on what counts as
+    an anomaly (the same lambda-coherence rule as stream_hll_state).
+
+    stream_rollup finalizes (key, window) count rows in append mode at
+    the watermark; each foreachBatch unions the finalized delta with
+    the STORED rollup state, runs the exact-BIGINT trailing z-test
+    over the union, and appends (a) alert rows for anomalous NEW
+    windows and (b) the delta itself to the state. The trailing
+    baseline of a new window is always complete: append-mode windows
+    finalize in watermark order, so every earlier window of the same
+    key is already in state or in the same delta.
+
+    Per-batch cost: state is one row per (key, window) — bounded by
+    time-range x |keys|, independent of event volume; the anomaly
+    window runs over state+delta, never events. At-least-once caveat:
+    a replayed batch would re-append state rows (double-counting the
+    baseline); on the real target the state append is an Iceberg
+    MERGE on (key, window) for exactly-once — same mapping as the
+    catalog commit paths.
+    """
+    from ..operators.profile import anomaly_flags
+
+    roll = stream_rollup(
+        event_stream, width=width, watermark_delay=watermark_delay,
+        keys=(key,),
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        delta = batch.select(
+            key, "window_start_us", "n_events"
+        ).localCheckpoint()
+        if delta.isEmpty():
+            return
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if (
+                "PATH_NOT_FOUND" not in str(e)
+                and "Path does not exist" not in str(e)
+            ):
+                raise
+            state = delta.limit(0)
+        hist = state.unionByName(delta)
+        flags = anomaly_flags(
+            hist, "n_events", by=key, order_col="window_start_us",
+            trail=trail, nsigma=nsigma,
+        )
+        alerts = flags.filter(F.col("anomaly")).join(
+            delta.select(key, "window_start_us"),
+            [key, "window_start_us"],
+            "left_semi",
+        )
+        alerts.write.mode("append").parquet(alerts_path)
+        delta.write.mode("append").parquet(state_path)
+
+    writer = (
+        roll.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -471,3 +471,83 @@ def test_stream_hll_state_folds_into_batch_state(spark, tmp_path):
     # all-at-once estimate exactly
     assert len(e_merged) == 2
     assert e_merged.items() <= e_direct.items()
+
+
+def test_stream_anomaly_alerts_match_batch(spark, tmp_path):
+    """run_stream_anomaly flags the same windows the batch
+    anomaly_flags operator flags (restricted to watermark-finalized
+    windows), with the spike window alerted and constant-baseline
+    windows quiet — across MULTIPLE micro-batches over one stored
+    state table (maxFilesPerTrigger=1)."""
+    import pandas as pd
+
+    from otel2pv_spark.operators import aggregate as agg_op
+    from otel2pv_spark.operators.profile import anomaly_flags
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "an_src")
+    state = str(tmp_path / "an_state")
+    alerts = str(tmp_path / "an_alerts")
+    ckpt = str(tmp_path / "an_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # hourly counts for 'click': 2,2,2,2,8(spike),2 then a far-future
+    # row that pushes the watermark past everything above
+    counts = [2, 2, 2, 2, 8, 2]
+    eid = 0
+    for h, n in enumerate(counts):
+        rows = []
+        for i in range(n):
+            eid += 1
+            rows.append(
+                {"event_id": eid, "ts": pd.Timestamp(f"2026-01-01 {h:02d}:{10+i*5:02d}:00"),
+                 "user_id": 10 + i, "event_type": "click", "value": 1.0,
+                 "props": ""}
+            )
+        pd.DataFrame(rows).to_parquet(
+            f"{src}/f{h}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(f"{src}/f{h}.parquet", (time.time() + h,) * 2)
+    pd.DataFrame(
+        [{"event_id": 999, "ts": pd.Timestamp("2026-01-03 00:00:00"),
+          "user_id": 1, "event_type": "click", "value": 1.0, "props": ""}]
+    ).to_parquet(f"{src}/zz_future.parquet", index=False,
+                 coerce_timestamps="us", allow_truncated_timestamps=True)
+    os.utime(f"{src}/zz_future.parquet", (time.time() + 100,) * 2)
+
+    q = sp.run_stream_anomaly(
+        sp.read_events_stream(spark, src, max_files_per_trigger=1),
+        state_path=state, alerts_path=alerts, checkpoint=ckpt,
+        width="1 hour", trail=3, nsigma=3, watermark_delay="30 minutes",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.event_type, r.window_start_us)
+        for r in spark.read.parquet(alerts).collect()
+    }
+    state_windows = {
+        (r.event_type, r.window_start_us)
+        for r in spark.read.parquet(state).collect()
+    }
+    # batch recompute over the SAME finalized windows
+    ev = spark.read.parquet(src)
+    roll = agg_op.rollup_time_windows(ev, width="1 hour").select(
+        "event_type", "window_start_us", "n_events"
+    )
+    batch_flags = {
+        (r.event_type, r.window_start_us)
+        for r in anomaly_flags(
+            roll, "n_events", by="event_type",
+            order_col="window_start_us", trail=3, nsigma=3,
+        ).filter("anomaly").collect()
+        if (r.event_type, r.window_start_us) in state_windows
+    }
+    assert got == batch_flags
+    # the spike hour (04:00) is flagged; nothing else is
+    spike_us = int(pd.Timestamp("2026-01-01 04:00:00").value // 1000)
+    assert got == {("click", spike_us)}
+    # multiple micro-batches actually ran (state accumulated per batch)
+    assert len(state_windows) >= 5
