@@ -176,6 +176,37 @@ def q_enrich_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "tool", "window_id", "reason")
 
 
+def q_correlate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request/response correlation: every purchase within 2 h of a
+    same-user click, with exact BIGINT latency — via the binned
+    (key, bin) equi-join (each 2 h request interval lands in <= 2 bins;
+    never a per-user cross product). See enrich.request_response_join;
+    streaming.stream_correlate is the live twin."""
+    ev = datagen.load_events(spark, sf_dir)
+    return enrich_op.request_response_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_sec=7200,
+    )
+
+
+def q_correlate_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leftOuter half: clicks with NO purchase inside the horizon
+    (timed-out requests), emitted via the left-anti on matched request
+    ids. Live twin: stream_correlate(how='leftOuter') emits these as
+    the watermark passes each request's horizon."""
+    ev = datagen.load_events(spark, sf_dir)
+    out = enrich_op.request_response_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_sec=7200,
+        how="leftOuter",
+    )
+    return out.filter(F.col("resp_event_id").isNull()).select(
+        "user_id", "req_event_id", "req_ts_us"
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event log (2 h inactivity
     closes a session) — the batch analog of the reference's per-tree
@@ -1088,6 +1119,24 @@ sessions AS (
   FROM flagged
 )"""
 
+ORACLES["correlate_events"] = """
+SELECT c.user_id, c.event_id AS req_event_id, epoch_us(c.ts) AS req_ts_us,
+       p.event_id AS resp_event_id, epoch_us(p.ts) AS resp_ts_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS latency_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) < epoch_us(c.ts) + 7200000000
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
+
+ORACLES["correlate_timeouts"] = """
+SELECT c.user_id, c.event_id AS req_event_id, epoch_us(c.ts) AS req_ts_us
+FROM events c
+WHERE c.event_type = 'click' AND NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+    AND p.ts >= c.ts AND epoch_us(p.ts) < epoch_us(c.ts) + 7200000000)"""
+
 ORACLES["sessionize"] = f"""WITH {_SESSION_CTE}
 SELECT event_id, user_id, session_n,
        CAST(user_id AS VARCHAR) || '-' || CAST(session_n AS VARCHAR) AS session_id
@@ -1398,6 +1447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_route": q_enrich_route,
         "enrich_asof": q_enrich_asof,
         "enrich_interval": q_enrich_interval,
+        "correlate_events": q_correlate_events,
+        "correlate_timeouts": q_correlate_timeouts,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "session_window_stats": q_session_window_stats,

@@ -190,3 +190,84 @@ def interval_join(
         )
         .drop("_ij_bin")
     )
+
+
+def request_response_join(
+    requests: DataFrame,
+    responses: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    horizon_sec: int = 7200,
+    how: str = "inner",
+    bin_sec: int | None = None,
+) -> DataFrame:
+    """Correlate each response row to every request of the same key
+    within ``[req_ts, req_ts + horizon)`` — the request/response pairing
+    a log pipeline runs constantly (click->purchase attribution,
+    call->callback latency, send->ack matching). The batch half of a
+    lambda pair: ``streaming.stream_correlate`` is the live port with
+    identical semantics, so backfill and live attribution agree.
+
+    Built on the binned equi-join rewrite (``interval_join``): each
+    request is a fixed ``horizon``-wide interval, so it lands in at most
+    ``horizon/bin + 1`` bins (default bin = horizon: <= 2 copies) and the
+    match is a plain (key, bin) hash join — never a broadcast-nested-
+    loop, never a per-key cross product; AQE can skew-split a hot key's
+    bins. ``how="leftOuter"`` additionally emits requests with NO
+    response in the horizon (null response columns) — the timed-out
+    requests — via a left-anti on matched request ids (``id_col`` must
+    uniquely identify request rows).
+
+    Output: key, req_event_id, req_ts_us, resp_event_id, resp_ts_us,
+    latency_us (BIGINT micros end-to-end: exact, engine-portable).
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"request_response_join: how={how!r}")
+    horizon_us = int(horizon_sec) * 1_000_000
+    req = requests.select(
+        F.col(key_col),
+        F.col(id_col).alias("req_event_id"),
+        F.col(ts_col).cast("timestamp").alias("_rr_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) + horizon_us
+        ).alias("_rr_end"),
+    )
+    resp = responses.select(
+        F.col(key_col),
+        F.col(id_col).alias("resp_event_id"),
+        F.col(ts_col).cast("timestamp").alias("_rr_ts"),
+    )
+    pairs = interval_join(
+        resp,
+        req,
+        key_col=key_col,
+        ts_col="_rr_ts",
+        start_col="_rr_start",
+        end_col="_rr_end",
+        bin_sec=bin_sec if bin_sec is not None else int(horizon_sec),
+    )
+    matched = pairs.select(
+        key_col,
+        "req_event_id",
+        F.unix_micros("_rr_start").alias("req_ts_us"),
+        "resp_event_id",
+        F.unix_micros("_rr_ts").alias("resp_ts_us"),
+        (F.unix_micros("_rr_ts") - F.unix_micros("_rr_start")).alias("latency_us"),
+    )
+    if how == "inner":
+        return matched
+    resp_id_type = dict(responses.dtypes)[id_col]
+    unmatched = (
+        req.join(
+            matched.select("req_event_id"), "req_event_id", "left_anti"
+        ).select(
+            key_col,
+            "req_event_id",
+            F.unix_micros("_rr_start").alias("req_ts_us"),
+            F.lit(None).cast(resp_id_type).alias("resp_event_id"),
+            F.lit(None).cast("bigint").alias("resp_ts_us"),
+            F.lit(None).cast("bigint").alias("latency_us"),
+        )
+    )
+    return matched.unionByName(unmatched)

@@ -628,3 +628,73 @@ def run_stream_anomaly(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_correlate(
+    request_stream: DataFrame,
+    response_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    horizon_sec: int = 7200,
+    watermark_delay: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Live request/response correlation: the streaming port of
+    ``enrich.request_response_join``, as a NATIVE watermarked
+    stream-stream join — same output schema and pairing rule
+    (``req_ts <= resp_ts < req_ts + horizon``), so live attribution and
+    batch backfill agree (the module's standing lambda-coherence rule).
+
+    Both sides are watermarked and the join carries an event-time range
+    condition, which is exactly what Structured Streaming needs to
+    BOUND the join state itself: a buffered request is dropped once the
+    watermark passes ``req_ts + horizon``, a buffered response once it
+    passes ``resp_ts`` — state per side ~ arrival rate x (watermark
+    delay + horizon), independent of stream length. ``how="leftOuter"``
+    emits a request with null response columns once its horizon expires
+    below the watermark — live request-timeout alerts, the streaming
+    twin of the batch op's leftOuter.
+
+    Scale shape: the join is hash-partitioned on the equi-key across
+    executors (same exchange as every keyed stage); RocksDB state store
+    is the production knob for large horizons.
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"stream_correlate: how={how!r}")
+    req = (
+        request_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
+        .select(
+            F.col(key_col),
+            F.col(id_col).alias("req_event_id"),
+            F.col(ts_col).alias("_rr_req_ts"),
+        )
+    )
+    resp = (
+        response_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
+        .select(
+            F.col(key_col).alias("_rr_key"),
+            F.col(id_col).alias("resp_event_id"),
+            F.col(ts_col).alias("_rr_resp_ts"),
+        )
+    )
+    cond = (
+        (F.col(key_col) == F.col("_rr_key"))
+        & (F.col("_rr_resp_ts") >= F.col("_rr_req_ts"))
+        & (
+            F.col("_rr_resp_ts")
+            < F.col("_rr_req_ts") + F.expr(f"INTERVAL {int(horizon_sec)} SECOND")
+        )
+    )
+    return req.join(resp, cond, how).select(
+        key_col,
+        "req_event_id",
+        F.unix_micros("_rr_req_ts").alias("req_ts_us"),
+        "resp_event_id",
+        F.unix_micros("_rr_resp_ts").alias("resp_ts_us"),
+        (
+            F.unix_micros("_rr_resp_ts") - F.unix_micros("_rr_req_ts")
+        ).alias("latency_us"),
+    )

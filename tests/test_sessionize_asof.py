@@ -496,3 +496,57 @@ def test_rollup_merge_null_grain_and_null_users(spark):
     assert got == want
     # NULL users never enter the seen state
     assert all(r[-1] is not None for r in seen.collect())
+
+
+def test_request_response_join_golden(spark):
+    """Pairing rule goldens: inclusive start (resp at req ts matches),
+    exclusive horizon end (resp at req_ts + horizon does NOT), a
+    request matching several responses, a response matching several
+    requests, key isolation, and leftOuter emitting timed-out requests
+    with null response columns."""
+    from pyspark.sql import functions as F
+
+    from otel2pv_spark.operators import enrich as enrich_op
+
+    reqs = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:00:00"),  # r200 (same instant), r201
+            (1, 101, "2024-01-01 00:30:00"),  # r201 (shared); r202 at
+            #   exactly +1h -> horizon end is EXCLUSIVE, no match
+            (1, 102, "2024-01-01 10:00:00"),  # resp exactly at horizon: none
+            (2, 103, "2024-01-01 00:00:00"),  # other key: no resp at all
+        ],
+        "user_id int, event_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    resps = spark.createDataFrame(
+        [
+            (1, 200, "2024-01-01 00:00:00"),
+            (1, 201, "2024-01-01 00:45:00"),
+            (1, 202, "2024-01-01 01:30:00"),
+            (1, 203, "2024-01-01 11:00:00"),  # == req 102 ts + 1h horizon
+        ],
+        "user_id int, event_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    inner = enrich_op.request_response_join(
+        reqs, resps, horizon_sec=3600
+    )
+    got = sorted(
+        (r["req_event_id"], r["resp_event_id"], r["latency_us"])
+        for r in inner.collect()
+    )
+    assert got == [
+        (100, 200, 0),
+        (100, 201, 45 * 60 * 1_000_000),
+        (101, 201, 15 * 60 * 1_000_000),
+    ]
+
+    outer = enrich_op.request_response_join(
+        reqs, resps, horizon_sec=3600, how="leftOuter"
+    )
+    timed_out = sorted(
+        r["req_event_id"]
+        for r in outer.filter(F.col("resp_event_id").isNull()).collect()
+    )
+    assert timed_out == [102, 103]
+    assert outer.count() == 5  # 3 matches + 2 timeouts

@@ -551,3 +551,130 @@ def test_stream_anomaly_alerts_match_batch(spark, tmp_path):
     assert got == {("click", spike_us)}
     # multiple micro-batches actually ran (state accumulated per batch)
     assert len(state_windows) >= 5
+
+
+def _write_correlate_fixture(tmp_path):
+    """Hourly event files (distinct mtimes -> one micro-batch each):
+    clicks and purchases per user, some purchases inside the 1 h
+    horizon, some clicks with no purchase (timeouts), plus a far-future
+    click that drives the watermark past everything."""
+    import pandas as pd
+
+    src = str(tmp_path / "corr_src")
+    os.makedirs(src, exist_ok=True)
+
+    def ev(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": pd.Timestamp(ts), "user_id": uid,
+                "event_type": etype, "value": 1.0, "props": ""}
+
+    files = [
+        [ev(1000, "2026-01-01 00:05:00", 1, "click"),
+         ev(2000, "2026-01-01 00:35:00", 1, "purchase")],
+        [ev(1001, "2026-01-01 01:05:00", 2, "click"),
+         ev(2001, "2026-01-01 01:06:00", 2, "purchase"),
+         ev(2002, "2026-01-01 01:50:00", 2, "purchase")],  # 2nd match
+        [ev(1002, "2026-01-01 02:05:00", 1, "click")],      # timeout
+        [ev(1003, "2026-01-01 03:05:00", 2, "click"),
+         ev(2003, "2026-01-01 03:04:00", 2, "purchase"),    # BEFORE click
+         ev(2004, "2026-01-01 04:00:00", 2, "purchase")],   # cross-file OK
+        # flush files carry BOTH event types: the join's watermark is
+        # the MIN across the two input streams, so a click-only file
+        # would leave the response side's watermark (and with it the
+        # global one) stuck at the last purchase
+        [ev(9999, "2026-01-03 00:00:00", 9, "click"),
+         ev(8999, "2026-01-03 00:00:00", 8, "purchase")],
+        # second flush: state eviction (and leftOuter null emission)
+        # happens with the watermark of the PREVIOUS batch, so the
+        # outer rows for real requests need one more data batch
+        [ev(9998, "2026-01-05 00:00:00", 9, "click"),
+         ev(8998, "2026-01-05 00:00:00", 8, "purchase")],
+    ]
+    for i, rows in enumerate(files):
+        p = f"{src}/f{i}.parquet"
+        pd.DataFrame(rows).to_parquet(
+            p, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(p, (time.time() + i,) * 2)
+    return src
+
+
+def test_stream_correlate_matches_batch(spark, tmp_path):
+    """Native stream-stream join == batch request_response_join on the
+    same data (inner), across multiple micro-batches with cross-batch
+    matches; leftOuter flushes exactly the batch timeouts once the
+    watermark passes each request's horizon."""
+    from otel2pv_spark.operators import enrich as enrich_op
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = _write_correlate_fixture(tmp_path)
+
+    def reqs_resps(stream):
+        return (
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        )
+
+    # --- inner ---
+    out_i = str(tmp_path / "corr_inner")
+    joined = sp.stream_correlate(
+        *reqs_resps(sp.read_events_stream(spark, src, max_files_per_trigger=1)),
+        horizon_sec=3600, watermark_delay="2 hours",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_i)
+        .option("checkpointLocation", str(tmp_path / "corr_ckpt_i"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    ev = spark.read.parquet(src)
+    batch = enrich_op.request_response_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_sec=3600,
+    )
+    key = lambda r: (r.req_event_id, r.resp_event_id, r.latency_us)  # noqa: E731
+    got = sorted(key(r) for r in spark.read.parquet(out_i).collect())
+    want = sorted(key(r) for r in batch.collect())
+    assert got == want
+    # non-vacuous: same-batch, second-match, and cross-file matches all hit
+    assert {(1000, 2000), (1001, 2001), (1001, 2002), (1003, 2004)} <= {
+        (a, b) for a, b, _ in got
+    }
+    assert (1003, 2003) not in {(a, b) for a, b, _ in got}  # resp before req
+
+    # --- leftOuter: watermark-flushed timeouts ---
+    out_o = str(tmp_path / "corr_outer")
+    joined_o = sp.stream_correlate(
+        *reqs_resps(sp.read_events_stream(spark, src, max_files_per_trigger=1)),
+        horizon_sec=3600, watermark_delay="2 hours", how="leftOuter",
+    )
+    q2 = (
+        joined_o.writeStream.format("parquet")
+        .option("path", out_o)
+        .option("checkpointLocation", str(tmp_path / "corr_ckpt_o"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    outer = spark.read.parquet(out_o)
+    timeouts = sorted(
+        r.req_event_id for r in outer.filter("resp_event_id IS NULL").collect()
+    )
+    # click 1002 MUST time out (its horizon passed below the watermark
+    # with a data batch still to run); 9999 times out too iff the
+    # engine schedules a trailing no-data batch (scheduler detail, not
+    # semantics — both are true timeouts); 9998's horizon never clears
+    # the final watermark, and no MATCHED click may ever appear here
+    assert 1002 in timeouts
+    assert set(timeouts) <= {1002, 9999}
+    # matched pairs identical to the inner run
+    matched = sorted(
+        key(r) for r in outer.filter("resp_event_id IS NOT NULL").collect()
+    )
+    assert matched == want
