@@ -176,6 +176,27 @@ def q_enrich_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "tool", "window_id", "reason")
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDC between two synthesized states of the events table
+    (deletes = id%13, value updates = id%7, inserts = id%11): one
+    full-outer key join + codegen null-safe column compare — the
+    Iceberg changelog-scan stand-in. See operators.diff.snapshot_diff."""
+    from otel2pv_spark.operators import diff as diff_op
+
+    ev = datagen.load_events(spark, sf_dir)
+    old = ev.filter(F.col("event_id") % 11 != 0).select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.filter(F.col("event_id") % 13 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + 1)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return diff_op.snapshot_diff(old, new, ["event_id"])
+
+
 def q_correlate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Request/response correlation: every purchase within 2 h of a
     same-user click, with exact BIGINT latency — via the binned
@@ -1119,6 +1140,31 @@ sessions AS (
   FROM flagged
 )"""
 
+ORACLES["table_diff"] = """
+WITH old_t AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 11 != 0
+),
+new_t AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 13 != 0
+)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'insert'
+            WHEN n.event_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       CASE WHEN o.event_id IS NULL OR n.event_id IS NULL THEN ''
+            ELSE concat_ws(',',
+              CASE WHEN o.event_type IS DISTINCT FROM n.event_type
+                   THEN 'event_type' END,
+              CASE WHEN o.value IS DISTINCT FROM n.value
+                   THEN 'value' END)
+       END AS changed_cols
+FROM old_t o FULL OUTER JOIN new_t n ON o.event_id = n.event_id
+WHERE o.event_id IS NULL OR n.event_id IS NULL
+   OR o.event_type IS DISTINCT FROM n.event_type
+   OR o.value IS DISTINCT FROM n.value"""
+
 ORACLES["correlate_events"] = """
 SELECT c.user_id, c.event_id AS req_event_id, epoch_us(c.ts) AS req_ts_us,
        p.event_id AS resp_event_id, epoch_us(p.ts) AS resp_ts_us,
@@ -1447,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_route": q_enrich_route,
         "enrich_asof": q_enrich_asof,
         "enrich_interval": q_enrich_interval,
+        "table_diff": q_table_diff,
         "correlate_events": q_correlate_events,
         "correlate_timeouts": q_correlate_timeouts,
         "sessionize": q_sessionize,

@@ -1,0 +1,90 @@
+"""Snapshot diff — keyed change capture between two table states.
+
+The batch stand-in for Iceberg's changelog scan (`table_changes` /
+CDC read): given two states of the same table, emit one row per
+changed key with ``change`` in {insert, delete, update} and, for
+updates, the names of the columns that differ. The reference has no
+analog (its tables are queues), but every pipeline built on snapshots
+needs this the moment two runs must be reconciled — it is the
+table-level complement of the per-run ``_lineage`` metrics and the
+inverse of ``Catalog.replace_keys`` (which WRITES keyed changes;
+this READS them back out).
+
+Scale shape: ONE full-outer hash equi-join on the key columns — both
+sides shuffle on the key (or neither, on a `write_bucketed` layout:
+storage-partitioned join, zero Exchange), AQE skew-split applies, and
+the per-column comparison is pure codegen (null-safe equality into an
+array of changed names). Nothing is collected; output is bounded by
+the number of changed keys, not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table states.
+
+    Output: ``key_cols`` + ``change`` ('insert' | 'delete' | 'update')
+    + ``changed_cols`` (comma-joined sorted names of differing compare
+    columns; '' for inserts/deletes). Keys present in both states with
+    every compare column null-safe-equal produce NO row. ``key_cols``
+    must uniquely identify rows in each state (the usual CDC
+    primary-key contract).
+
+    ``compare_cols`` defaults to every non-key column the two states
+    share; columns only one side has are ignored (schema evolution:
+    an added column makes every carried-over row an update only if
+    listed explicitly).
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff: key_cols must be non-empty")
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - set(key_cols)
+        )
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(True).alias("_sd_in_old"),
+        *[F.col(c).alias(f"_sd_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(True).alias("_sd_in_new"),
+        *[F.col(c).alias(f"_sd_new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, on=key_cols, how="full_outer")
+    changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_sd_old_{c}").eqNullSafe(F.col(f"_sd_new_{c}")),
+                    F.lit(c),
+                )
+                for c in sorted(compare_cols)
+            ]
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("_sd_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_sd_in_new").isNull(), F.lit("delete"))
+            .when(F.size(changed) > 0, F.lit("update")),
+        )
+        .filter(F.col("change").isNotNull())
+        .withColumn(
+            "changed_cols",
+            F.when(
+                F.col("change") == "update", F.array_join(changed, ",")
+            ).otherwise(F.lit("")),
+        )
+        .select(*key_cols, "change", "changed_cols")
+    )

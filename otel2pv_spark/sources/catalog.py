@@ -141,6 +141,27 @@ class Catalog:
             raise ValueError(f"no snapshot v{version} of table {table!r}")
         return self.spark.read.parquet(src)
 
+    def diff(
+        self,
+        table: str,
+        key_cols: list[str],
+        old_version: int,
+        new_version: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Keyed change capture between two retained versions of a
+        table (``new_version=None`` = the current state) — the parquet
+        stand-in for Iceberg's changelog scan. See
+        ``operators.diff.snapshot_diff`` for semantics and scale shape."""
+        from ..operators.diff import snapshot_diff
+
+        return snapshot_diff(
+            self.read(table, version=old_version),
+            self.read(table, version=new_version),
+            key_cols,
+            compare_cols=compare_cols,
+        )
+
     # ------------------------------------------------- commit mechanics
     def _sweep_stale(self, table: str) -> None:
         """Remove leftover staging/old dirs from a crashed previous

@@ -85,3 +85,69 @@ class TestSnapshots:
         # the archive lives under _snapshots/, away from table paths
         assert not cat.exists("t.v1")
         assert os.path.isdir(os.path.join(str(tmp_path / "cat"), "_snapshots", "t"))
+
+
+class TestSnapshotDiff:
+    def test_snapshot_diff_golden(self, spark):
+        """insert / delete / update classification, changed-column
+        names, null-safe compare (NULL == NULL is unchanged,
+        NULL vs value is a change), unchanged keys absent."""
+        from otel2pv_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame(
+            [
+                (1, "a", 10),       # unchanged
+                (2, "b", 20),       # value updated
+                (3, None, 30),      # NULL == NULL -> unchanged
+                (4, "d", 40),       # deleted
+                (5, None, 50),      # NULL -> value: update
+            ],
+            "k int, s string, v int",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "a", 10),
+                (2, "b", 21),
+                (3, None, 30),
+                (5, "e", 51),       # both columns change
+                (6, "f", 60),       # inserted
+            ],
+            "k int, s string, v int",
+        )
+        got = sorted(
+            (r.k, r.change, r.changed_cols)
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        )
+        assert got == [
+            (2, "update", "v"),
+            (4, "delete", ""),
+            (5, "update", "s,v"),
+            (6, "insert", ""),
+        ]
+
+    def test_snapshot_diff_explicit_compare_cols(self, spark):
+        from otel2pv_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 10)], "k int, s string, v int")
+        new = spark.createDataFrame([(1, "a", 11)], "k int, s string, v int")
+        # v not compared -> no change row at all
+        assert snapshot_diff(old, new, ["k"], compare_cols=["s"]).count() == 0
+
+    def test_catalog_diff_between_versions(self, spark, tmp_path):
+        """Catalog.diff = changelog scan between two retained versions
+        (and vs the current state)."""
+        from pyspark.sql import functions as F
+
+        cat = Catalog(spark, str(tmp_path / "cat"), keep_snapshots=3)
+        v1 = spark.range(4).select("id", F.lit("x").alias("tag"))
+        v2 = spark.range(1, 5).select(  # drop id=0, add id=4
+            "id",
+            F.when(F.col("id") == 2, "y").otherwise("x").alias("tag"),
+        )
+        cat.write(v1, "t")
+        cat.write(v2, "t")
+        got = sorted(
+            (r.id, r.change)
+            for r in cat.diff("t", ["id"], old_version=1).collect()
+        )
+        assert got == [(0, "delete"), (2, "update"), (4, "insert")]
