@@ -28,6 +28,7 @@ from otel2pv_spark.operators import parse as parse_op  # noqa: E402
 from otel2pv_spark.operators import sequence as seq_op  # noqa: E402
 from otel2pv_spark.operators import validate as validate_op  # noqa: E402
 from otel2pv_spark.operators import verify as verify_op  # noqa: E402
+from otel2pv_spark.plans import analytics  # noqa: E402
 from otel2pv_spark.plans import pipeline  # noqa: E402
 from otel2pv_spark.operators import sessionize as session_op  # noqa: E402
 from otel2pv_spark.operators import aggregate as agg_op  # noqa: E402
@@ -174,6 +175,36 @@ def q_enrich_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
     )
     return out.select("conv_id", "turn_idx", "tool", "window_id", "reason")
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shape full-scan aggregate over lineitem: one map-side-combined
+    hash agg, money math in exact BIGINT micro-units (see
+    plans/analytics.py)."""
+    t = analytics.load_tpch(spark, sf_dir, "lineitem")
+    return analytics.pricing_summary(t["lineitem"])
+
+
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape dim->fact broadcast chain + two-level global top-10."""
+    t = analytics.load_tpch(spark, sf_dir, "customer", "orders", "lineitem")
+    return analytics.shipping_priority(t["customer"], t["orders"], t["lineitem"])
+
+
+def q_tpch_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shape star join: region->nation->supplier/customer broadcast
+    chain, ONE fact scan, zero fact-sized shuffles before the agg."""
+    t = analytics.load_tpch(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+    )
+    return analytics.revenue_by_nation(t)
+
+
+def q_tpch_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shape aggregate-then-argmax via a one-row broadcast max."""
+    t = analytics.load_tpch(spark, sf_dir, "lineitem", "supplier")
+    return analytics.top_suppliers(t["lineitem"], t["supplier"])
 
 
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,6 +1171,77 @@ sessions AS (
   FROM flagged
 )"""
 
+_DP_SQL = (
+    "(CAST(round(l_extendedprice * 1e6) AS BIGINT)"
+    " * (1000000 - CAST(round(l_discount * 1e6) AS BIGINT))) // 1000000"
+)
+
+ORACLES["tpch_pricing"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_qty_micro,
+       CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_micro,
+       CAST(sum({_DP_SQL}) AS BIGINT) AS sum_disc_price_micro,
+       CAST(sum((({_DP_SQL}) *
+            (1000000 + CAST(round(l_tax * 1e6) AS BIGINT))) // 1000000)
+         AS BIGINT) AS sum_charge_micro,
+       CAST(sum(CAST(round(l_discount * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_discount_micro,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+ORACLES["tpch_shipping"] = f"""
+WITH rev AS (
+  SELECT l.l_orderkey,
+         CAST(sum({_DP_SQL}) AS BIGINT) AS revenue_micro,
+         epoch_us(o.o_orderdate) AS o_orderdate_us,
+         o.o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT l_orderkey, revenue_micro, o_orderdate_us, o_orderpriority,
+       CAST(row_number() OVER (ORDER BY revenue_micro DESC, l_orderkey)
+         AS INTEGER) AS "rank"
+FROM rev
+ORDER BY revenue_micro DESC, l_orderkey
+LIMIT 10"""
+
+ORACLES["tpch_revenue_nation"] = f"""
+SELECT n.n_name,
+       CAST(sum({_DP_SQL}) AS BIGINT) AS revenue_micro
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name"""
+
+ORACLES["tpch_top_suppliers"] = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum({_DP_SQL}) AS BIGINT) AS total_revenue_micro
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_micro
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue_micro = (SELECT max(total_revenue_micro) FROM rev)"""
+
 ORACLES["table_diff"] = """
 WITH old_t AS (
   SELECT event_id, event_type, value FROM events WHERE event_id % 11 != 0
@@ -1493,6 +1595,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_route": q_enrich_route,
         "enrich_asof": q_enrich_asof,
         "enrich_interval": q_enrich_interval,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_shipping": q_tpch_shipping,
+        "tpch_revenue_nation": q_tpch_revenue_nation,
+        "tpch_top_suppliers": q_tpch_top_suppliers,
         "table_diff": q_table_diff,
         "correlate_events": q_correlate_events,
         "correlate_timeouts": q_correlate_timeouts,

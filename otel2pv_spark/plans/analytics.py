@@ -1,0 +1,203 @@
+"""Analytical query shapes over the relational side tables.
+
+The driver's testdata ships TPC-H-ish tables (lineitem / orders /
+customer / supplier / nation / region / part) alongside the transcript
+carrier; these four queries exercise the classic OLAP plan shapes on
+them — each one is a distinct physical pattern the engine must get
+right at 100 TB, and each is written so Catalyst produces exactly that
+pattern (asserted in tests/test_analytics.py):
+
+1. ``pricing_summary`` — the full-scan aggregate: one map-side-combined
+   hash aggregate over the fact table, zero joins, grouping cardinality
+   O(flags x statuses). The only exchange carries pre-aggregated rows.
+2. ``shipping_priority`` — selective dim -> fact: the filtered customer
+   segment broadcasts into orders, the surviving orders broadcast into
+   lineitem (both sides pruned BEFORE the fact scan's join), one
+   aggregate on the fact's join key, global top-k via the shared
+   two-level pattern (never a full sort).
+3. ``revenue_by_nation`` — the star join: region -> nation -> supplier
+   chain of broadcasts onto the lineitem x orders x customer spine,
+   with the Q5 twist (customer and supplier must share a nation)
+   applied as a codegen filter after the broadcasts.
+4. ``top_suppliers`` — aggregate-then-argmax: per-supplier revenue,
+   global max as a one-row broadcast joined back (no window over the
+   whole aggregate, no second scan of the fact).
+
+All money math is row-locally quantized to BIGINT micro-units before
+any cross-row sum (the repo-wide exactness doctrine: integer sums are
+associative, so results are identical across engines, partitionings
+and parallelism levels — a raw DOUBLE sum is none of those). Derived
+terms stay in integers end-to-end:
+
+    disc_price = price * (1 - disc)  ->  p_mi * (1e6 - d_mi) DIV 1e6
+    charge     = disc_price * (1+tax) -> dp_mi * (1e6 + t_mi) DIV 1e6
+
+Peak intermediate ~ 1e17 (price 1e5 -> 1e11 micro, x 1e6), inside
+BIGINT with three orders of magnitude to spare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.topk import two_level_topk
+
+MICRO = 1_000_000
+
+
+def _mi(col: str):
+    """Row-local micro-unit quantization (same rule as
+    ``operators.aggregate._value_micro``)."""
+    return F.round(F.col(col) * 1e6).cast("bigint")
+
+
+def load_tpch(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
+
+
+_DISC_PRICE_SQL = (
+    f"(CAST(round(l_extendedprice * 1e6) AS BIGINT)"
+    f" * ({MICRO} - CAST(round(l_discount * 1e6) AS BIGINT))) DIV {MICRO}"
+)
+
+
+def _disc_price_mi():
+    return F.expr(_DISC_PRICE_SQL).cast("bigint")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Q1 shape: one pass, one map-side-combined aggregate. Averages are
+    emitted as (sum, count) pairs — exact, mergeable, and the caller can
+    divide at display time."""
+    dp = _disc_price_mi()
+    charge = F.expr(
+        f"(({_DISC_PRICE_SQL}) * "
+        f"({MICRO} + CAST(round(l_tax * 1e6) AS BIGINT))) DIV {MICRO}"
+    ).cast("bigint")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_mi("l_quantity")).alias("sum_qty_micro"),
+            F.sum(_mi("l_extendedprice")).alias("sum_base_price_micro"),
+            F.sum(dp).alias("sum_disc_price_micro"),
+            F.sum(charge).alias("sum_charge_micro"),
+            F.sum(_mi("l_discount")).alias("sum_discount_micro"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """Q3 shape: the selective dims broadcast INTO the fact scan (a
+    1.5k-row segment slice and the surviving orders both fit any
+    broadcast threshold at any SF where dims stay 1e-4 of the fact),
+    revenue aggregates on the fact's own join key, and the top-k runs
+    two-level — partial per partition, final over <= k x P rows."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = (
+        orders.filter(F.col("o_orderdate") < F.lit(date).cast("timestamp"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    rev = (
+        lineitem.filter(F.col("l_shipdate") > F.lit(date).cast("timestamp"))
+        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price_mi()).alias("revenue_micro"))
+    )
+    return two_level_topk(
+        rev,
+        group_cols=[],
+        order_cols=[F.col("revenue_micro").desc(), F.col("l_orderkey").asc()],
+        k=k,
+    ).select(
+        "l_orderkey", "revenue_micro",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+        "o_orderpriority", "rank",
+    )
+
+
+def revenue_by_nation(
+    tables: dict[str, DataFrame],
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Q5 shape: region->nation restricts to a handful of keys, those
+    broadcast onto supplier AND customer, the customer slice broadcasts
+    into orders, and the single fact pass joins the (broadcast) order
+    and supplier sides — the whole star resolves with ONE fact-table
+    scan and zero fact-sized shuffles before the final tiny aggregate.
+    The Q5 identity (customer nation == supplier nation) lands as a
+    codegen equality filter."""
+    nat = (
+        tables["nation"]
+        .join(
+            F.broadcast(
+                tables["region"].filter(F.col("r_name") == region_name)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = tables["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = tables["customer"].join(
+        F.broadcast(nat.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    ords = (
+        tables["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    return (
+        tables["lineitem"]
+        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price_mi()).alias("revenue_micro"))
+    )
+
+
+def top_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Q15 shape: per-supplier quarter revenue, then the argmax WITHOUT
+    a global window or a second fact scan — the one-row max aggregate
+    broadcasts back onto the per-supplier aggregate (config-sized) and
+    an equality filter keeps the winners (plural on ties, same as the
+    reference query's subquery form)."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price_mi()).alias("total_revenue_micro"))
+    )
+    mx = rev.agg(F.max("total_revenue_micro").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue_micro") == F.col("_max_rev"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_micro")
+    )
