@@ -401,6 +401,29 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k rank sketch: per-event-type value quantiles read
+    off a 64-row-per-grain sample state built on the even/odd event_id
+    halves SEPARATELY and merged (bottom-k of unioned bottom-ks is
+    EXACTLY the global bottom-k, so the oracle recomputes single-pass
+    from scratch and the green row proves the merge lossless — the
+    same split/merge proof shape as events_hll_users). Values
+    pre-quantized to micro BIGINT; ranks by integer ceil — no float
+    anywhere."""
+    ev = datagen.load_events(spark, sf_dir).withColumn(
+        "value_micro", F.round(F.col("value") * 1e6).cast("bigint")
+    )
+    states = [
+        sketch_fn.kmv_state(
+            ev.filter(F.pmod("event_id", F.lit(2)) == i),
+            ("event_type",), "event_id", "value_micro", k=64,
+        )
+        for i in (0, 1)
+    ]
+    merged = sketch_fn.kmv_merge(states, ("event_type",), k=64)
+    return sketch_fn.kmv_quantiles(merged, ("event_type",))
+
+
 def q_events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintained continuous aggregate with SKETCHED distinct
     users: counts/sums merge through rollup_merge (old events never
@@ -1322,6 +1345,34 @@ GROUP BY 1, 2, 3"""
 
 ORACLES["events_rollup_incremental"] = ORACLES["events_rollup_hourly"]
 
+ORACLES["events_kmv_quantiles"] = """
+WITH pri AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#kmv-v1'),
+              1, 15)) AS BIGINT) AS priority,
+         CAST(round(value * 1e6) AS BIGINT) AS value
+  FROM events WHERE value IS NOT NULL
+),
+samp AS (
+  SELECT event_type, priority, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY priority, value) AS rn
+  FROM pri
+),
+st AS (SELECT * FROM samp WHERE rn <= 64),
+n AS (SELECT event_type, count(*) AS n_sample FROM st GROUP BY event_type),
+ranked AS (
+  SELECT s.event_type, s.value,
+         row_number() OVER (
+           PARTITION BY s.event_type ORDER BY s.value, s.priority) AS vr
+  FROM st s
+)
+SELECT r.event_type, q.q_permille, n.n_sample, r.value
+FROM ranked r
+JOIN n ON r.event_type = n.event_type
+CROSS JOIN (VALUES (500), (950), (990)) q(q_permille)
+WHERE r.vr = GREATEST((q.q_permille * n.n_sample + 999) // 1000, 1)"""
+
 # HLL oracles are generated next to the Spark formula (sketch.py) so the
 # two renderings of the estimator cannot drift; the inner SQL (grain +
 # hashed value) is written here, independently of the Spark query.
@@ -1609,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,
         "events_hll_users": q_events_hll_users,
+        "events_kmv_quantiles": q_events_kmv_quantiles,
         "events_rollup_hll": q_events_rollup_hll,
         "layout_zorder": q_layout_zorder,
         "conv_features": q_conv_features,

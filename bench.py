@@ -109,6 +109,11 @@ HEADLINE = [
     "dedup_survivors",
     "prep_sft_examples",
     "text_classifier_train",
+    "correlate_events",
+    "table_diff",
+    "tpch_pricing",
+    "tpch_shipping",
+    "events_kmv_quantiles",
 ]
 
 

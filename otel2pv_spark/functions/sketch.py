@@ -46,6 +46,9 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_estimate",
+    "kmv_state",
+    "kmv_merge",
+    "kmv_quantiles",
 ]
 
 _TWO33 = 1 << 33  # rho <= 33, so 2^(33-rho) is an exact BIGINT
@@ -546,3 +549,109 @@ def cms_estimate(
     return out.withColumn(
         out_col, F.when(F.col(key_col).isNotNull(), est)
     ).drop(*[f"_cnt{i}" for i in range(depth)])
+
+
+# --------------------------------------------------------------- KMV sample
+def kmv_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """Deterministic bottom-k row sample per key grain — the RANK
+    sketch next to HLL (distincts), Bloom (membership) and CMS
+    (frequencies): O(k) state per grain supporting quantile reads at
+    UNBOUNDED value cardinality, where the fixed-bin histogram needs a
+    known range and the exact percentile op needs per-distinct-value
+    state.
+
+    Every row draws a deterministic 60-bit priority from md5 of its
+    ``id_col`` (which must uniquely identify rows — the KMV/bottom-k
+    sampling rule: distinct ids give a uniform sample of ROWS); the
+    state is the k smallest-priority (priority, value) pairs per grain,
+    found with the shared two-level top-k (per-partition partial, final
+    over <= k x P rows — a hot grain never sorts in one task).
+
+    Mergeable and replay-idempotent: the bottom-k of a UNION of
+    bottom-k states is exactly the bottom-k of the union of their
+    inputs, and a replayed row reproduces its priority so the
+    dedup-on-(grain, priority, value) in ``kmv_merge`` absorbs it —
+    the same idempotence class as the HLL register MAX.
+
+    Quantile error: a k-sample's q-quantile misses the true rank by
+    O(sqrt(q(1-q)/k)) of the population (~3% of ranks at k=256,
+    q=0.5). Values should be pre-quantized integers (micro-units) so
+    reads are engine-exact.
+    """
+    from .topk import two_level_topk
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        _hex_bigint(h, 1, 15).alias("priority"),
+        F.col(value_col).alias("value"),
+    )
+    return two_level_topk(
+        base,
+        group_cols=list(keys),
+        order_cols=[F.col("priority").asc(), F.col("value").asc()],
+        k=k,
+    ).drop("rank")
+
+
+def kmv_merge(
+    states: list[DataFrame], keys: tuple[str, ...], k: int = 256
+) -> DataFrame:
+    """Union bottom-k states into the bottom-k of the combined input —
+    exact (not approximate) merge: append batches keep their own
+    states, the read path merges. Duplicate (grain, priority, value)
+    rows from replays collapse before the final selection."""
+    from functools import reduce
+
+    from .topk import two_level_topk
+
+    u = reduce(lambda a, b: a.unionByName(b), states).dropDuplicates(
+        [*keys, "priority", "value"]
+    )
+    return two_level_topk(
+        u,
+        group_cols=list(keys),
+        order_cols=[F.col("priority").asc(), F.col("value").asc()],
+        k=k,
+    ).drop("rank")
+
+
+def kmv_quantiles(
+    state: DataFrame,
+    keys: tuple[str, ...],
+    q_permille: tuple[int, ...] = (500, 950, 990),
+) -> DataFrame:
+    """Nearest-rank quantiles read off a KMV state alone (the corpus is
+    never touched): per grain, sort the <= k sampled values and take
+    rank ceil(q * n) — the ceil computed as integer cross-
+    multiplication ``(q_permille * n + 999) DIV 1000`` so no float
+    boundary can flip a rank between engines. Output one row per
+    (grain, q_permille) with the sample size alongside."""
+    per_key = state.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("value")).alias("_vals"),
+        F.count("*").alias("n_sample"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(q)) for q in q_permille])
+    ).alias("q_permille")
+    return (
+        per_key.select(*keys, "_vals", "n_sample", qs)
+        .withColumn(
+            "_rank",
+            F.expr("(q_permille * n_sample + 999) DIV 1000").cast("int"),
+        )
+        .select(
+            *keys,
+            "q_permille",
+            "n_sample",
+            F.element_at(F.col("_vals"), F.greatest(F.col("_rank"), F.lit(1)))
+            .alias("value"),
+        )
+    )

@@ -231,3 +231,65 @@ class TestCountMin:
         probed = sketch.cms_estimate(df, "k", cms, depth=2, width_log2=3)
         got = {r["k"]: r["cnt_est"] for r in probed.collect()}
         assert got["a"] == 1 and got[None] is None
+
+
+# ------------------------------------------------------------- KMV sample
+def _kmv_rows(spark, n, key="a", start=1):
+    return spark.createDataFrame(
+        [(key, i, i * 10) for i in range(start, start + n)],
+        "k string, id long, v long",
+    )
+
+
+def test_kmv_exact_when_k_covers_input(spark):
+    """k >= n: the sample IS the input, quantiles are exact
+    nearest-rank order statistics (integer-ceil ranks)."""
+    df = _kmv_rows(spark, 100)
+    st = sketch.kmv_state(df, ("k",), "id", "v", k=100)
+    assert st.count() == 100
+    got = {
+        r.q_permille: (r.value, r.n_sample)
+        for r in sketch.kmv_quantiles(st, ("k",)).collect()
+    }
+    # ceil(0.5*100)=50 -> 50th smallest = 500 ; 95 -> 950 ; 99 -> 990
+    assert got == {500: (500, 100), 950: (950, 100), 990: (990, 100)}
+
+
+def test_kmv_merge_of_split_halves_equals_direct_build(spark):
+    """Bottom-k of unioned bottom-k states == bottom-k of the full
+    input, row for row (the lossless-merge property the driver query
+    relies on)."""
+    df = _kmv_rows(spark, 500)
+    direct = sketch.kmv_state(df, ("k",), "id", "v", k=32)
+    halves = [
+        sketch.kmv_state(df.filter(F.col("id") % 2 == i), ("k",), "id", "v", k=32)
+        for i in (0, 1)
+    ]
+    merged = sketch.kmv_merge(halves, ("k",), k=32)
+    rows = lambda d: sorted((r.k, r.priority, r.value) for r in d.collect())  # noqa: E731
+    assert rows(merged) == rows(direct)
+    assert merged.count() == 32  # genuinely sampling (k < n)
+
+
+def test_kmv_merge_replay_idempotent(spark):
+    """Merging a state with itself is a no-op (same rows, same
+    priorities -> dedup absorbs the replay)."""
+    st = sketch.kmv_state(_kmv_rows(spark, 200), ("k",), "id", "v", k=16)
+    twice = sketch.kmv_merge([st, st], ("k",), k=16)
+    rows = lambda d: sorted((r.k, r.priority, r.value) for r in d.collect())  # noqa: E731
+    assert rows(twice) == rows(st)
+
+
+def test_kmv_quantile_rank_floor_guard(spark):
+    """Tiny q on a tiny sample: integer-ceil rank would be 1 anyway,
+    but the GREATEST(.., 1) guard pins it — and per-key grains stay
+    independent."""
+    df = _kmv_rows(spark, 4, key="a").union(_kmv_rows(spark, 8, key="b"))
+    st = sketch.kmv_state(df, ("k",), "id", "v", k=64)
+    got = {
+        (r.k, r.q_permille): r.value
+        for r in sketch.kmv_quantiles(st, ("k",), q_permille=(1, 1000)).collect()
+    }
+    assert got[("a", 1)] == 10      # rank ceil(0.001*4)=1 -> min
+    assert got[("a", 1000)] == 40   # rank 4 -> max
+    assert got[("b", 1000)] == 80
