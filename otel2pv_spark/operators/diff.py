@@ -50,6 +50,15 @@ def snapshot_diff(
         compare_cols = sorted(
             (set(old.columns) & set(new.columns)) - set(key_cols)
         )
+    reserved = {"change", "changed_cols", "_sd_in_old", "_sd_in_new"}
+    clash = (set(key_cols) | set(compare_cols)) & reserved | {
+        c for c in list(old.columns) + list(new.columns)
+        if c.startswith("_sd_old_") or c.startswith("_sd_new_")
+    }
+    if clash:
+        raise ValueError(
+            f"snapshot_diff: reserved column name(s) {sorted(clash)}"
+        )
     o = old.select(
         *[F.col(k) for k in key_cols],
         F.lit(True).alias("_sd_in_old"),

@@ -10,15 +10,21 @@ pattern (asserted in tests/test_analytics.py):
 1. ``pricing_summary`` — the full-scan aggregate: one map-side-combined
    hash aggregate over the fact table, zero joins, grouping cardinality
    O(flags x statuses). The only exchange carries pre-aggregated rows.
-2. ``shipping_priority`` — selective dim -> fact: the filtered customer
-   segment broadcasts into orders, the surviving orders broadcast into
-   lineitem (both sides pruned BEFORE the fact scan's join), one
-   aggregate on the fact's join key, global top-k via the shared
-   two-level pattern (never a full sort).
-3. ``revenue_by_nation`` — the star join: region -> nation -> supplier
-   chain of broadcasts onto the lineitem x orders x customer spine,
-   with the Q5 twist (customer and supplier must share a nation)
-   applied as a codegen filter after the broadcasts.
+2. ``shipping_priority`` — selective dim -> fact: filters prune the
+   customer segment and date ranges BEFORE any join, one aggregate on
+   the fact's own join key, global top-k via the shared two-level
+   pattern (never a full sort). The custkey/orderkey joins carry no
+   broadcast hint: customer and orders scale WITH the fact, so the
+   join strategy is AQE's runtime call — broadcast when the filtered
+   side measures small (it does at test SF; asserted post-execution),
+   shuffle hash/merge when it does not. Forcing broadcast here would
+   OOM the driver at large SF.
+3. ``revenue_by_nation`` — the star join: region -> nation is
+   CONSTANT-sized (25/5 rows at every TPC-H SF) and explicitly
+   broadcast; the supplier/customer/orders sides scale with SF and are
+   left to AQE like (2). The whole star still resolves with ONE fact
+   scan, and the Q5 twist (customer and supplier must share a nation)
+   lands as a codegen filter.
 4. ``top_suppliers`` — aggregate-then-argmax: per-supplier revenue,
    global max as a one-row broadcast joined back (no window over the
    whole aggregate, no second scan of the fact).
@@ -32,8 +38,14 @@ terms stay in integers end-to-end:
     disc_price = price * (1 - disc)  ->  p_mi * (1e6 - d_mi) DIV 1e6
     charge     = disc_price * (1+tax) -> dp_mi * (1e6 + t_mi) DIV 1e6
 
-Peak intermediate ~ 1e17 (price 1e5 -> 1e11 micro, x 1e6), inside
-BIGINT with three orders of magnitude to spare.
+Peak per-row intermediate ~ 1e17 (price 1e5 -> 1e11 micro, x 1e6),
+inside BIGINT with room to spare. Overflow bound on the CROSS-ROW
+sums (same honesty rule as profile.anomaly_flags): pricing_summary's
+per-group charge sum reaches 2^63 at ~2e8 rows/group x ~4e10 micro,
+i.e. around TPC-H SF ~1.5e2 per (returnflag, linestatus) cell — past
+that, widen the accumulator (`F.sum(expr.cast("decimal(38,0)"))`,
+~10^18 x more headroom) or drop quantization to cents; the per-row
+derivation is unaffected either way.
 """
 
 from __future__ import annotations
@@ -43,13 +55,9 @@ from pyspark.sql import functions as F
 
 from ..functions.topk import two_level_topk
 
+from ..operators.aggregate import _value_micro as _mi  # shared quantizer
+
 MICRO = 1_000_000
-
-
-def _mi(col: str):
-    """Row-local micro-unit quantization (same rule as
-    ``operators.aggregate._value_micro``)."""
-    return F.round(F.col(col) * 1e6).cast("bigint")
 
 
 def load_tpch(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
@@ -97,20 +105,22 @@ def shipping_priority(
     date: str = "1998-03-15",
     k: int = 10,
 ) -> DataFrame:
-    """Q3 shape: the selective dims broadcast INTO the fact scan (a
-    1.5k-row segment slice and the surviving orders both fit any
-    broadcast threshold at any SF where dims stay 1e-4 of the fact),
-    revenue aggregates on the fact's own join key, and the top-k runs
-    two-level — partial per partition, final over <= k x P rows."""
+    """Q3 shape: filters pushed below the joins, revenue aggregated on
+    the fact's own join key, top-k two-level — partial per partition,
+    final over <= k x P rows. Join strategy is deliberately UNHINTED:
+    customer and orders scale with the fact table, so a forced
+    broadcast would OOM at large SF — AQE broadcasts the filtered
+    sides when their runtime size is small and falls back to a
+    shuffle join when not (see module docstring)."""
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = (
         orders.filter(F.col("o_orderdate") < F.lit(date).cast("timestamp"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     rev = (
         lineitem.filter(F.col("l_shipdate") > F.lit(date).cast("timestamp"))
-        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price_mi()).alias("revenue_micro"))
     )
@@ -132,13 +142,14 @@ def revenue_by_nation(
     date_from: str = "1996-01-01",
     date_to: str = "1997-01-01",
 ) -> DataFrame:
-    """Q5 shape: region->nation restricts to a handful of keys, those
-    broadcast onto supplier AND customer, the customer slice broadcasts
-    into orders, and the single fact pass joins the (broadcast) order
-    and supplier sides — the whole star resolves with ONE fact-table
-    scan and zero fact-sized shuffles before the final tiny aggregate.
-    The Q5 identity (customer nation == supplier nation) lands as a
-    codegen equality filter."""
+    """Q5 shape: region->nation restricts to a CONSTANT handful of
+    keys (25/5 rows at every SF — the only sides safe to force), those
+    broadcast onto supplier and customer; the supplier/customer/orders
+    joins scale with SF and are left unhinted for AQE (broadcast at
+    small runtime sizes, shuffle at large — never a driver collect of
+    a fact-scaled side). The star still resolves with ONE fact-table
+    scan; the Q5 identity (customer nation == supplier nation) lands
+    as a codegen equality filter."""
     nat = (
         tables["nation"]
         .join(
@@ -162,13 +173,13 @@ def revenue_by_nation(
             (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
     return (
         tables["lineitem"]
-        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(_disc_price_mi()).alias("revenue_micro"))
@@ -182,8 +193,9 @@ def top_suppliers(
     date_to: str = "1996-04-01",
 ) -> DataFrame:
     """Q15 shape: per-supplier quarter revenue, then the argmax WITHOUT
-    a global window or a second fact scan — the one-row max aggregate
-    broadcasts back onto the per-supplier aggregate (config-sized) and
+    a global window or a second fact scan — the ONE-ROW max aggregate
+    (the only side truly constant at every SF) broadcasts back onto
+    the per-supplier aggregate and
     an equality filter keeps the winners (plural on ties, same as the
     reference query's subquery form)."""
     rev = (
@@ -197,7 +209,7 @@ def top_suppliers(
     mx = rev.agg(F.max("total_revenue_micro").alias("_max_rev"))
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue_micro") == F.col("_max_rev"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+        .join(supplier.select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_micro")
     )

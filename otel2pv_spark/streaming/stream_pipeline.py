@@ -204,6 +204,30 @@ def read_docs_stream(
     return reader.parquet(path)
 
 
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a foreachBatch state table, returning None when it does not
+    exist YET — a missing path, or a directory created but with no
+    committed files (the crash window between mkdir and file commit
+    surfaces as UNABLE_TO_INFER_SCHEMA). Any OTHER read failure
+    (transient FS error, corrupt footer, permissions) raises and aborts
+    the batch: a state silently read as empty would re-admit known
+    duplicates / recompute baselines from nothing, so absence must be
+    distinguished from unreadability (fail closed)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
+
+
 def run_stream_dedup(
     doc_stream: DataFrame,
     index_path: str,
@@ -230,21 +254,11 @@ def run_stream_dedup(
     from ..functions import dedup as dd
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch.sparkSession
         batch = batch.localCheckpoint()  # stabilize: read twice below
-        # only PATH_NOT_FOUND means "no index yet" — any other read
-        # failure (transient FS error, corrupt footer, permissions)
-        # must abort the batch, or known duplicates would be silently
-        # admitted and appended to the index forever
-        try:
-            idx = spark.read.parquet(index_path)
-            have_index = True
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            have_index = False
+        # absence vs unreadability: see _read_state (fail closed)
+        idx = _read_state(spark, index_path)
+        have_index = idx is not None
 
         # band the batch ONCE: the same table feeds candidate probing
         # AND the index append (the shingle+minhash pass is the
@@ -574,14 +588,20 @@ def run_stream_anomaly(
     finalize in watermark order, so every earlier window of the same
     key is already in state or in the same delta.
 
-    Per-batch cost: state is one row per (key, window) — bounded by
-    time-range x |keys|, independent of event volume; the anomaly
-    window runs over state+delta, never events. At-least-once caveat:
-    a replayed batch would re-append state rows (double-counting the
-    baseline); on the real target the state append is an Iceberg
-    MERGE on (key, window) for exactly-once — same mapping as the
-    catalog commit paths.
+    Per-batch cost is BOUNDED regardless of stream age: only the
+    newest ``trail`` state rows per key can affect a new window's flag
+    (anomaly_flags' baseline is the ``trail`` immediately preceding
+    rows, and every state row is older than every delta row because
+    append-mode windows finalize in watermark order), so the batch
+    prunes the stored rollup to |keys| x trail rows before the union —
+    the anomaly window never sees the full history, let alone events.
+    At-least-once caveat: a replayed batch would re-append state rows
+    (double-counting the baseline); on the real target the state
+    append is an Iceberg MERGE on (key, window) for exactly-once —
+    same mapping as the catalog commit paths.
     """
+    from pyspark.sql import Window
+
     from ..operators.profile import anomaly_flags
 
     roll = stream_rollup(
@@ -590,24 +610,26 @@ def run_stream_anomaly(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch.sparkSession
         delta = batch.select(
             key, "window_start_us", "n_events"
         ).localCheckpoint()
         if delta.isEmpty():
             return
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            if (
-                "PATH_NOT_FOUND" not in str(e)
-                and "Path does not exist" not in str(e)
-            ):
-                raise
+        state = _read_state(spark, state_path)
+        if state is None:
             state = delta.limit(0)
-        hist = state.unionByName(delta)
+        # the newest `trail` windows per key are the only state rows a
+        # NEW window's trailing baseline can use
+        w_recent = Window.partitionBy(key).orderBy(
+            F.col("window_start_us").desc()
+        )
+        recent = (
+            state.withColumn("_rn", F.row_number().over(w_recent))
+            .filter(F.col("_rn") <= trail)
+            .drop("_rn")
+        )
+        hist = recent.unionByName(delta)
         flags = anomaly_flags(
             hist, "n_events", by=key, order_col="window_start_us",
             trail=trail, nsigma=nsigma,

@@ -8,11 +8,17 @@ import pyspark.sql.functions as F
 
 from otel2pv_spark.plans import analytics
 
-SF = "/root/testdata/sf0.001"
-
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Final physical plan AFTER execution: the module leaves the
+    SF-scaled joins to AQE, so the join strategy only exists in the
+    post-execution adaptive plan (the initial plan shows the
+    pre-adaptive placeholder)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the adaptive plan string repeats every node under an
+    # "== Initial Plan ==" section — count nodes in the final plan only
+    return plan.split("== Initial Plan ==")[0]
 
 
 def _lineitem(spark, rows):
@@ -49,17 +55,20 @@ def test_pricing_summary_integer_math_golden(spark):
     assert r.count_order == 2
 
 
-def test_pricing_summary_plan_no_join_one_exchange(spark):
-    t = analytics.load_tpch(spark, SF, "lineitem")
+def test_pricing_summary_plan_no_join_one_exchange(spark, sf_dir):
+    t = analytics.load_tpch(spark, sf_dir, "lineitem")
     plan = _plan(analytics.pricing_summary(t["lineitem"]))
     assert "Join" not in plan
     assert plan.count("Exchange") == 1  # partial -> final agg only
 
 
-def test_shipping_priority_plan_broadcast_only(spark):
-    t = analytics.load_tpch(spark, SF, "customer", "orders", "lineitem")
+def test_shipping_priority_plan_broadcast_only(spark, sf_dir):
+    t = analytics.load_tpch(spark, sf_dir, "customer", "orders", "lineitem")
     df = analytics.shipping_priority(t["customer"], t["orders"], t["lineitem"])
     plan = _plan(df)
+    # unhinted joins: at test SF, AQE measures the filtered sides small
+    # and picks broadcast at runtime (the large-SF fallback is a
+    # shuffle join — the point is no FORCED broadcast of scaled sides)
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     # sanity: deterministic ranked output, ranks 1..k contiguous
@@ -67,9 +76,9 @@ def test_shipping_priority_plan_broadcast_only(spark):
     assert ranks == list(range(1, len(ranks) + 1))
 
 
-def test_revenue_by_nation_plan_single_fact_scan(spark):
+def test_revenue_by_nation_plan_single_fact_scan(spark, sf_dir):
     t = analytics.load_tpch(
-        spark, SF,
+        spark, sf_dir,
         "lineitem", "orders", "customer", "supplier", "nation", "region",
     )
     df = analytics.revenue_by_nation(t)
@@ -82,8 +91,8 @@ def test_revenue_by_nation_plan_single_fact_scan(spark):
     assert 1 <= df.count() <= 5
 
 
-def test_top_suppliers_plan_no_window_and_tie_semantics(spark):
-    t = analytics.load_tpch(spark, SF, "lineitem", "supplier")
+def test_top_suppliers_plan_no_window_and_tie_semantics(spark, sf_dir):
+    t = analytics.load_tpch(spark, sf_dir, "lineitem", "supplier")
     df = analytics.top_suppliers(t["lineitem"], t["supplier"])
     plan = _plan(df)
     assert "Window" not in plan

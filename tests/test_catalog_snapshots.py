@@ -151,3 +151,15 @@ class TestSnapshotDiff:
             for r in cat.diff("t", ["id"], old_version=1).collect()
         )
         assert got == [(0, "delete"), (2, "update"), (4, "insert")]
+
+    def test_snapshot_diff_reserved_names_rejected(self, spark):
+        import pytest as _pytest
+
+        from otel2pv_spark.operators.diff import snapshot_diff
+
+        df = spark.createDataFrame([(1, "i")], "change int, s string")
+        with _pytest.raises(ValueError, match="reserved"):
+            snapshot_diff(df, df, ["change"])
+        df2 = spark.createDataFrame([(1, "i")], "k int, changed_cols string")
+        with _pytest.raises(ValueError, match="reserved"):
+            snapshot_diff(df2, df2, ["k"])

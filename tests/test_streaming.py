@@ -678,3 +678,20 @@ def test_stream_correlate_matches_batch(spark, tmp_path):
         key(r) for r in outer.filter("resp_event_id IS NOT NULL").collect()
     )
     assert matched == want
+
+
+def test_read_state_distinguishes_absent_and_empty_dir(spark, tmp_path):
+    """_read_state: missing path and created-but-empty dir both mean
+    'no state yet' (None); a real table reads through."""
+    from otel2pv_spark.streaming.stream_pipeline import _read_state
+
+    missing = str(tmp_path / "nope")
+    assert _read_state(spark, missing) is None
+
+    empty = str(tmp_path / "emptydir")
+    os.makedirs(empty)  # the crash window between mkdir and commit
+    assert _read_state(spark, empty) is None
+
+    real = str(tmp_path / "real")
+    spark.range(3).write.parquet(real)
+    assert _read_state(spark, real).count() == 3
