@@ -401,6 +401,17 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_gaps_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup: explicit zero rows for every silent
+    (event_type, hour) slot between each key's first and last activity
+    — what makes the row-ordered anomaly baseline time-correct on
+    sparse keys. Grid explodes from the per-key span aggregate, never
+    from events (aggregate.rollup_fill_gaps)."""
+    ev = datagen.load_events(spark, sf_dir)
+    roll = agg_op.rollup_time_windows(ev, width="1 hour")
+    return agg_op.rollup_fill_gaps(roll, width_sec=3600)
+
+
 def q_events_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k rank sketch: per-event-type value quantiles read
     off a 64-row-per-grain sample state built on the even/odd event_id
@@ -1345,6 +1356,34 @@ GROUP BY 1, 2, 3"""
 
 ORACLES["events_rollup_incremental"] = ORACLES["events_rollup_hourly"]
 
+ORACLES["rollup_gaps_filled"] = """
+WITH roll AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         count(*) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS value_sum_micro
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(window_start_us) AS lo, max(window_start_us) AS hi
+  FROM roll GROUP BY event_type
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, CAST(3600 AS BIGINT) * 1000000))
+           AS window_start_us
+  FROM spans
+)
+SELECT g.event_type, g.window_start_us,
+       g.window_start_us + CAST(3600 AS BIGINT) * 1000000 AS window_end_us,
+       COALESCE(r.n_events, CAST(0 AS BIGINT)) AS n_events,
+       COALESCE(r.n_users, CAST(0 AS BIGINT)) AS n_users,
+       COALESCE(r.value_sum_micro, CAST(0 AS BIGINT)) AS value_sum_micro
+FROM grid g LEFT JOIN roll r
+  ON g.event_type = r.event_type AND g.window_start_us = r.window_start_us"""
+
 ORACLES["events_kmv_quantiles"] = """
 WITH pri AS (
   SELECT event_type,
@@ -1659,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_hourly": q_events_rollup_hourly,
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "rollup_gaps_filled": q_rollup_gaps_filled,
         "events_hll_users": q_events_hll_users,
         "events_kmv_quantiles": q_events_kmv_quantiles,
         "events_rollup_hll": q_events_rollup_hll,

@@ -114,6 +114,7 @@ HEADLINE = [
     "tpch_pricing",
     "tpch_shipping",
     "events_kmv_quantiles",
+    "rollup_gaps_filled",
 ]
 
 

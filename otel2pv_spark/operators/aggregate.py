@@ -343,3 +343,62 @@ def latency_stats(
             for p in ps
         ],
     )
+
+
+def rollup_fill_gaps(
+    roll: DataFrame,
+    width_sec: int,
+    keys: tuple[str, ...] = ("event_type",),
+    fill_cols: tuple[str, ...] = ("n_events", "n_users", "value_sum_micro"),
+    global_range: bool = False,
+) -> DataFrame:
+    """Densify a TUMBLING rollup: emit an explicit zero row for every
+    missing (key, window) slot so downstream time-series consumers see
+    a gapless grid — most importantly ``profile.anomaly_flags``, whose
+    trailing baseline is row-ordered: on a sparse key a quiet period
+    otherwise VANISHES and a new window is z-tested against activity
+    from arbitrarily long ago (and a burst-after-silence can never be
+    flagged because the silence contributed no rows). Filled rows make
+    the row-ordered window time-correct.
+
+    ``global_range=False`` (default) fills each key between ITS OWN
+    first and last observed window; ``True`` fills every key over the
+    whole table's span (cross-key comparability — keys absent early
+    read as zero, not as missing).
+
+    Scale shape: the span aggregate reduces the rollup to one row per
+    key (or one row total), the grid explodes from THAT — (time range
+    / width) x |keys| rows, never corpus-scale — and the fill is one
+    aggregate-grain left join on (keys, window_start_us). Corpus rows
+    are never touched; tumbling only (a hopping grid would need the
+    slide, and gap semantics differ).
+    """
+    w_us = int(width_sec) * 1_000_000
+    if global_range:
+        span = roll.agg(
+            F.min("window_start_us").alias("_lo"),
+            F.max("window_start_us").alias("_hi"),
+        )
+        spans = roll.select(*keys).distinct().crossJoin(F.broadcast(span))
+    else:
+        spans = roll.groupBy(*keys).agg(
+            F.min("window_start_us").alias("_lo"),
+            F.max("window_start_us").alias("_hi"),
+        )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(w_us))
+        ).alias("window_start_us"),
+    )
+    out = grid.join(roll, [*keys, "window_start_us"], "left")
+    if "window_end_us" in roll.columns:
+        out = out.withColumn(
+            "window_end_us",
+            F.coalesce(
+                F.col("window_end_us"), F.col("window_start_us") + w_us
+            ),
+        )
+    for c in fill_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
