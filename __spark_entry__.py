@@ -412,6 +412,25 @@ def q_rollup_gaps_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_op.rollup_fill_gaps(roll, width_sec=3600)
 
 
+def q_rollup_anomalies_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed time-correct anomaly path: hourly rollup -> gap
+    filling -> exact-integer trailing z-test, so a burst after silence
+    is judged against the zeros of the quiet hours instead of activity
+    from arbitrarily long ago (rollup_anomalies judges only observed
+    windows; this is the honest variant for sparse keys)."""
+    from otel2pv_spark.operators import profile as prof_op
+
+    ev = datagen.load_events(spark, sf_dir)
+    roll = agg_op.rollup_time_windows(ev, width="1 hour")
+    filled = agg_op.rollup_fill_gaps(roll, width_sec=3600).select(
+        "event_type", "window_start_us", "n_events"
+    )
+    return prof_op.anomaly_flags(
+        filled, "n_events", by="event_type", order_col="window_start_us",
+        trail=4, nsigma=3,
+    )
+
+
 def q_events_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k rank sketch: per-event-type value quantiles read
     off a 64-row-per-grain sample state built on the even/odd event_id
@@ -970,6 +989,47 @@ ORACLES["rollup_anomalies"] = """WITH r AS (
          CAST(sum(n_events) OVER tw AS BIGINT) AS s,
          CAST(sum(n_events * n_events) OVER tw AS BIGINT) AS q
   FROM r
+  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_us
+                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start_us, n_events, k AS trail_n,
+       CASE WHEN k = 4 AND (4 * q - s * s) > 0
+            THEN round((4 * n_events - s)
+                 / sqrt(CAST(4 * (4 * q - s * s) AS DOUBLE) / 3), 6)
+       END AS zscore,
+       CASE WHEN k = 4
+            THEN CASE WHEN (4 * q - s * s) > 0
+                 THEN (4 * n_events - s) * (4 * n_events - s) * 3
+                      > 9 * 4 * (4 * q - s * s)
+                 ELSE 4 * n_events <> s END
+            ELSE FALSE END AS anomaly
+FROM w"""
+
+ORACLES["rollup_anomalies_filled"] = """WITH roll AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(window_start_us) AS lo, max(window_start_us) AS hi
+  FROM roll GROUP BY event_type
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, CAST(3600 AS BIGINT) * 1000000))
+           AS window_start_us
+  FROM spans
+), f AS (
+  SELECT g.event_type, g.window_start_us,
+         COALESCE(r.n_events, CAST(0 AS BIGINT)) AS n_events
+  FROM grid g LEFT JOIN roll r
+    ON g.event_type = r.event_type
+   AND g.window_start_us = r.window_start_us
+), w AS (
+  SELECT event_type, window_start_us, n_events,
+         CAST(count(n_events) OVER tw AS BIGINT) AS k,
+         CAST(sum(n_events) OVER tw AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) OVER tw AS BIGINT) AS q
+  FROM f
   WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_us
                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
 )
@@ -1699,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,
         "rollup_gaps_filled": q_rollup_gaps_filled,
+        "rollup_anomalies_filled": q_rollup_anomalies_filled,
         "events_hll_users": q_events_hll_users,
         "events_kmv_quantiles": q_events_kmv_quantiles,
         "events_rollup_hll": q_events_rollup_hll,
