@@ -720,3 +720,30 @@ def stream_correlate(
             F.unix_micros("_rr_resp_ts") - F.unix_micros("_rr_req_ts")
         ).alias("latency_us"),
     )
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Native streaming exact dedup: keep the FIRST arrival per key,
+    drop re-deliveries — the engine-state form of the reference's
+    ack-after-downstream-success admission guard (at-least-once
+    sources re-deliver; Server/consumers.go:638-651 acks late for
+    exactly this reason). ``dropDuplicatesWithinWatermark`` holds
+    per-key state only until the watermark passes the first arrival's
+    event time + delay, so state is bounded by arrival rate x horizon
+    — a plain streaming ``dropDuplicates`` never evicts and grows
+    forever. The complement of the LSH gate: ``run_stream_dedup``
+    drops NEAR-duplicates against a persistent index; this drops
+    exact replays with zero external state, and belongs in front of
+    any at-least-once ingest (a replay older than the horizon is
+    admitted again — size the delay to the source's redelivery
+    window)."""
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )

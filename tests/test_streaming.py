@@ -695,3 +695,48 @@ def test_read_state_distinguishes_absent_and_empty_dir(spark, tmp_path):
     real = str(tmp_path / "real")
     spark.range(3).write.parquet(real)
     assert _read_state(spark, real).count() == 3
+
+
+def test_stream_exact_dedup_drops_redeliveries(spark, tmp_path):
+    """Replays of already-seen event_ids arriving in later micro-batches
+    (inside the watermark horizon) are dropped; distinct events all
+    pass — output == batch dropDuplicates on the key."""
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "xd_src")
+    os.makedirs(src, exist_ok=True)
+
+    def ev(eid, ts):
+        return {"event_id": eid, "ts": pd.Timestamp(ts), "user_id": 1,
+                "event_type": "click", "value": 1.0, "props": ""}
+
+    b1 = [ev(1, "2026-01-01 00:00:00"), ev(2, "2026-01-01 00:10:00")]
+    # batch 2: replays of 1 and 2 (same payload, at-least-once
+    # redelivery) + one genuinely new event
+    b2 = [ev(1, "2026-01-01 00:00:00"), ev(2, "2026-01-01 00:10:00"),
+          ev(3, "2026-01-01 00:20:00")]
+    for i, rows in enumerate([b1, b2]):
+        p = f"{src}/f{i}.parquet"
+        pd.DataFrame(rows).to_parquet(
+            p, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(p, (time.time() + i,) * 2)
+
+    out = str(tmp_path / "xd_out")
+    q = (
+        sp.stream_exact_dedup(
+            sp.read_events_stream(spark, src, max_files_per_trigger=1),
+            keys=("event_id",), watermark_delay="1 hour",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "xd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
