@@ -119,6 +119,76 @@ def validate_curation_config(raw) -> dict:
     return raw
 
 
+def validate_observability_config(raw) -> dict:
+    """Validate the ``"job": "observability"`` variant::
+
+        {
+          "job": "observability",
+          "input": {"events_path": ".../events.parquet"},
+          "out_root": "/data/obs_out",
+          "run_id": "...",
+          "observability": {"rollup_width": "1 hour", "width_sec": 3600,
+                            "trail": 4, "nsigma": 3, "gap_sec": 7200,
+                            "funnel_steps": ["view","click","purchase"],
+                            "burst_type": "error", "burst_len": 3,
+                            "n_buckets": 8},
+          "spark": {...}
+        }
+    """
+    if not isinstance(raw, dict) or raw.get("job") != "observability":
+        raise ConfigError("observability config must set job = 'observability'")
+    inp = raw.get("input")
+    if not isinstance(inp, dict) or "events_path" not in inp:
+        raise ConfigError("input must set events_path")
+    if not raw.get("out_root"):
+        raise ConfigError("out_root is required")
+    o = raw.get("observability", {})
+    steps = o.get("funnel_steps")
+    if steps is not None and (
+        not isinstance(steps, (list, tuple)) or not steps
+        or not all(isinstance(s, str) for s in steps)
+    ):
+        raise ConfigError("funnel_steps must be a non-empty list of strings")
+    return raw
+
+
+def to_observability_config(raw: dict):
+    from .plans.observability import ObsConfig
+
+    o = raw.get("observability", {})
+    return ObsConfig(
+        out_root=raw["out_root"],
+        run_id=raw.get("run_id"),
+        rollup_width=o.get("rollup_width", "1 hour"),
+        width_sec=int(o.get("width_sec", 3600)),
+        trail=int(o.get("trail", 4)),
+        nsigma=int(o.get("nsigma", 3)),
+        gap_sec=int(o.get("gap_sec", 7200)),
+        funnel_steps=tuple(o.get("funnel_steps", ("view", "click", "purchase"))),
+        burst_type=o.get("burst_type", "error"),
+        burst_len=int(o.get("burst_len", 3)),
+        n_buckets=int(o.get("n_buckets", 8)),
+    )
+
+
+def _run_observability_job(raw: dict) -> dict:
+    from .plans import observability
+    from .session import get_spark
+
+    cfg = to_observability_config(raw)
+    sp = raw.get("spark", {})
+    spark = get_spark(
+        master=sp.get("master"),
+        shuffle_partitions=sp.get("shuffle_partitions"),
+        extra=sp.get("extra"),
+        app_name=f"otel2pv-obs-{cfg.run_id or 'job'}",
+    )
+    events = spark.read.parquet(raw["input"]["events_path"])
+    res = observability.run_observability(spark, events, cfg)
+    print(json.dumps(res))
+    return res
+
+
 def to_pipeline_config(raw: dict) -> PipelineConfig:
     seq = raw.get("sequence", {})
     return PipelineConfig(
@@ -192,6 +262,8 @@ def main(argv: list[str] | None = None) -> dict:
     kind = head.get("job", "pipeline") if isinstance(head, dict) else "pipeline"
     if kind == "curation":
         return _run_curation_job(validate_curation_config(head))
+    if kind == "observability":
+        return _run_observability_job(validate_observability_config(head))
 
     raw = validate_config(head)
     cfg = to_pipeline_config(raw)

@@ -242,3 +242,35 @@ def test_http_sink_no_retry_on_permanent_4xx(http_server):
         _post_with_retry(url, b"[]", retries=3, timeout_s=2.0,
                          backoff_s=0.05, multiplier=1.0)
     assert coll.hits == 1  # exactly one attempt, no retries
+
+
+def test_observability_job_end_to_end(spark, tmp_path):
+    cfgp = tmp_path / "obs.json"
+    cfgp.write_text(json.dumps({
+        "job": "observability",
+        "input": {"events_path": "/root/testdata/sf0.001/events.parquet"},
+        "out_root": str(tmp_path / "obs_out"),
+        "run_id": "oj1",
+        "observability": {"burst_len": 2, "n_buckets": 4},
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }))
+    res = job.main(["--config", str(cfgp)])
+    assert set(res["committed"]) == {
+        "layout", "rollup", "anomalies", "sessions", "funnel", "bursts",
+    }
+    assert res["n_events"] > 0 and res["n_sessions"] > 0
+    out = tmp_path / "obs_out"
+    for t in ("obs_rollup", "obs_anomalies", "obs_sessions",
+              "obs_funnel", "obs_bursts"):
+        assert spark.read.parquet(str(out / t)).count() >= 0
+
+
+def test_observability_job_config_validation(tmp_path):
+    with pytest.raises(job.ConfigError, match="events_path"):
+        job.validate_observability_config(
+            {"job": "observability", "input": {}, "out_root": "x"})
+    with pytest.raises(job.ConfigError, match="funnel_steps"):
+        job.validate_observability_config({
+            "job": "observability", "input": {"events_path": "e"},
+            "out_root": "x", "observability": {"funnel_steps": []},
+        })
