@@ -29,6 +29,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """Keyed diff of two table states.
 
@@ -43,6 +44,11 @@ def snapshot_diff(
     share; columns only one side has are ignored (schema evolution:
     an added column makes every carried-over row an update only if
     listed explicitly).
+
+    ``include_values=True`` additionally carries each compare column's
+    NEW value (null on deletes) — the full change record, making the
+    diff APPLYABLE: ``apply_changes(old, diff) == new`` exactly (the
+    CDC round-trip; an Iceberg changelog row's after-image).
     """
     if not key_cols:
         raise ValueError("snapshot_diff: key_cols must be non-empty")
@@ -81,7 +87,7 @@ def snapshot_diff(
             ]
         )
     ) if compare_cols else F.array().cast("array<string>")
-    return (
+    out = (
         joined.withColumn(
             "change",
             F.when(F.col("_sd_in_old").isNull(), F.lit("insert"))
@@ -95,5 +101,38 @@ def snapshot_diff(
                 F.col("change") == "update", F.array_join(changed, ",")
             ).otherwise(F.lit("")),
         )
-        .select(*key_cols, "change", "changed_cols")
     )
+    values = (
+        [F.col(f"_sd_new_{c}").alias(c) for c in compare_cols]
+        if include_values
+        else []
+    )
+    return out.select(*key_cols, "change", "changed_cols", *values)
+
+
+def apply_changes(
+    base: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Apply a value-carrying diff (``snapshot_diff(...,
+    include_values=True)``) to a table state: delete the 'delete' keys,
+    upsert the 'insert'/'update' rows' after-images — the read side's
+    MERGE INTO. Round-trip law (tested):
+
+        apply_changes(old, snapshot_diff(old, new, keys,
+                      include_values=True), keys) == new
+
+    Scale shape: one left-anti join on the key (drop deleted/updated
+    base rows) + one union with the change set — both key-partitioned,
+    zero-Exchange on a bucketed layout; the change set is bounded by
+    changed keys, not table size. Columns produced are the keys + the
+    diff's compare columns (the after-image schema).
+    """
+    cols = [
+        c for c in changes.columns
+        if c not in ("change", "changed_cols")
+    ]
+    upserts = changes.filter(F.col("change") != "delete").select(*cols)
+    keep = base.select(*cols).join(
+        changes.select(*key_cols), key_cols, "left_anti"
+    )
+    return keep.unionByName(upserts)

@@ -163,3 +163,29 @@ class TestSnapshotDiff:
         df2 = spark.createDataFrame([(1, "i")], "k int, changed_cols string")
         with _pytest.raises(ValueError, match="reserved"):
             snapshot_diff(df2, df2, ["k"])
+
+    def test_diff_apply_round_trip(self, spark):
+        """The CDC round-trip law: applying a value-carrying diff to
+        the old state reproduces the new state exactly — inserts,
+        deletes, updates, null transitions and all."""
+        from otel2pv_spark.operators.diff import apply_changes, snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+            "k int, s string, v int",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 21), (3, "c", 30), (6, None, 60)],
+            "k int, s string, v int",
+        )
+        d = snapshot_diff(old, new, ["k"], include_values=True)
+        got = apply_changes(old, d, ["k"])
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+        # empty diff applies as identity
+        empty = snapshot_diff(old, old, ["k"], include_values=True)
+        same = apply_changes(old, empty, ["k"])
+        assert sorted(map(tuple, same.collect())) == sorted(
+            map(tuple, old.collect())
+        )
