@@ -189,6 +189,66 @@ def _run_observability_job(raw: dict) -> dict:
     return res
 
 
+def validate_stream_config(raw) -> dict:
+    """Validate the ``"job": "stream"`` variant — the live-queue mode::
+
+        {
+          "job": "stream",
+          "input": {"transcripts_dir": "/data/incoming"},
+          "out_root": "/data/stream_out",
+          "checkpoint": "/data/stream_ckpt",
+          "stream": {"max_files_per_trigger": 1, "available_now": false},
+          "spark": {...}
+        }
+
+    available_now=true drains what exists and stops (backfill /
+    catch-up); false runs until terminated (the service mode —
+    consumer loop analog, Server/consumers.go:618-654).
+    """
+    if not isinstance(raw, dict) or raw.get("job") != "stream":
+        raise ConfigError("stream config must set job = 'stream'")
+    inp = raw.get("input")
+    if not isinstance(inp, dict) or "transcripts_dir" not in inp:
+        raise ConfigError("input must set transcripts_dir")
+    if not raw.get("out_root"):
+        raise ConfigError("out_root is required")
+    if not raw.get("checkpoint"):
+        raise ConfigError("checkpoint is required (exactly-once offsets)")
+    return raw
+
+
+def _run_stream_job(raw: dict):
+    from . import datagen
+    from .session import get_spark
+    from .streaming import read_transcripts_stream, run_stream_pipeline
+
+    sp = raw.get("spark", {})
+    spark = get_spark(
+        master=sp.get("master"),
+        shuffle_partitions=sp.get("shuffle_partitions"),
+        extra=sp.get("extra"),
+        app_name=f"otel2pv-stream-{raw.get('run_id', 'job')}",
+    )
+    st = raw.get("stream", {})
+    stream = read_transcripts_stream(
+        spark,
+        raw["input"]["transcripts_dir"],
+        max_files_per_trigger=st.get("max_files_per_trigger"),
+    )
+    q = run_stream_pipeline(
+        stream,
+        datagen.tool_meta(spark),
+        datagen.role_meta(spark),
+        raw["out_root"],
+        raw["checkpoint"],
+        available_now=bool(st.get("available_now", False)),
+    )
+    q.awaitTermination()
+    res = {"out_root": raw["out_root"], "stopped": True}
+    print(json.dumps(res))
+    return res
+
+
 def to_pipeline_config(raw: dict) -> PipelineConfig:
     seq = raw.get("sequence", {})
     return PipelineConfig(
@@ -264,6 +324,8 @@ def main(argv: list[str] | None = None) -> dict:
         return _run_curation_job(validate_curation_config(head))
     if kind == "observability":
         return _run_observability_job(validate_observability_config(head))
+    if kind == "stream":
+        return _run_stream_job(validate_stream_config(head))
 
     raw = validate_config(head)
     cfg = to_pipeline_config(raw)

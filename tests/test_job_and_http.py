@@ -274,3 +274,38 @@ def test_observability_job_config_validation(tmp_path):
             "job": "observability", "input": {"events_path": "e"},
             "out_root": "x", "observability": {"funnel_steps": []},
         })
+
+
+def test_stream_job_drains_and_matches_batch_counts(spark, tmp_path):
+    """job='stream' with available_now drains the directory through the
+    streaming pipeline; row counts match the batch DAG."""
+    from otel2pv_spark import datagen
+
+    src = str(tmp_path / "stream_in")
+    tr = datagen.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    tr.coalesce(1).write.parquet(src)
+
+    cfgp = tmp_path / "st.json"
+    cfgp.write_text(json.dumps({
+        "job": "stream",
+        "input": {"transcripts_dir": src},
+        "out_root": str(tmp_path / "st_out"),
+        "checkpoint": str(tmp_path / "st_ckpt"),
+        "stream": {"available_now": True},
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }))
+    res = job.main(["--config", str(cfgp)])
+    assert res["stopped"]
+    seq = spark.read.parquet(str(tmp_path / "st_out" / "sequenced_events"))
+    rej = spark.read.parquet(str(tmp_path / "st_out" / "rejects"))
+    assert seq.count() + rej.count() == tr.count()
+
+
+def test_stream_job_config_validation(tmp_path):
+    with pytest.raises(job.ConfigError, match="transcripts_dir"):
+        job.validate_stream_config(
+            {"job": "stream", "input": {}, "out_root": "x", "checkpoint": "c"})
+    with pytest.raises(job.ConfigError, match="checkpoint"):
+        job.validate_stream_config(
+            {"job": "stream", "input": {"transcripts_dir": "d"},
+             "out_root": "x"})
