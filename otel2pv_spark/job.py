@@ -152,6 +152,19 @@ def validate_observability_config(raw) -> dict:
     return raw
 
 
+def _cfg_int(o: dict, name: str, default):
+    """Integer config knob: exact integers only — a float like
+    nsigma=2.5 must not silently truncate to 2 (that would LOWER the
+    alert threshold), and a non-numeric value must fail as ConfigError
+    with the knob's name, like every other validation error."""
+    v = o.get(name, default)
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, (int, float)) or v != int(v):
+        raise ConfigError(f"observability.{name} must be an integer, got {v!r}")
+    return int(v)
+
+
 def to_observability_config(raw: dict):
     from .plans.observability import ObsConfig
 
@@ -160,14 +173,17 @@ def to_observability_config(raw: dict):
         out_root=raw["out_root"],
         run_id=raw.get("run_id"),
         rollup_width=o.get("rollup_width", "1 hour"),
-        width_sec=int(o.get("width_sec", 3600)),
-        trail=int(o.get("trail", 4)),
-        nsigma=int(o.get("nsigma", 3)),
-        gap_sec=int(o.get("gap_sec", 7200)),
+        # None (default) derives the anomaly grid width from the
+        # rollup itself — an explicit width_sec that disagrees with
+        # rollup_width would misalign the fill grid
+        width_sec=_cfg_int(o, "width_sec", None),
+        trail=_cfg_int(o, "trail", 4),
+        nsigma=_cfg_int(o, "nsigma", 3),
+        gap_sec=_cfg_int(o, "gap_sec", 7200),
         funnel_steps=tuple(o.get("funnel_steps", ("view", "click", "purchase"))),
         burst_type=o.get("burst_type", "error"),
-        burst_len=int(o.get("burst_len", 3)),
-        n_buckets=int(o.get("n_buckets", 8)),
+        burst_len=_cfg_int(o, "burst_len", 3),
+        n_buckets=_cfg_int(o, "n_buckets", 8),
     )
 
 

@@ -347,7 +347,7 @@ def latency_stats(
 
 def rollup_fill_gaps(
     roll: DataFrame,
-    width_sec: int,
+    width_sec: int | None = None,
     keys: tuple[str, ...] = ("event_type",),
     fill_cols: tuple[str, ...] = ("n_events", "n_users", "value_sum_micro"),
     global_range: bool = False,
@@ -366,14 +366,35 @@ def rollup_fill_gaps(
     whole table's span (cross-key comparability — keys absent early
     read as zero, not as missing).
 
+    ``width_sec=None`` (default) DERIVES the width from the rollup's
+    own ``window_end_us - window_start_us`` (one aggregate over the
+    already-aggregate-grain input) — the safe choice, since a width
+    that disagrees with the rollup's would silently misalign the grid.
+    An explicit ``width_sec`` is for inputs without end columns; to
+    guard the misalignment case the fill join is FULL outer, so an
+    observed window off the grid is preserved with its values rather
+    than dropped.
+
     Scale shape: the span aggregate reduces the rollup to one row per
     key (or one row total), the grid explodes from THAT — (time range
     / width) x |keys| rows, never corpus-scale — and the fill is one
-    aggregate-grain left join on (keys, window_start_us). Corpus rows
+    aggregate-grain join on (keys, window_start_us). Corpus rows
     are never touched; tumbling only (a hopping grid would need the
     slide, and gap semantics differ).
     """
-    w_us = int(width_sec) * 1_000_000
+    if width_sec is None:
+        if "window_end_us" not in roll.columns:
+            raise ValueError(
+                "rollup_fill_gaps: pass width_sec explicitly — the "
+                "input has no window_end_us to derive it from"
+            )
+        w_us = roll.agg(
+            F.min(F.col("window_end_us") - F.col("window_start_us"))
+        ).first()[0]
+        if w_us is None:
+            return roll  # empty rollup: nothing to fill
+    else:
+        w_us = int(width_sec) * 1_000_000
     if global_range:
         span = roll.agg(
             F.min("window_start_us").alias("_lo"),
@@ -391,7 +412,9 @@ def rollup_fill_gaps(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(w_us))
         ).alias("window_start_us"),
     )
-    out = grid.join(roll, [*keys, "window_start_us"], "left")
+    # FULL outer: a misconfigured explicit width must not silently
+    # drop observed off-grid windows — they pass through with values
+    out = grid.join(roll, [*keys, "window_start_us"], "full_outer")
     if "window_end_us" in roll.columns:
         out = out.withColumn(
             "window_end_us",

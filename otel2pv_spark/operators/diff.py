@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_META_COLS = ("change", "changed_cols")
+
 
 def snapshot_diff(
     old: DataFrame,
@@ -38,7 +40,8 @@ def snapshot_diff(
     columns; '' for inserts/deletes). Keys present in both states with
     every compare column null-safe-equal produce NO row. ``key_cols``
     must uniquely identify rows in each state (the usual CDC
-    primary-key contract).
+    primary-key contract); key matching is NULL-SAFE, so a null key
+    value is one identity, not a never-matching hole.
 
     ``compare_cols`` defaults to every non-key column the two states
     share; columns only one side has are ignored (schema evolution:
@@ -59,23 +62,27 @@ def snapshot_diff(
     reserved = {"change", "changed_cols", "_sd_in_old", "_sd_in_new"}
     clash = (set(key_cols) | set(compare_cols)) & reserved | {
         c for c in list(old.columns) + list(new.columns)
-        if c.startswith("_sd_old_") or c.startswith("_sd_new_")
+        if c.startswith(("_sd_old_", "_sd_new_", "_sd_ko_", "_sd_kn_"))
     }
     if clash:
         raise ValueError(
             f"snapshot_diff: reserved column name(s) {sorted(clash)}"
         )
     o = old.select(
-        *[F.col(k) for k in key_cols],
+        *[F.col(k).alias(f"_sd_ko_{k}") for k in key_cols],
         F.lit(True).alias("_sd_in_old"),
         *[F.col(c).alias(f"_sd_old_{c}") for c in compare_cols],
     )
     n = new.select(
-        *[F.col(k) for k in key_cols],
+        *[F.col(k).alias(f"_sd_kn_{k}") for k in key_cols],
         F.lit(True).alias("_sd_in_new"),
         *[F.col(c).alias(f"_sd_new_{c}") for c in compare_cols],
     )
-    joined = o.join(n, on=key_cols, how="full_outer")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_sd_ko_{k}").eqNullSafe(F.col(f"_sd_kn_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
     changed = F.array_compact(
         F.array(
             *[
@@ -87,6 +94,12 @@ def snapshot_diff(
             ]
         )
     ) if compare_cols else F.array().cast("array<string>")
+    keys_out = [
+        F.when(
+            F.col("_sd_in_new").isNotNull(), F.col(f"_sd_kn_{k}")
+        ).otherwise(F.col(f"_sd_ko_{k}")).alias(k)
+        for k in key_cols
+    ]
     out = (
         joined.withColumn(
             "change",
@@ -107,7 +120,7 @@ def snapshot_diff(
         if include_values
         else []
     )
-    return out.select(*key_cols, "change", "changed_cols", *values)
+    return out.select(*keys_out, "change", "changed_cols", *values)
 
 
 def apply_changes(
@@ -116,10 +129,14 @@ def apply_changes(
     """Apply a value-carrying diff (``snapshot_diff(...,
     include_values=True)``) to a table state: delete the 'delete' keys,
     upsert the 'insert'/'update' rows' after-images — the read side's
-    MERGE INTO. Round-trip law (tested):
+    MERGE INTO. Round-trip law (tested, null keys included):
 
         apply_changes(old, snapshot_diff(old, new, keys,
                       include_values=True), keys) == new
+
+    Key matching is null-safe, mirroring ``snapshot_diff``. A diff
+    produced WITHOUT ``include_values`` carries no after-images and is
+    rejected (applying it would silently strip every value column).
 
     Scale shape: one left-anti join on the key (drop deleted/updated
     base rows) + one union with the change set — both key-partitioned,
@@ -127,12 +144,19 @@ def apply_changes(
     changed keys, not table size. Columns produced are the keys + the
     diff's compare columns (the after-image schema).
     """
-    cols = [
-        c for c in changes.columns
-        if c not in ("change", "changed_cols")
-    ]
+    cols = [c for c in changes.columns if c not in _META_COLS]
+    if not [c for c in cols if c not in key_cols]:
+        raise ValueError(
+            "apply_changes: the diff carries no value columns — produce "
+            "it with snapshot_diff(..., include_values=True)"
+        )
     upserts = changes.filter(F.col("change") != "delete").select(*cols)
-    keep = base.select(*cols).join(
-        changes.select(*key_cols), key_cols, "left_anti"
+    ch_keys = changes.select(
+        *[F.col(k).alias(f"_ac_{k}") for k in key_cols]
     )
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"_ac_{k}"))
+        cond = c if cond is None else cond & c
+    keep = base.select(*cols).join(ch_keys, cond, "left_anti")
     return keep.unionByName(upserts)

@@ -27,13 +27,18 @@ funnel_reach, error_bursts); this module is the job-level composition,
 covered by pytest like pipeline.run / run_curation.
 
 Caveat (parquet stand-in): bucket metadata lives in the session
-catalog, so resuming in a NEW session re-registers the bucketed table
-from its committed files (Iceberg's bucket transform makes the layout
-durable, same mapping as write_bucketed documents).
+catalog, so resuming in a NEW session re-attaches the committed files
+via ``Catalog.register_bucketed`` (CREATE TABLE ... CLUSTERED BY over
+the existing location) — the shuffle-free property survives restarts;
+Iceberg's bucket transform makes the layout durable without the
+re-attach. The registered table name embeds a hash of ``out_root``,
+so two jobs sharing one Spark session can never read each other's
+layout through a stale catalog entry.
 """
 
 from __future__ import annotations
 
+import hashlib
 import time
 import uuid
 from dataclasses import dataclass
@@ -48,7 +53,11 @@ from ..operators import sessionize as session_op
 from ..sources.catalog import Catalog
 from ..sources.manifest import RunManifest
 
-EVENTS_TABLE = "obs_events"
+def events_table(out_root: str) -> str:
+    """Session-catalog table name for the bucketed layout, namespaced
+    by out_root so concurrent jobs in one session cannot collide."""
+    h = hashlib.md5(out_root.encode()).hexdigest()[:8]
+    return f"obs_events_{h}"
 
 
 @dataclass
@@ -56,7 +65,8 @@ class ObsConfig:
     out_root: str = "/tmp/otel2pv_obs"
     run_id: str | None = None
     rollup_width: str = "1 hour"
-    width_sec: int = 3600
+    # None = derive the grid width from the rollup itself (safe default)
+    width_sec: int | None = None
     trail: int = 4
     nsigma: int = 3
     gap_sec: int = 7200
@@ -66,19 +76,22 @@ class ObsConfig:
     n_buckets: int = 8
 
 
-def _bucketed_events(spark: SparkSession, cat: Catalog) -> DataFrame:
-    """Read the committed user-bucketed layout, re-registering it in
-    the session catalog if this is a resumed run in a fresh session."""
+def _bucketed_events(
+    spark: SparkSession, cat: Catalog, tbl: str, cfg: "ObsConfig"
+) -> DataFrame:
+    """Read the committed user-bucketed layout, re-attaching it to the
+    session catalog if this is a resumed run in a fresh session (the
+    files are committed; only the session metadata was lost)."""
     from pyspark.errors import AnalysisException
 
     try:
-        return cat.read_bucketed(EVENTS_TABLE)
+        return cat.read_bucketed(tbl)
     except AnalysisException:
-        # fresh session: the files are committed but the session
-        # catalog forgot the table — fall back to a plain read (the
-        # layout benefit is lost until re-written; Iceberg would keep
-        # it). Correctness is unaffected.
-        return cat.read(EVENTS_TABLE + ".bucketed")
+        cat.register_bucketed(
+            tbl, "user_id", cfg.n_buckets,
+            sort_by=("user_id", "ts", "event_id"),
+        )
+        return cat.read_bucketed(tbl)
 
 
 def run_observability(
@@ -94,16 +107,17 @@ def run_observability(
     man = RunManifest(cfg.out_root, run_id)
     t0 = time.time()
 
+    tbl = events_table(cfg.out_root)
     if not man.is_committed("layout"):
         ident = cat.write_bucketed(
             events,
-            EVENTS_TABLE,
+            tbl,
             bucket_by="user_id",
             n_buckets=cfg.n_buckets,
             sort_by=("user_id", "ts", "event_id"),
         )
-        man.commit("layout", {"ident": ident})
-    bev = _bucketed_events(spark, cat)
+        man.commit("layout", {"ident": ident, "n_buckets": cfg.n_buckets})
+    bev = _bucketed_events(spark, cat, tbl, cfg)
 
     if not man.is_committed("rollup"):
         cat.write(

@@ -148,11 +148,14 @@ class Catalog:
         old_version: int,
         new_version: int | None = None,
         compare_cols: list[str] | None = None,
+        include_values: bool = False,
     ) -> DataFrame:
         """Keyed change capture between two retained versions of a
         table (``new_version=None`` = the current state) — the parquet
-        stand-in for Iceberg's changelog scan. See
-        ``operators.diff.snapshot_diff`` for semantics and scale shape."""
+        stand-in for Iceberg's changelog scan. ``include_values=True``
+        carries after-images so the result feeds
+        ``operators.diff.apply_changes`` (see snapshot_diff for
+        semantics and scale shape)."""
         from ..operators.diff import snapshot_diff
 
         return snapshot_diff(
@@ -160,6 +163,7 @@ class Catalog:
             self.read(table, version=new_version),
             key_cols,
             compare_cols=compare_cols,
+            include_values=include_values,
         )
 
     # ------------------------------------------------- commit mechanics
@@ -364,6 +368,43 @@ class Catalog:
         if sort_by:
             w = w.sortBy(*sort_by)
         w.option("path", path).saveAsTable(ident)
+        return ident
+
+    def register_bucketed(
+        self,
+        table: str,
+        bucket_by: str,
+        n_buckets: int,
+        sort_by: tuple[str, ...] | None = None,
+    ) -> str:
+        """Re-attach a committed ``write_bucketed`` layout in a FRESH
+        session: the parquet stand-in keeps bucket metadata in the
+        session catalog, so a new session (e.g. a crash-resumed job)
+        must recreate the table entry over the already-committed files
+        — the data files carry their bucket ids, only the metadata was
+        lost. CREATE TABLE ... CLUSTERED BY over the existing location
+        restores the layout contract, so downstream joins/groupBys on
+        the bucket key stay shuffle-free across restarts (Iceberg's
+        bucket transform makes this durable without the re-attach).
+        No-op if the table is already registered."""
+        ident = "o2pv_" + "".join(
+            ch if ch.isalnum() else "_" for ch in table
+        )
+        path = self.path(table + ".bucketed")
+        schema = self.spark.read.format(self.fmt).load(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        sorted_sql = (
+            f"SORTED BY ({', '.join(sort_by)}) " if sort_by else ""
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {ident} ({cols}) "
+            f"USING {self.fmt} "
+            f"CLUSTERED BY ({bucket_by}) {sorted_sql}"
+            f"INTO {int(n_buckets)} BUCKETS "
+            f"LOCATION '{path}'"
+        )
         return ident
 
     def read_bucketed(self, table: str) -> DataFrame:

@@ -11,9 +11,12 @@ from .stream_pipeline import (  # noqa: F401
     read_docs_stream,
     read_events_stream,
     read_transcripts_stream,
+    run_stream_anomaly,
     run_stream_dedup,
     run_stream_pipeline,
     stateful_group_verify,
+    stream_correlate,
+    stream_exact_dedup,
     stream_hll_state,
     stream_rollup,
     stream_session_stats,

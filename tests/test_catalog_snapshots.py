@@ -189,3 +189,28 @@ class TestSnapshotDiff:
         assert sorted(map(tuple, same.collect())) == sorted(
             map(tuple, old.collect())
         )
+
+    def test_apply_changes_rejects_valueless_diff(self, spark):
+        import pytest as _pytest
+
+        from otel2pv_spark.operators.diff import apply_changes, snapshot_diff
+
+        old = spark.createDataFrame([(1, "a")], "k int, s string")
+        new = spark.createDataFrame([(1, "b")], "k int, s string")
+        d = snapshot_diff(old, new, ["k"])  # no include_values
+        with _pytest.raises(ValueError, match="include_values"):
+            apply_changes(old, d, ["k"])
+
+    def test_diff_round_trip_with_null_keys(self, spark):
+        """Null key values are one identity (null-safe matching): the
+        round-trip law holds when a null-keyed row updates."""
+        from otel2pv_spark.operators.diff import apply_changes, snapshot_diff
+
+        old = spark.createDataFrame([(None, "x"), (1, "a")], "k int, s string")
+        new = spark.createDataFrame([(None, "y"), (1, "a")], "k int, s string")
+        d = snapshot_diff(old, new, ["k"], include_values=True)
+        assert [(r.k, r.change) for r in d.collect()] == [(None, "update")]
+        got = apply_changes(old, d, ["k"])
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            map(tuple, new.collect()), key=str
+        )

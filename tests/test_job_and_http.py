@@ -309,3 +309,14 @@ def test_stream_job_config_validation(tmp_path):
         job.validate_stream_config(
             {"job": "stream", "input": {"transcripts_dir": "d"},
              "out_root": "x"})
+
+
+def test_observability_int_knobs_validated():
+    with pytest.raises(job.ConfigError, match="nsigma"):
+        job.to_observability_config({
+            "out_root": "x", "observability": {"nsigma": 2.5}})
+    with pytest.raises(job.ConfigError, match="trail"):
+        job.to_observability_config({
+            "out_root": "x", "observability": {"trail": "four"}})
+    cfg = job.to_observability_config({"out_root": "x", "observability": {}})
+    assert cfg.width_sec is None and cfg.nsigma == 3

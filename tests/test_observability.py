@@ -62,12 +62,14 @@ def test_per_user_stages_shuffle_free_on_bucketed_layout(spark, tmp_path, sf_dir
     the bucketed table must contain NO hash-partitioning Exchange —
     the user shuffle was paid once at write time."""
     ev = datagen.load_events(spark, sf_dir)
-    cat = Catalog(spark, str(tmp_path / "obs2"))
+    out = str(tmp_path / "obs2")
+    cat = Catalog(spark, out)
+    tbl = obs.events_table(out)
     cat.write_bucketed(
-        ev, obs.EVENTS_TABLE, bucket_by="user_id", n_buckets=8,
+        ev, tbl, bucket_by="user_id", n_buckets=8,
         sort_by=("user_id", "ts", "event_id"),
     )
-    bev = cat.read_bucketed(obs.EVENTS_TABLE)
+    bev = cat.read_bucketed(tbl)
 
     plans = {
         "sessionize": session_op.sessionize(bev, gap_sec=7200),
@@ -104,3 +106,32 @@ def test_resume_skips_committed_steps_mid_run(spark, tmp_path, sf_dir):
     res2 = obs.run_observability(spark, ev, cfg)
     assert os.path.getmtime(os.path.join(out, "obs_rollup")) == mtime_before
     assert res2["committed"] == res1["committed"]
+
+
+def test_fresh_session_reattaches_bucketed_layout(spark, tmp_path, sf_dir):
+    """Crash-resume in a NEW session: the session catalog forgot the
+    bucketed table; _bucketed_events re-attaches the committed files
+    via register_bucketed and the layout stays shuffle-free."""
+    ev = datagen.load_events(spark, sf_dir)
+    out = str(tmp_path / "obs4")
+    cfg = obs.ObsConfig(out_root=out, run_id="obs4")
+    cat = Catalog(spark, out)
+    tbl = obs.events_table(out)
+    ident = cat.write_bucketed(
+        ev, tbl, bucket_by="user_id", n_buckets=cfg.n_buckets,
+        sort_by=("user_id", "ts", "event_id"),
+    )
+    spark.sql(f"DROP TABLE {ident}")  # simulate a fresh session
+
+    bev = obs._bucketed_events(spark, cat, tbl, cfg)
+    assert bev.count() == ev.count()
+    plan = (
+        session_op.sessionize(bev, gap_sec=7200)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_events_table_namespaced_by_out_root(tmp_path):
+    assert obs.events_table("/a") != obs.events_table("/b")
+    assert obs.events_table("/a") == obs.events_table("/a")

@@ -612,3 +612,41 @@ def test_rollup_fill_gaps_golden(spark):
         ).filter("anomaly").collect()
     }
     assert ("a", 5) in flags
+
+
+def test_rollup_fill_gaps_derived_width_and_offgrid_preserved(spark):
+    """width_sec=None derives the grid from window_end - window_start;
+    an explicitly WRONG width must preserve observed off-grid windows
+    (full-outer fill) instead of silently dropping them."""
+    from otel2pv_spark.operators import aggregate as agg_op
+
+    rows = []
+    for h, n in [(0, 2), (3, 5)]:
+        for i in range(n):
+            rows.append(("a", len(rows) + 1, _ts(f"2026-01-01 {h:02d}:10:00"), i))
+    ev = spark.createDataFrame(
+        [(t, e, ts, float(u), u, "") for (t, e, ts, u) in rows],
+        "event_type string, event_id long, ts timestamp, value double,"
+        " user_id long, props string",
+    )
+    roll = agg_op.rollup_time_windows(ev, width="30 minutes")
+
+    # derived width: 30-min grid, hours 0..3 -> 7 slots, 5 of them zero
+    filled = agg_op.rollup_fill_gaps(roll)
+    got = sorted(
+        (r.window_start_us, r.n_events) for r in filled.collect()
+    )
+    assert len(got) == 7
+    assert [n for _, n in got] == [2, 0, 0, 0, 0, 0, 5]
+
+    # wrong explicit width (1 h over a 30-min rollup): the :10 windows
+    # sit ON the hourly grid here, so shift the fixture — use an
+    # off-hour rollup row to prove preservation
+    roll2 = roll.withColumn(
+        "window_start_us", F.col("window_start_us") + 1_800_000_000
+    )
+    misfit = agg_op.rollup_fill_gaps(roll2, width_sec=3600)
+    # both observed rows survive (values intact), despite neither
+    # landing on the grid stepped from the shifted min
+    vals = sorted(r.n_events for r in misfit.filter("n_events > 0").collect())
+    assert vals == [2, 5]
