@@ -207,6 +207,45 @@ def q_tpch_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.top_suppliers(t["lineitem"], t["supplier"])
 
 
+def q_tpch_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shape EXISTS -> LeftSemi join with a non-equi residual
+    (ship > order date); never dedup-then-join."""
+    t = analytics.load_tpch(spark, sf_dir, "orders", "lineitem")
+    return analytics.order_priority_counts(t["orders"], t["lineitem"])
+
+
+def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shape LEFT OUTER join + double aggregation; orderless
+    customers land in the 0 bucket (the null path is the point)."""
+    t = analytics.load_tpch(spark, sf_dir, "customer", "orders")
+    return analytics.customer_order_distribution(t["customer"], t["orders"])
+
+
+def q_tpch_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shape NOT IN -> LeftAnti join + two-phase count(DISTINCT)."""
+    t = analytics.load_tpch(spark, sf_dir, "part", "supplier", "lineitem")
+    return analytics.parts_supplier_counts(
+        t["part"], t["supplier"], t["lineitem"]
+    )
+
+
+def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape HAVING-subquery as aggregate-then-join-back: one fact
+    scan, the quantity filter applied on the aggregate before any
+    join."""
+    t = analytics.load_tpch(spark, sf_dir, "customer", "orders", "lineitem")
+    return analytics.large_volume_customers(
+        t["customer"], t["orders"], t["lineitem"]
+    )
+
+
+def q_tpch_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shape scalar subquery as a one-row broadcast (exact integer
+    cross-multiplied average cut) + LeftAnti NOT EXISTS."""
+    t = analytics.load_tpch(spark, sf_dir, "customer", "orders")
+    return analytics.idle_high_balance_customers(t["customer"], t["orders"])
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed CDC between two synthesized states of the events table
     (deletes = id%13, value updates = id%7, inserts = id%11): one
@@ -309,6 +348,25 @@ def q_events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark)."""
     ev = datagen.load_events(spark, sf_dir)
     return agg_op.rollup_time_windows(ev, width="1 hour")
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style increase(): per-(user, type) counter deltas with
+    reset detection (a value drop restarts the counter), rolled up to
+    hourly per-type sums — exact BIGINT micro deltas. See
+    operators.aggregate.counter_rate."""
+    ev = datagen.load_events(spark, sf_dir)
+    return agg_op.counter_rate(ev, width="1 hour")
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style log-template mining over the transcript text — the
+    rule-discovery pass that precedes parse.ExtractionRule authoring.
+    Group by (token count, first token), mask disagreeing positions.
+    See operators.templates.mine_templates."""
+    from otel2pv_spark.operators import templates as tmpl_op
+
+    return tmpl_op.mine_templates(_tr(spark, sf_dir))
 
 
 def q_events_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,6 +1223,34 @@ WHERE delta IS NOT NULL
 GROUP BY tool""",
 )
 
+ORACLES["log_templates"] = with_transcripts(
+    """SELECT string_agg(CASE WHEN nd = 1 THEN mt ELSE '<*>' END,
+                         ' ' ORDER BY pos) AS template,
+       n_tokens,
+       CAST(max(cnt) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_wild
+FROM (
+  SELECT n_tokens, first_tok, pos, count(*) AS cnt,
+         count(DISTINCT tok) AS nd, min(tok) AS mt
+  FROM (
+    SELECT n_tokens, first_tok, pos, toks[pos] AS tok
+    FROM (
+      SELECT CAST(len(toks) AS INTEGER) AS n_tokens, toks[1] AS first_tok,
+             toks,
+             unnest(generate_series(1, CAST(len(toks) AS INTEGER))) AS pos
+      FROM (
+        SELECT regexp_split_to_array(
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+        FROM transcripts
+      )
+    )
+  )
+  GROUP BY 1, 2, 3
+)
+GROUP BY n_tokens, first_tok""",
+    [],
+)
+
 ORACLES["parse_extract"] = with_transcripts(
     f"SELECT {', '.join(PARSE_COLS)} FROM parsed WHERE parse_ok",
     [PARSED_CTE],
@@ -1336,6 +1422,80 @@ SELECT s.s_suppkey, s.s_name, r.total_revenue_micro
 FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
 WHERE r.total_revenue_micro = (SELECT max(total_revenue_micro) FROM rev)"""
 
+ORACLES["tpch_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_returnflag = 'R'
+      AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority"""
+
+ORACLES["tpch_custdist"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count"""
+
+ORACLES["tpch_parts_suppliers"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#11'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size"""
+
+ORACLES["tpch_big_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_qty_micro
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum_qty_micro > 250000000
+)
+SELECT c.c_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       CAST(round(o.o_totalprice * 1e6) AS BIGINT) AS o_totalprice_micro,
+       b.sum_qty_micro
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+ORACLES["tpch_idle_customers"] = """
+WITH bal AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 1e6) AS BIGINT) AS bal_micro
+  FROM customer
+),
+tot AS (
+  SELECT CAST(sum(bal_micro) AS BIGINT) AS tot_micro,
+         count(*) AS n
+  FROM bal
+)
+SELECT b.c_mktsegment, count(*) AS numcust,
+       CAST(sum(b.bal_micro) AS BIGINT) AS totacctbal_micro
+FROM bal b, tot t
+WHERE b.bal_micro * t.n > t.tot_micro
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = b.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-08-01')
+GROUP BY b.c_mktsegment"""
+
 ORACLES["table_diff"] = """
 WITH old_t AS (
   SELECT event_id, event_type, value FROM events WHERE event_id % 11 != 0
@@ -1415,6 +1575,29 @@ FROM events
 GROUP BY 1, 2, 3"""
 
 ORACLES["events_rollup_incremental"] = ORACLES["events_rollup_hourly"]
+
+ORACLES["counter_rate"] = """
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events
+),
+d AS (
+  SELECT event_type, ts, v,
+         lag(v) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pv
+  FROM q
+)
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       epoch_us(date_trunc('hour', ts)) + CAST(3600 AS BIGINT) * 1000000
+         AS window_end_us,
+       event_type,
+       CAST(sum(CASE WHEN v < pv THEN v ELSE v - pv END) AS BIGINT)
+         AS increase_micro,
+       count(*) AS n_deltas
+FROM d
+WHERE pv IS NOT NULL
+GROUP BY 1, 2, 3"""
 
 ORACLES["rollup_gaps_filled"] = """
 WITH roll AS (
@@ -1749,6 +1932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping": q_tpch_shipping,
         "tpch_revenue_nation": q_tpch_revenue_nation,
         "tpch_top_suppliers": q_tpch_top_suppliers,
+        "tpch_priority": q_tpch_priority,
+        "tpch_custdist": q_tpch_custdist,
+        "tpch_parts_suppliers": q_tpch_parts_suppliers,
+        "tpch_big_orders": q_tpch_big_orders,
+        "tpch_idle_customers": q_tpch_idle_customers,
         "table_diff": q_table_diff,
         "correlate_events": q_correlate_events,
         "correlate_timeouts": q_correlate_timeouts,
@@ -1756,6 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "session_window_stats": q_session_window_stats,
         "events_rollup_hourly": q_events_rollup_hourly,
+        "counter_rate": q_counter_rate,
+        "log_templates": q_log_templates,
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,
         "rollup_gaps_filled": q_rollup_gaps_filled,

@@ -113,6 +113,13 @@ HEADLINE = [
     "table_diff",
     "tpch_pricing",
     "tpch_shipping",
+    "tpch_priority",
+    "tpch_custdist",
+    "tpch_parts_suppliers",
+    "tpch_big_orders",
+    "tpch_idle_customers",
+    "log_templates",
+    "counter_rate",
     "events_kmv_quantiles",
     "rollup_gaps_filled",
 ]

@@ -425,3 +425,64 @@ def rollup_fill_gaps(
     for c in fill_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+def counter_rate(
+    df: DataFrame,
+    series_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    width: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Counter-reset-aware rate rollup — the PromQL increase()/rate()
+    semantics over a telemetry table (public contract:
+    prometheus/prometheus docs, increase = sum of per-series deltas
+    with a reset detected whenever a cumulative counter goes DOWN; on
+    a reset the new sample's whole value is the delta, since the
+    counter restarted from zero).
+
+    Two stages, one series-keyed exchange:
+    1. per series (``series_cols``) ordered by (ts, tiebreak):
+       ``lag`` the micro-quantized value; delta = cur - prev, or cur
+       on a reset (cur < prev), or no contribution for a series' first
+       sample. Quantization happens row-locally BEFORE the subtraction
+       so deltas are exact BIGINTs (the repo's integer doctrine — a
+       float subtraction would make window sums partitioning-
+       dependent in the last bit).
+    2. rollup to (``keys``, event-time window): map-side-combined sum
+       of deltas + sample counts. The rollup's shuffle carries only
+       pre-aggregated rows; the window grain matches
+       rollup_time_windows so rates can sit next to the other
+       continuous aggregates.
+
+    Skew note: the per-series window partitions on the full series
+    key (user x type here), whose cardinality scales with the corpus —
+    not on the rollup key — so a hot event_type never lands in one
+    task.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    cur = _value_micro(value_col)
+    prev = F.lag(cur).over(w)
+    inc = F.when(prev.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.when(cur < prev, cur).otherwise(cur - prev)
+    )
+    deltas = df.select(
+        *[F.col(c) for c in series_cols],
+        F.col(ts_col),
+        inc.alias("_inc"),
+    ).filter(F.col("_inc").isNotNull())
+    out_keys = [k for k in keys]
+    out = deltas.groupBy(
+        _win(ts_col, width, None).alias("_w"),
+        *[F.col(k) for k in out_keys],
+    ).agg(
+        F.sum("_inc").alias("increase_micro"),
+        F.count("*").alias("n_deltas"),
+    )
+    return out.select(*_win_us(), *out_keys, "increase_micro", "n_deltas")

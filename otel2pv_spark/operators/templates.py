@@ -1,0 +1,113 @@
+"""Log-template mining — the Drain-style clustering step a log
+pipeline runs BEFORE anyone writes extraction rules.
+
+The reference assumes its JQ queries are already known
+(JQExtractor/jqextractor/jqTransformer.go:116-143, compiled from
+config); in practice someone has to discover the message shapes first.
+This operator mines them: lines are grouped by the classic Drain
+prefix key (token count, first token — He et al., ICWS 2017, the
+public log-parsing baseline), and within a group every token position
+where lines disagree is masked to ``<*>``. The output is one row per
+template — the candidate rule set for ``parse.ExtractionRule``.
+
+Deterministic simplification vs full Drain: no similarity threshold or
+tree descent — a position is a wildcard iff >1 distinct token appears
+there. That makes the result a pure function of the input set
+(order-independent, engine-independent), which is what the oracle
+contract needs; full Drain's online clustering depends on arrival
+order.
+
+Scale shape (the reason this is set-oriented, not a driver loop):
+- one ``posexplode`` bounded by tokens-per-line (not corpus size);
+- groupBy (group-key, position) with map-side partial aggs — the
+  shuffle carries one row per (template-group, position), NOT per
+  token occurrence, after partial aggregation;
+- the template reassembly groupBy collects ≤ tokens-per-line pieces
+  per group — bounded state, no window over corpus rows, nothing on
+  the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WILDCARD = "<*>"
+
+
+def _tokens(text_col: str):
+    """Whitespace-normalized tokenization (collapse runs, trim) — the
+    oracle-portable form: Spark split and DuckDB regexp_split_to_array
+    agree on it once runs are collapsed."""
+    return F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+
+
+def mine_templates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per discovered template.
+
+    Returns columns:
+      template   string  — tokens joined by ' ', disagreeing positions
+                           masked to ``<*>``
+      n_tokens   int     — tokens in the template (part of the group key)
+      n_lines    bigint  — lines matching the template
+      n_wild     bigint  — masked positions
+    """
+    toks = _tokens(text_col)
+    lines = df.select(
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("_first"),
+    )
+    tokpos = lines.select(
+        "n_tokens", "_first", F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    # one row per (group, position): how many lines, how many distinct
+    # tokens, and the token itself when the position is constant
+    perpos = tokpos.groupBy("n_tokens", "_first", "_pos").agg(
+        F.count("*").alias("_cnt"),
+        F.countDistinct("_tok").alias("_nd"),
+        F.min("_tok").alias("_mt"),
+    )
+    piece = F.when(F.col("_nd") == 1, F.col("_mt")).otherwise(F.lit(WILDCARD))
+    return (
+        perpos.select(
+            "n_tokens",
+            "_first",
+            "_cnt",
+            F.struct(F.col("_pos"), piece.alias("piece")).alias("_pp"),
+            (F.col("_nd") > 1).cast("long").alias("_wild"),
+        )
+        .groupBy("n_tokens", "_first")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_pp")), lambda s: s["piece"]
+                ),
+                " ",
+            ).alias("template"),
+            # every position of a group sees the same line count
+            F.max("_cnt").alias("n_lines"),
+            F.sum("_wild").alias("n_wild"),
+        )
+        .select("template", "n_tokens", "n_lines", "n_wild")
+    )
+
+
+def assign_templates(
+    df: DataFrame, templates: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Attach each line's template (broadcast join on the group key —
+    the template table is config-sized: one row per message shape, not
+    per line)."""
+    toks = _tokens(text_col)
+    keyed = df.withColumn("_nt", F.size(toks)).withColumn(
+        "_ft", toks.getItem(0)
+    )
+    tmpl = templates.select(
+        F.col("n_tokens").alias("_nt"),
+        F.split("template", " ").getItem(0).alias("_ft"),
+        "template",
+    )
+    return keyed.join(F.broadcast(tmpl), ["_nt", "_ft"], "left").drop(
+        "_nt", "_ft"
+    )

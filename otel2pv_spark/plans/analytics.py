@@ -213,3 +213,172 @@ def top_suppliers(
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_micro")
     )
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Q4 shape — the EXISTS decorrelated as a LEFT SEMI join.
+
+    Orders in the quarter with at least one returned line shipped after
+    the order date, counted per priority. The one plan shape that
+    matters: the EXISTS must become a LeftSemi join on the equi-key
+    (orderkey) with the ship>order comparison as the join residual —
+    NEVER `lineitem.dropDuplicates(orderkey).join(...)` (a second
+    fact-sized shuffle + state to dedup what the semi join discards for
+    free) and never an inner join + dedup after (row explosion first,
+    cleanup later). Both join sides scale with SF, so the strategy is
+    left to AQE (asserted post-execution in tests)."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        ords.join(
+            returned,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    date_to: str = "1996-01-01",
+) -> DataFrame:
+    """Q13 shape — LEFT OUTER join + double aggregation.
+
+    How many customers placed 0, 1, 2, ... early orders: the outer join
+    keeps orderless customers (count(o_orderkey) counts only non-null
+    matches, so they land in the 0 bucket — the null path is the
+    point), the first aggregate runs on the join's own key (no extra
+    exchange beyond the join's), and the second aggregate's input is
+    one row per customer collapsed to one row per distinct count —
+    tiny. Both sides scale with SF: unhinted, AQE decides."""
+    ords = orders.filter(
+        F.col("o_orderdate") < F.lit(date_to).cast("timestamp")
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def parts_supplier_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    excl_brand: str = "Brand#11",
+    sizes: tuple[int, ...] = (1, 5, 9, 13, 17, 21, 25, 29),
+) -> DataFrame:
+    """Q16 shape — NOT IN decorrelated as a LEFT ANTI join + distinct
+    aggregate.
+
+    Distinct suppliers able to supply each qualifying (brand, type,
+    size), excluding complaint suppliers (negative balance — the
+    fixture's analog of Q16's comment LIKE '%Complaints%'). Plan
+    points: the part predicates prune BEFORE the fact join (pushed
+    scan filters), the NOT IN is a LeftAnti join on suppkey (null-safe
+    by construction: keys are non-null here, and an anti join is the
+    only NOT-IN rewrite that neither collects the exclusion list to
+    the driver nor double-scans), and count(DISTINCT) runs two-phase
+    (partial distinct per partition, merge after) — Catalyst's
+    expand-based rewrite, no row ever carries a set."""
+    parts = part.filter(
+        (F.col("p_brand") != excl_brand) & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(complaints, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """Q18 shape — HAVING-subquery as aggregate-then-join-back.
+
+    Orders whose total quantity exceeds the threshold, with their
+    customer. The IN (SELECT ... HAVING) decorrelates to: ONE pass over
+    the fact building the per-order quantity sum, the HAVING as a
+    plain filter on that aggregate (runs on the aggregate's own
+    exchange — selective, drops ~99% of orders before any join), then
+    joins back to orders/customer. The fact is scanned ONCE; the
+    classic trap — joining lineitem to orders first and aggregating
+    the widened rows — shuffles order columns through the fact-sized
+    exchange for nothing. Threshold compare in exact micro-units."""
+    min_qty_micro = int(round(min_qty * MICRO))
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_mi("l_quantity")).alias("sum_qty_micro"))
+        .filter(F.col("sum_qty_micro") > min_qty_micro)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            _mi("o_totalprice").alias("o_totalprice_micro"),
+            "sum_qty_micro",
+        )
+    )
+
+
+def idle_high_balance_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    since: str = "2000-08-01",
+) -> DataFrame:
+    """Q22 shape — scalar subquery as a one-row broadcast + LEFT ANTI.
+
+    Per segment: customers above the global average balance with no
+    recent orders. The scalar AVG is the only side constant at every
+    SF — a one-row (sum, count) aggregate broadcast back, compared by
+    integer cross-multiplication (bal_micro * n > total_micro) so the
+    cut is exact under any partitioning, where a floating average
+    would make the boundary row engine-dependent. The NOT EXISTS is a
+    LeftAnti against the filtered orders (scales with SF — unhinted).
+    Peak product ~1e11 micro x 1e10 customers — inside BIGINT."""
+    bal = customer.select(
+        "c_custkey", "c_mktsegment", _mi("c_acctbal").alias("bal_micro")
+    )
+    tot = bal.agg(
+        F.sum("bal_micro").alias("_tot_micro"), F.count("*").alias("_n")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        bal.join(F.broadcast(tot))
+        .filter(F.col("bal_micro") * F.col("_n") > F.col("_tot_micro"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_micro").alias("totacctbal_micro"),
+        )
+    )
