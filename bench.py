@@ -120,6 +120,7 @@ HEADLINE = [
     "tpch_idle_customers",
     "log_templates",
     "counter_rate",
+    "graph_pagerank",
     "events_kmv_quantiles",
     "rollup_gaps_filled",
 ]

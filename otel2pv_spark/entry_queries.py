@@ -908,7 +908,24 @@ def q_text_ppl_buckets(spark, sf_dir):
     return ts.ppl_buckets(d, ts.ngram_lm(d, n=3, min_count=2))
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration exact-integer PageRank over a deterministic
+    97-node synthetic link graph derived from doc ids (the corpus-side
+    host-ranking pass; see functions/graph.py). 4 rounds, damping
+    0.85, every step BIGINT floor arithmetic so the DuckDB oracle
+    replays it bit-exactly."""
+    from .functions import graph as gr
+
+    d = _docs(spark, sf_dir)
+    edges = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return gr.pagerank(edges, iters=4)
+
+
 QUERIES = {
+    "graph_pagerank": q_graph_pagerank,
     "curation_audit": q_curation_audit,
     "prep_scrub": q_prep_scrub,
     "prep_url_normalize": q_prep_url_normalize,
@@ -3107,3 +3124,63 @@ SELECT id_a, id_b,
 FROM c JOIN u a ON a.doc_id = c.id_a JOIN u b ON b.doc_id = c.id_b
 WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
     + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3"""
+
+
+# PageRank: the oracle replays all 4 rounds as unrolled CTEs
+ORACLES["graph_pagerank"] = """
+WITH e AS (
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+  FROM documents
+  WHERE doc_id % 97 != (doc_id * 31 + 7) % 97
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+s1 AS (
+  SELECT e.dst, CAST(sum(r0.r // deg.d) AS BIGINT) AS s
+  FROM r0 JOIN deg ON r0.node = deg.src
+  JOIN e ON e.src = r0.node
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node,
+         CAST(150000 + 850000 * coalesce(s.s, 0) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s1 s ON n.node = s.dst
+),
+s2 AS (
+  SELECT e.dst, CAST(sum(r1.r // deg.d) AS BIGINT) AS s
+  FROM r1 JOIN deg ON r1.node = deg.src
+  JOIN e ON e.src = r1.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node,
+         CAST(150000 + 850000 * coalesce(s.s, 0) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s2 s ON n.node = s.dst
+),
+s3 AS (
+  SELECT e.dst, CAST(sum(r2.r // deg.d) AS BIGINT) AS s
+  FROM r2 JOIN deg ON r2.node = deg.src
+  JOIN e ON e.src = r2.node
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node,
+         CAST(150000 + 850000 * coalesce(s.s, 0) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s3 s ON n.node = s.dst
+),
+s4 AS (
+  SELECT e.dst, CAST(sum(r3.r // deg.d) AS BIGINT) AS s
+  FROM r3 JOIN deg ON r3.node = deg.src
+  JOIN e ON e.src = r3.node
+  GROUP BY e.dst
+),
+r4 AS (
+  SELECT n.node,
+         CAST(150000 + 850000 * coalesce(s.s, 0) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s4 s ON n.node = s.dst
+)
+SELECT node, r AS rank_micro FROM r4"""
