@@ -133,13 +133,96 @@ class Catalog:
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Read the current table, or — when snapshots are retained —
         time-travel to a specific retained ``version`` (Iceberg's
-        ``VERSION AS OF``)."""
+        ``VERSION AS OF``). A schema-evolved table (see ``append``)
+        reads with footer merging; unevolved tables skip that cost."""
         if version is None:
-            return self.spark.read.parquet(self.path(table))
-        src = os.path.join(self._snap_dir(table), f"v{version}")
-        if not os.path.isdir(src):
-            raise ValueError(f"no snapshot v{version} of table {table!r}")
-        return self.spark.read.parquet(src)
+            src = self.path(table)
+        else:
+            src = os.path.join(self._snap_dir(table), f"v{version}")
+            if not os.path.isdir(src):
+                raise ValueError(f"no snapshot v{version} of table {table!r}")
+        r = self.spark.read
+        if os.path.exists(os.path.join(src, "_evolved")):
+            r = r.option("mergeSchema", "true")
+        return r.parquet(src)
+
+    def append(
+        self, df: DataFrame, table: str, merge_schema: bool = False
+    ) -> None:
+        """Atomic append — the Iceberg append snapshot: the new table
+        version references every existing data file UNCHANGED plus the
+        new batch's files. The parquet stand-in hardlinks the current
+        files into a staging dir (metadata-only, like a manifest
+        re-reference), writes the batch beside them, and swaps — a
+        crash anywhere leaves the current version intact.
+
+        Schema evolution (Iceberg ``ALTER TABLE ADD COLUMN`` +
+        append): with ``merge_schema=True`` the batch may ADD columns
+        and/or OMIT existing ones — readers see the union schema with
+        NULLs where a file lacks a column, exactly Iceberg's
+        read-time projection of old files against the evolved schema.
+        The table is marked evolved so ``read`` merges parquet footers
+        (unevolved tables keep the cheap single-footer read). A column
+        present on both sides must keep its exact type (Iceberg allows
+        only safe widenings; the stand-in allows none — widen by
+        rewriting). Without ``merge_schema``, any schema difference
+        raises, mirroring Iceberg's write-schema validation.
+
+        Unpartitioned tables only: appending loose files at the root
+        of a hive-partitioned layout would corrupt partition discovery
+        (use ``commit_fanout_split`` / ``replace_keys`` there)."""
+        if not self.exists(table):
+            self.write(df, table)
+            return
+        final = self.path(table)
+        if any(
+            "=" in d and os.path.isdir(os.path.join(final, d))
+            for d in os.listdir(final)
+        ):
+            raise ValueError(
+                f"append targets unpartitioned tables; {table!r} is "
+                "hive-partitioned (use replace_keys/commit_fanout_split)"
+            )
+        cur_types = {f.name: f.dataType for f in self.read(table).schema.fields}
+        new_types = {f.name: f.dataType for f in df.schema.fields}
+        shared_conflicts = {
+            c for c in cur_types.keys() & new_types.keys()
+            if cur_types[c] != new_types[c]
+        }
+        if shared_conflicts:
+            raise ValueError(
+                f"column type changes not supported in append: "
+                f"{sorted(shared_conflicts)}"
+            )
+        evolves = cur_types.keys() != new_types.keys()
+        if evolves and not merge_schema:
+            raise ValueError(
+                f"schema mismatch appending to {table!r} "
+                f"(batch adds {sorted(new_types.keys() - cur_types.keys())}, "
+                f"omits {sorted(cur_types.keys() - new_types.keys())}); "
+                "pass merge_schema=True to evolve"
+            )
+
+        self._sweep_stale(table)
+        batch_tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(batch_tmp)
+
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        os.makedirs(tmp)
+        for f in os.listdir(final):
+            if f.endswith(".parquet") or f == "_evolved":
+                os.link(os.path.join(final, f), os.path.join(tmp, f))
+        prefix = "b-" + uuid.uuid4().hex[:8] + "-"
+        for f in os.listdir(batch_tmp):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(batch_tmp, f), os.path.join(tmp, prefix + f)
+                )
+        shutil.rmtree(batch_tmp, ignore_errors=True)
+        if evolves or os.path.exists(os.path.join(final, "_evolved")):
+            with open(os.path.join(tmp, "_evolved"), "w") as fh:
+                fh.write("1")
+        self._swap_in(tmp, table)
 
     def diff(
         self,

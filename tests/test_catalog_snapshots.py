@@ -214,3 +214,77 @@ class TestSnapshotDiff:
         assert sorted(map(tuple, got.collect()), key=str) == sorted(
             map(tuple, new.collect()), key=str
         )
+
+
+class TestAppendEvolve:
+    def test_append_same_schema(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.write(_df(spark, "a", 3), "t")
+        cat.append(_df(spark, "b", 2), "t")
+        got = sorted((r.id, r.tag) for r in cat.read("t").collect())
+        assert [t for _, t in got].count("a") == 3
+        assert [t for _, t in got].count("b") == 2
+        # unevolved: no merge marker, cheap reads
+        assert not os.path.exists(str(tmp_path / "cat" / "t" / "_evolved"))
+
+    def test_append_rejects_silent_schema_drift(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.write(_df(spark, "a"), "t")
+        widened = _df(spark, "b").withColumn("score", F.lit(1.5))
+        with pytest.raises(ValueError, match="merge_schema"):
+            cat.append(widened, "t")
+
+    def test_append_evolves_schema_old_rows_null(self, spark, tmp_path):
+        """Iceberg ADD COLUMN semantics: after an evolved append, every
+        reader sees the union schema; pre-evolution rows project NULL
+        for the new column."""
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.write(_df(spark, "a", 2), "t")
+        widened = _df(spark, "b", 2).withColumn("score", F.lit(1.5))
+        cat.append(widened, "t", merge_schema=True)
+        rows = {(r.id, r.tag): r.score for r in cat.read("t").collect()}
+        assert set(cat.read("t").columns) == {"id", "tag", "score"}
+        assert all(v is None for (i, t), v in rows.items() if t == "a")
+        assert all(v == 1.5 for (i, t), v in rows.items() if t == "b")
+
+    def test_append_batch_may_omit_columns(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.write(_df(spark, "a", 2), "t")
+        narrow = spark.range(2).select("id")  # omits tag
+        cat.append(narrow, "t", merge_schema=True)
+        got = cat.read("t")
+        assert set(got.columns) == {"id", "tag"}
+        assert got.filter(F.col("tag").isNull()).count() == 2
+
+    def test_append_type_conflict_always_rejected(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.write(_df(spark, "a"), "t")
+        bad = spark.range(2).select("id", F.lit(7).alias("tag"))  # tag int
+        with pytest.raises(ValueError, match="type changes"):
+            cat.append(bad, "t", merge_schema=True)
+
+    def test_append_snapshot_history_and_marker_sticks(self, spark, tmp_path):
+        """Appends version like any commit; once evolved, later
+        same-schema appends keep the merge marker (old thin files
+        remain in the table)."""
+        cat = Catalog(spark, str(tmp_path / "cat"), keep_snapshots=3)
+        cat.write(_df(spark, "a", 2), "t")
+        widened = _df(spark, "b", 1).withColumn("score", F.lit(2.0))
+        cat.append(widened, "t", merge_schema=True)
+        cat.append(widened, "t", merge_schema=True)
+        assert cat.read("t").count() == 4
+        assert set(cat.read("t").columns) == {"id", "tag", "score"}
+        # pre-append version still readable, WITHOUT the new column
+        v1 = cat.snapshots("t")[0]
+        assert set(cat.read("t", version=v1).columns) == {"id", "tag"}
+
+    def test_append_to_partitioned_table_rejected(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.write(_df(spark, "a"), "t", partition_by=["tag"])
+        with pytest.raises(ValueError, match="partitioned"):
+            cat.append(_df(spark, "b"), "t")
+
+    def test_append_creates_missing_table(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.append(_df(spark, "a", 3), "t")
+        assert cat.read("t").count() == 3
