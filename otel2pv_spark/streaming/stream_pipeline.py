@@ -652,6 +652,138 @@ def run_stream_anomaly(
     return writer.start()
 
 
+def run_stream_counter_rate(
+    event_stream: DataFrame,
+    state_root: str,
+    out_root: str,
+    checkpoint: str,
+    width: str = "1 hour",
+    series_cols: tuple[str, ...] = ("user_id", "event_type"),
+    keys: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    available_now: bool = False,
+):
+    """Live counter rates: the streaming twin of
+    ``aggregate.counter_rate``, sharing the batch operator VERBATIM
+    (the lambda-coherence rule of run_stream_anomaly / stream_hll_state:
+    live and backfill can never disagree on a delta because they run
+    the same code).
+
+    The only state a reset-aware rate needs is each series' LAST
+    sample. Per micro-batch:
+
+    1. read the stored per-series last-sample table (Catalog — atomic
+       replace, so a crash leaves the previous state intact);
+    2. rows at or before their series' stored sample are LATE under
+       the PromQL scrape-order contract (a counter's samples arrive in
+       order per series; a late sample would lag against the wrong
+       neighbor) — routed to ``{out_root}/late``, never silently
+       mis-lagged;
+    3. union state rows with the fresh rows and run the batch
+       ``counter_rate`` unchanged: a state row has no predecessor in
+       the union so it emits NO delta of its own, but it IS the lag
+       donor for the series' first fresh sample — the cross-batch
+       delta falls out of the operator's own null-prev rule;
+    4. append the per-window increments to ``{out_root}/increase``
+       (sums are mergeable; ``read_counter_rates`` folds the log), and
+       REPLACE the state with the new per-series last samples.
+
+    State is one row per live series — the minimum any reset-aware
+    rate can hold — and per-batch cost is batch-size + |series|,
+    independent of stream age. At-least-once caveat: a replayed batch
+    re-appends its increments; on the real target the increase append
+    is an Iceberg MERGE at (keys, window) grain (the rollup_merge
+    mapping) for exactly-once.
+    """
+    from ..operators.aggregate import counter_rate
+    from ..sources.catalog import Catalog
+
+    cols = [*series_cols, ts_col, tiebreak_col, value_col]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).localCheckpoint()
+        if batch.isEmpty():
+            return
+        cat = Catalog(spark, state_root)
+        state = (
+            cat.read("series_last")
+            if cat.exists("series_last")
+            else batch.select(*cols).limit(0)
+        )
+
+        st = state.select(
+            *[F.col(c).alias(f"_s_{c}") for c in series_cols],
+            F.col(ts_col).alias("_s_ts"),
+            F.col(tiebreak_col).alias("_s_tb"),
+        )
+        joined = batch.select(*cols).join(
+            st, [F.col(c) == F.col(f"_s_{c}") for c in series_cols], "left"
+        )
+        is_late = F.col("_s_ts").isNotNull() & (
+            (F.col(ts_col) < F.col("_s_ts"))
+            | (
+                (F.col(ts_col) == F.col("_s_ts"))
+                & (F.col(tiebreak_col) <= F.col("_s_tb"))
+            )
+        )
+        joined = joined.withColumn("_late", is_late).localCheckpoint()
+        joined.filter("_late").select(*cols).write.mode("append").parquet(
+            f"{out_root}/late"
+        )
+        fresh = joined.filter(~F.col("_late")).select(*cols)
+
+        union = state.unionByName(fresh).localCheckpoint()
+        counter_rate(
+            union,
+            series_cols=series_cols,
+            ts_col=ts_col,
+            value_col=value_col,
+            tiebreak_col=tiebreak_col,
+            width=width,
+            keys=keys,
+        ).write.mode("append").parquet(f"{out_root}/increase")
+
+        new_state = (
+            union.groupBy(*[F.col(c) for c in series_cols])
+            .agg(F.max(F.struct(ts_col, tiebreak_col, value_col)).alias("_m"))
+            .select(
+                *series_cols,
+                F.col(f"_m.{ts_col}").alias(ts_col),
+                F.col(f"_m.{tiebreak_col}").alias(tiebreak_col),
+                F.col(f"_m.{value_col}").alias(value_col),
+            )
+        )
+        cat.write(new_state, "series_last")
+
+    writer = (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_counter_rates(
+    spark: SparkSession, out_root: str, keys: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Fold the mergeable increase log to final per-window rates —
+    identical output columns to the batch ``counter_rate``."""
+    inc = spark.read.parquet(f"{out_root}/increase")
+    return inc.groupBy(
+        "window_start_us", "window_end_us", *[F.col(k) for k in keys]
+    ).agg(
+        F.sum("increase_micro").alias("increase_micro"),
+        F.sum("n_deltas").alias("n_deltas"),
+    )
+
+
 def stream_correlate(
     request_stream: DataFrame,
     response_stream: DataFrame,

@@ -740,3 +740,114 @@ def test_stream_exact_dedup_drops_redeliveries(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_counter_rate_equals_batch(spark, tmp_path):
+    """run_stream_counter_rate over three micro-batches == the batch
+    counter_rate over the full input (cross-batch deltas included —
+    the state row donates the lag), with late rows routed out."""
+    import pandas as pd
+
+    from otel2pv_spark.operators import aggregate as agg_op
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "cr_src")
+    out = str(tmp_path / "cr_out")
+    state = str(tmp_path / "cr_state")
+    ckpt = str(tmp_path / "cr_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # two series; user 7 resets (12.5 -> 3.0) ACROSS the batch split,
+    # so the delta only exists if state donates the lag
+    rows = [
+        (1, "2026-01-01 10:00:00", 7, "bytes", 10.0),
+        (2, "2026-01-01 10:10:00", 7, "bytes", 12.5),
+        (3, "2026-01-01 10:05:00", 9, "bytes", 1.0),
+        # --- batch 2 ---
+        (4, "2026-01-01 10:20:00", 7, "bytes", 3.0),
+        (5, "2026-01-01 11:10:00", 9, "bytes", 4.0),
+        # --- batch 3 ---
+        (6, "2026-01-01 11:30:00", 7, "bytes", 5.5),
+    ]
+    splits = [rows[:3], rows[3:5], rows[5:]]
+    for i, chunk in enumerate(splits):
+        pd.DataFrame(
+            [{"event_id": e, "ts": pd.Timestamp(t), "user_id": u,
+              "event_type": k, "value": v, "props": ""}
+             for e, t, u, k, v in chunk]
+        ).to_parquet(f"{src}/f{i}.parquet", index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(f"{src}/f{i}.parquet", (time.time() + i,) * 2)
+
+    q = sp.run_stream_counter_rate(
+        sp.read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root=state, out_root=out, checkpoint=ckpt,
+        width="1 hour", available_now=True,
+    )
+    q.awaitTermination(300)
+
+    batch_df = spark.createDataFrame(
+        [(e, t, u, k, v) for e, t, u, k, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r.window_start_us, r.event_type): (r.increase_micro, r.n_deltas)
+        for r in agg_op.counter_rate(batch_df, width="1 hour").collect()
+    }
+    got = {
+        (r.window_start_us, r.event_type): (r.increase_micro, r.n_deltas)
+        for r in sp.read_counter_rates(spark, out).collect()
+    }
+    assert got == want
+    # sanity: the cross-batch reset delta is present (10h window:
+    # 2.5 + reset 3.0 from user 7, 10:05 first sample contributes 0)
+    ten = [v for (w, k), v in got.items()
+           if w == pd.Timestamp("2026-01-01 10:00:00").value // 1000]
+    assert ten == [(5_500_000, 2)]
+    # state holds exactly the two series' last samples
+    from otel2pv_spark.sources.catalog import Catalog
+
+    st = Catalog(spark, state).read("series_last").collect()
+    assert {(r.user_id, r.event_id) for r in st} == {(7, 6), (9, 5)}
+
+
+def test_stream_counter_rate_routes_late_rows(spark, tmp_path):
+    """A sample at/behind its series' stored last sample is parked in
+    /late, not lagged against the wrong neighbor."""
+    import pandas as pd
+
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "crl_src")
+    out = str(tmp_path / "crl_out")
+    state = str(tmp_path / "crl_state")
+    ckpt = str(tmp_path / "crl_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    batches = [
+        [(1, "2026-01-01 10:00:00", 7, "bytes", 10.0),
+         (2, "2026-01-01 10:10:00", 7, "bytes", 12.0)],
+        [(3, "2026-01-01 10:05:00", 7, "bytes", 11.0),   # LATE
+         (4, "2026-01-01 10:20:00", 7, "bytes", 13.0)],  # fresh
+    ]
+    for i, chunk in enumerate(batches):
+        pd.DataFrame(
+            [{"event_id": e, "ts": pd.Timestamp(t), "user_id": u,
+              "event_type": k, "value": v, "props": ""}
+             for e, t, u, k, v in chunk]
+        ).to_parquet(f"{src}/f{i}.parquet", index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(f"{src}/f{i}.parquet", (time.time() + i,) * 2)
+
+    q = sp.run_stream_counter_rate(
+        sp.read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root=state, out_root=out, checkpoint=ckpt,
+        width="1 hour", available_now=True,
+    )
+    q.awaitTermination(300)
+
+    late = spark.read.parquet(f"{out}/late").collect()
+    assert [r.event_id for r in late] == [3]
+    got = sp.read_counter_rates(spark, out).collect()
+    # 2.0 (batch 1) + 1.0 (13 - 12 across batches; late row excluded)
+    assert [(r.increase_micro, r.n_deltas) for r in got] == [(3_000_000, 2)]
