@@ -239,6 +239,14 @@ def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shape double correlation collapsed to one grouped pass (the
+    oracle keeps the EXISTS/NOT-EXISTS form — different algorithm,
+    same result)."""
+    t = analytics.load_tpch(spark, sf_dir, "lineitem", "supplier")
+    return analytics.waiting_suppliers(t["lineitem"], t["supplier"])
+
+
 def q_tpch_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22-shape scalar subquery as a one-row broadcast (exact integer
     cross-multiplied average cut) + LeftAnti NOT EXISTS."""
@@ -1475,6 +1483,22 @@ FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey"""
 
+ORACLES["tpch_waiting_suppliers"] = """
+SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name"""
+
 ORACLES["tpch_idle_customers"] = """
 WITH bal AS (
   SELECT c_custkey, c_mktsegment,
@@ -1937,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_parts_suppliers": q_tpch_parts_suppliers,
         "tpch_big_orders": q_tpch_big_orders,
         "tpch_idle_customers": q_tpch_idle_customers,
+        "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
         "table_diff": q_table_diff,
         "correlate_events": q_correlate_events,
         "correlate_timeouts": q_correlate_timeouts,

@@ -118,6 +118,7 @@ HEADLINE = [
     "tpch_parts_suppliers",
     "tpch_big_orders",
     "tpch_idle_customers",
+    "tpch_waiting_suppliers",
     "log_templates",
     "counter_rate",
     "graph_pagerank",

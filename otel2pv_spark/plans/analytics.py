@@ -348,6 +348,49 @@ def large_volume_customers(
     )
 
 
+def waiting_suppliers(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Q21 shape — double correlation (EXISTS + NOT EXISTS on the same
+    fact) collapsed to ONE grouped pass.
+
+    "Suppliers who alone returned lines on multi-supplier orders": the
+    textbook decorrelation is two fact-sized self-joins on orderkey
+    (semi for the EXISTS, anti for the NOT EXISTS — three scans of the
+    fact). Because BOTH correlated subqueries share the outer query's
+    key, the whole predicate is a function of per-order aggregates:
+
+        qualifies(order)  = distinct suppliers >= 2
+                            AND distinct RETURNED suppliers == 1
+        winner(order)     = that sole returned supplier
+
+    — one scan, one map-side-combined groupBy(orderkey), then a count
+    per winner. This is the rewrite Catalyst cannot derive from the
+    EXISTS form (it would need to prove the two subqueries' key
+    equality); writing it set-first is the engine's job. The oracle
+    deliberately keeps the EXISTS/NOT-EXISTS form — a different
+    algorithm validating the rewrite. numwait counts distinct
+    qualifying ORDERS per supplier (each order qualifies once however
+    many returned lines it has)."""
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(ret_supp).alias("_n_ret"),
+            F.min(ret_supp).alias("_ret_supp"),
+        )
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_ret") == 1))
+    )
+    return (
+        per_order.groupBy("_ret_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            supplier.select("s_suppkey", "s_name"),
+            F.col("_ret_supp") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+    )
+
+
 def idle_high_balance_customers(
     customer: DataFrame,
     orders: DataFrame,

@@ -232,3 +232,32 @@ def test_idle_high_balance_exact_average_cut(spark, sf_dir):
     got2 = {(r.c_mktsegment): (r.numcust, r.totacctbal_micro)
             for r in analytics.idle_high_balance_customers(cust, ords_none).collect()}
     assert got2 == {"B": (1, 300_000_000)}
+
+
+def test_waiting_suppliers_one_fact_scan_and_semantics(spark, sf_dir):
+    """Q21 shape: the double EXISTS collapses to one grouped pass —
+    the fact is scanned ONCE (the decorrelated self-join form scans it
+    three times); per-order golden semantics."""
+    t = analytics.load_tpch(spark, sf_dir, "lineitem", "supplier")
+    df = analytics.waiting_suppliers(t["lineitem"], t["supplier"])
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+
+    li = _lineitem(
+        spark,
+        # order 1: supp 10 returned, supp 20 didn't -> 10 qualifies
+        [(1, 10, 1.0, 1.0, 0.0, 0.0, "R", "O", "1996-01-01"),
+         (1, 10, 1.0, 1.0, 0.0, 0.0, "R", "O", "1996-01-02"),  # 2nd R line, same order
+         (1, 20, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01"),
+         # order 2: single-supplier order -> no one kept anyone waiting
+         (2, 10, 1.0, 1.0, 0.0, 0.0, "R", "O", "1996-01-01"),
+         # order 3: BOTH suppliers returned -> neither qualifies
+         (3, 10, 1.0, 1.0, 0.0, 0.0, "R", "O", "1996-01-01"),
+         (3, 20, 1.0, 1.0, 0.0, 0.0, "R", "O", "1996-01-01")],
+    )
+    sup = spark.createDataFrame(
+        [(10, "sa"), (20, "sb")], "s_suppkey long, s_name string"
+    )
+    got = {r.s_name: r.numwait
+           for r in analytics.waiting_suppliers(li, sup).collect()}
+    assert got == {"sa": 1}  # order 1 once, despite two R lines
