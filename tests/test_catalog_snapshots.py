@@ -288,3 +288,53 @@ class TestAppendEvolve:
         cat = Catalog(spark, str(tmp_path / "cat"))
         cat.append(_df(spark, "a", 3), "t")
         assert cat.read("t").count() == 3
+
+
+class TestOverwritePartitions:
+    def _ev(self, spark, sink, tag, n=3):
+        return spark.range(n).select(
+            "id", F.lit(sink).alias("sink"), F.lit(tag).alias("tag")
+        )
+
+    def test_only_present_partitions_replaced(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        base = self._ev(spark, "a", "old").unionByName(self._ev(spark, "b", "old"))
+        cat.write(base, "t", partition_by=["sink"])
+        cat.overwrite_partitions(self._ev(spark, "a", "new", 2), "t", ["sink"])
+        got = {(r.sink, r.tag) for r in cat.read("t").collect()}
+        assert got == {("a", "new"), ("b", "old")}
+        assert cat.read("t").filter(F.col("sink") == "a").count() == 2
+
+    def test_new_partition_value_appears(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.write(self._ev(spark, "a", "old"), "t", partition_by=["sink"])
+        cat.overwrite_partitions(self._ev(spark, "c", "new"), "t", ["sink"])
+        got = {r.sink for r in cat.read("t").collect()}
+        assert got == {"a", "c"}
+
+    def test_multi_level_swaps_at_leaf_grain(self, spark, tmp_path):
+        """(sink, day) spec: restating (a, d1) must not touch (a, d2)."""
+        cat = Catalog(spark, str(tmp_path / "cat"))
+
+        def mk(sink, day, tag):
+            return spark.range(2).select(
+                "id", F.lit(sink).alias("sink"), F.lit(day).alias("day"),
+                F.lit(tag).alias("tag"),
+            )
+
+        base = mk("a", "d1", "old").unionByName(mk("a", "d2", "old"))
+        cat.write(base, "t", partition_by=["sink", "day"])
+        cat.overwrite_partitions(mk("a", "d1", "new"), "t", ["sink", "day"])
+        got = {(r.day, r.tag) for r in cat.read("t").collect()}
+        assert got == {("d1", "new"), ("d2", "old")}
+
+    def test_unpartitioned_target_rejected(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.write(self._ev(spark, "a", "x"), "t")  # unpartitioned
+        with pytest.raises(ValueError, match="not hive-partitioned"):
+            cat.overwrite_partitions(self._ev(spark, "a", "y"), "t", ["sink"])
+
+    def test_missing_table_created(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.overwrite_partitions(self._ev(spark, "a", "x"), "t", ["sink"])
+        assert cat.read("t").count() == 3
