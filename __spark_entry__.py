@@ -254,6 +254,103 @@ def q_tpch_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.idle_high_balance_customers(t["customer"], t["orders"])
 
 
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shape pure scan-and-aggregate: three pushed range predicates,
+    zero joins, one row out."""
+    t = analytics.load_tpch(spark, sf_dir, "lineitem")
+    return analytics.forecast_revenue(t["lineitem"])
+
+
+def q_tpch_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shape correlated MIN decorrelated as per-part aggregate
+    joined back on its own key (scales with |part| — never broadcast)."""
+    t = analytics.load_tpch(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    return analytics.min_cost_suppliers(t)
+
+
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shape: one fact scan feeding two independent dim paths with
+    the cross-nation pair filter where they meet."""
+    t = analytics.load_tpch(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    return analytics.volume_shipping(t)
+
+
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shape conditional-share aggregate; share emitted as an exact
+    (numerator, denominator) BIGINT pair."""
+    t = analytics.load_tpch(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "part", "nation", "region",
+    )
+    return analytics.market_share(t)
+
+
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shape multi-dim profit rollup; cost stand-in p_retailprice x
+    quantity keeps profit in exact BIGINT micros."""
+    t = analytics.load_tpch(
+        spark, sf_dir, "lineitem", "orders", "supplier", "part", "nation"
+    )
+    return analytics.product_profit(t)
+
+
+def q_tpch_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shape group-then-top-k with dims joined AFTER the cut (the
+    dims see k rows, not |customer|)."""
+    t = analytics.load_tpch(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    return analytics.returned_item_customers(t)
+
+
+def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shape group value vs fraction-of-global-total HAVING via a
+    one-row broadcast + integer cross-multiplication."""
+    t = analytics.load_tpch(spark, sf_dir, "lineitem", "supplier", "nation")
+    return analytics.important_parts(t)
+
+
+def q_tpch_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shape join with a non-equi lateness residual + split
+    conditional counts out of one aggregate."""
+    t = analytics.load_tpch(spark, sf_dir, "orders", "lineitem")
+    return analytics.late_shipment_priority(t["orders"], t["lineitem"])
+
+
+def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shape conditional-numerator ratio per ship month, exact
+    num/den micro pair."""
+    t = analytics.load_tpch(spark, sf_dir, "part", "lineitem")
+    return analytics.promo_revenue_share(t["part"], t["lineitem"])
+
+
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shape correlated per-group AVG as aggregate-then-join-back
+    with an integer cross-multiplied cut; one fact scan."""
+    t = analytics.load_tpch(spark, sf_dir, "part", "lineitem")
+    return analytics.small_quantity_revenue(t["part"], t["lineitem"])
+
+
+def q_tpch_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shape OR-of-ANDs disjunction in ONE join pass (never three
+    unioned scans)."""
+    t = analytics.load_tpch(spark, sf_dir, "part", "lineitem")
+    return analytics.banded_revenue(t["part"], t["lineitem"])
+
+
+def q_tpch_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shape nested-IN semi-join chain with a correlated-aggregate
+    share threshold; one fact pass."""
+    t = analytics.load_tpch(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation"
+    )
+    return analytics.dominant_part_suppliers(t)
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed CDC between two synthesized states of the events table
     (deletes = id%13, value updates = id%7, inserts = id%11): one
@@ -1520,6 +1617,221 @@ WHERE b.bal_micro * t.n > t.tot_micro
       AND o.o_orderdate >= TIMESTAMP '2000-08-01')
 GROUP BY b.c_mktsegment"""
 
+ORACLES["tpch_forecast_revenue"] = """
+SELECT CAST(sum((CAST(round(l_extendedprice * 1e6) AS BIGINT)
+                 * CAST(round(l_discount * 1e6) AS BIGINT)) // 1000000)
+       AS BIGINT) AS revenue_micro,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.04 AND l_discount <= 0.06
+  AND l_quantity < 24"""
+
+_UNIT_COST_ORACLE = (
+    "CAST(round(l_extendedprice * 1e6) AS BIGINT)"
+    " // CAST(round(l_quantity) AS BIGINT)"
+)
+
+ORACLES["tpch_min_cost_supp"] = f"""
+WITH cost AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         CAST(min({_UNIT_COST_ORACLE}) AS BIGINT) AS supp_cost_micro
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size >= 40 AND r.r_name = 'ASIA'
+  GROUP BY ALL
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       CAST(round(s_acctbal * 1e6) AS BIGINT) AS s_acctbal_micro,
+       supp_cost_micro
+FROM cost c
+WHERE supp_cost_micro = (
+  SELECT min(supp_cost_micro) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)"""
+
+ORACLES["tpch_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum({_DP_SQL}) AS BIGINT) AS revenue_micro
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY ALL"""
+
+ORACLES["tpch_market_share"] = f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN {_DP_SQL} ELSE 0 END)
+         AS BIGINT) AS target_volume_micro,
+       CAST(sum({_DP_SQL}) AS BIGINT) AS total_volume_micro
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+GROUP BY ALL"""
+
+ORACLES["tpch_product_profit"] = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(({_DP_SQL})
+            - CAST(round(p.p_retailprice * 1e6) AS BIGINT)
+              * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+         AS profit_micro
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY ALL"""
+
+ORACLES["tpch_returned_customers"] = f"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(sum({_DP_SQL}) AS BIGINT) AS revenue_micro
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY o.o_custkey
+),
+top AS (
+  SELECT o_custkey, revenue_micro,
+         CAST(row_number() OVER (ORDER BY revenue_micro DESC, o_custkey)
+           AS INTEGER) AS "rank"
+  FROM rev
+  ORDER BY revenue_micro DESC, o_custkey
+  LIMIT 20
+)
+SELECT c.c_custkey, c.c_name, t.revenue_micro,
+       CAST(round(c.c_acctbal * 1e6) AS BIGINT) AS c_acctbal_micro,
+       n.n_name, t."rank"
+FROM top t
+JOIN customer c ON t.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+
+ORACLES["tpch_important_parts"] = f"""
+WITH per_part AS (
+  SELECT l.l_partkey,
+         CAST(sum({_DP_SQL}) AS BIGINT) AS value_micro
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, value_micro
+FROM per_part
+WHERE (value_micro // 1000000) * 1000000 >
+      (SELECT CAST(sum(value_micro // 1000000) AS BIGINT) FROM per_part) * 1000"""
+
+ORACLES["tpch_late_priority"] = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_linestatus"""
+
+ORACLES["tpch_promo_share"] = f"""
+SELECT epoch_us(CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP))
+         AS ship_month_us,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_DP_SQL} ELSE 0 END)
+         AS BIGINT) AS promo_revenue_micro,
+       CAST(sum({_DP_SQL}) AS BIGINT) AS total_revenue_micro
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ALL"""
+
+ORACLES["tpch_small_qty_revenue"] = """
+WITH sub AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 1e6) AS BIGINT) AS price_mi
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#3'
+),
+avg_q AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+         count(*) AS n
+  FROM sub GROUP BY l_partkey
+)
+SELECT CAST(sum(s.price_mi) AS BIGINT) AS revenue_micro,
+       count(*) AS n_lines
+FROM sub s JOIN avg_q a ON s.l_partkey = a.l_partkey
+WHERE s.qty * a.n * 5 < a.sum_qty * 1"""
+
+ORACLES["tpch_banded_revenue"] = f"""
+WITH j AS (
+  SELECT p.p_brand, p.p_size, l.l_quantity,
+         {_DP_SQL} AS dp,
+         (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+          AND l.l_quantity BETWEEN 1.0 AND 15.0) AS b0,
+         (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25
+          AND l.l_quantity BETWEEN 10.0 AND 30.0) AS b1,
+         (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 25 AND 50
+          AND l.l_quantity BETWEEN 20.0 AND 50.0) AS b2
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST(sum(CASE WHEN b0 THEN dp ELSE 0 END) AS BIGINT)
+         AS band0_revenue_micro,
+       CAST(sum(CASE WHEN b1 THEN dp ELSE 0 END) AS BIGINT)
+         AS band1_revenue_micro,
+       CAST(sum(CASE WHEN b2 THEN dp ELSE 0 END) AS BIGINT)
+         AS band2_revenue_micro,
+       CAST(sum(dp) AS BIGINT) AS revenue_micro,
+       count(*) AS n_lines
+FROM j
+WHERE b0 OR b1 OR b2"""
+
+ORACLES["tpch_dominant_suppliers"] = """
+WITH vol AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+winners AS (
+  SELECT DISTINCT v.l_suppkey
+  FROM vol v
+  JOIN (SELECT l_partkey, CAST(sum(v) AS BIGINT) AS tot
+        FROM vol GROUP BY l_partkey) t
+    ON v.l_partkey = t.l_partkey
+  WHERE v.v * 3 > t.tot * 2
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM winners w
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey"""
+
 ORACLES["table_diff"] = """
 WITH old_t AS (
   SELECT event_id, event_type, value FROM events WHERE event_id % 11 != 0
@@ -1962,6 +2274,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_big_orders": q_tpch_big_orders,
         "tpch_idle_customers": q_tpch_idle_customers,
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
+        "tpch_forecast_revenue": q_tpch_forecast_revenue,
+        "tpch_min_cost_supp": q_tpch_min_cost_supp,
+        "tpch_volume_shipping": q_tpch_volume_shipping,
+        "tpch_market_share": q_tpch_market_share,
+        "tpch_product_profit": q_tpch_product_profit,
+        "tpch_returned_customers": q_tpch_returned_customers,
+        "tpch_important_parts": q_tpch_important_parts,
+        "tpch_late_priority": q_tpch_late_priority,
+        "tpch_promo_share": q_tpch_promo_share,
+        "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
+        "tpch_banded_revenue": q_tpch_banded_revenue,
+        "tpch_dominant_suppliers": q_tpch_dominant_suppliers,
         "table_diff": q_table_diff,
         "correlate_events": q_correlate_events,
         "correlate_timeouts": q_correlate_timeouts,

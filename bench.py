@@ -119,6 +119,10 @@ HEADLINE = [
     "tpch_big_orders",
     "tpch_idle_customers",
     "tpch_waiting_suppliers",
+    "tpch_min_cost_supp",
+    "tpch_market_share",
+    "tpch_returned_customers",
+    "tpch_dominant_suppliers",
     "log_templates",
     "counter_rate",
     "graph_pagerank",

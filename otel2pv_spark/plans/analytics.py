@@ -2,10 +2,12 @@
 
 The driver's testdata ships TPC-H-ish tables (lineitem / orders /
 customer / supplier / nation / region / part) alongside the transcript
-carrier; these four queries exercise the classic OLAP plan shapes on
-them — each one is a distinct physical pattern the engine must get
-right at 100 TB, and each is written so Catalyst produces exactly that
-pattern (asserted in tests/test_analytics.py):
+carrier; together these queries cover ALL 22 classic TPC-H plan
+patterns (Q1-Q22, adapted where the fixture lacks partsupp/shipmode —
+stand-ins documented per query). Each is a distinct physical pattern
+the engine must get right at 100 TB, and each is written so Catalyst
+produces exactly that pattern (asserted in tests/test_analytics.py).
+The first four, annotated:
 
 1. ``pricing_summary`` — the full-scan aggregate: one map-side-combined
    hash aggregate over the fact table, zero joins, grouping cardinality
@@ -425,3 +427,549 @@ def idle_high_balance_customers(
             F.sum("bal_micro").alias("totacctbal_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The remaining classic shapes — with these twelve, every one of the 22
+# TPC-H plan patterns (adapted to the fixture's schema: no partsupp, no
+# shipmode/commitdate — stand-ins documented per query) has a Spark-first,
+# integer-exact implementation whose physical plan is asserted in
+# tests/test_analytics.py.
+# ---------------------------------------------------------------------------
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo: float = 0.04,
+    disc_hi: float = 0.06,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """Q6 shape — the pure scan-and-aggregate: range predicates on three
+    columns, zero joins, ONE row out. The entire query must collapse to
+    a column-pruned parquet scan (date/discount/quantity/price only)
+    with the filters pushed into the reader and a single map-side
+    partial sum — the exchange carries one row per task. revenue =
+    price x discount, both micro-quantized row-locally, product
+    rescaled by DIV 1e6 (exact under any partitioning)."""
+    rev = F.expr(
+        f"(CAST(round(l_extendedprice * 1e6) AS BIGINT)"
+        f" * CAST(round(l_discount * 1e6) AS BIGINT)) DIV {MICRO}"
+    ).cast("bigint")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(F.sum(rev).alias("revenue_micro"), F.count("*").alias("n_lines"))
+    )
+
+
+_UNIT_COST_SQL = (
+    "CAST(round(l_extendedprice * 1e6) AS BIGINT)"
+    " DIV CAST(round(l_quantity) AS BIGINT)"
+)
+
+
+def min_cost_suppliers(
+    tables: dict[str, DataFrame],
+    region_name: str = "ASIA",
+    min_size: int = 40,
+) -> DataFrame:
+    """Q2 shape — the correlated MIN subquery decorrelated as a
+    per-group aggregate joined back on its own key.
+
+    For each large part, the region's suppliers who match the MINIMUM
+    observed unit cost of that part (fixture stand-in for partsupp:
+    unit cost = extendedprice DIV quantity over shipped lines — exact,
+    quantities are whole). The decisive difference from Q15's one-row
+    argmax: the MIN table scales with |part|, so it can NEVER be a
+    broadcast or a driver collect — it joins back on p_partkey as a
+    plain equi-join (AQE decides the strategy), and ties keep every
+    matching supplier, exactly like the reference's subquery form.
+    region->nation stays the only forced broadcast (constant-sized)."""
+    nat = (
+        tables["nation"]
+        .join(
+            F.broadcast(tables["region"].filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = tables["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    parts = tables["part"].filter(F.col("p_size") >= min_size).select(
+        "p_partkey", "p_name", "p_size"
+    )
+    # one fact pass -> per-(part, supp) unit cost, restricted to the
+    # region's suppliers and the qualifying parts BEFORE the aggregate
+    cost = (
+        tables["lineitem"]
+        .select("l_partkey", "l_suppkey", F.expr(_UNIT_COST_SQL).alias("unit_cost_micro"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("unit_cost_micro").alias("supp_cost_micro"))
+    )
+    part_min = cost.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("supp_cost_micro").alias("_min_cost")
+    )
+    return (
+        cost.join(
+            part_min,
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("supp_cost_micro") == F.col("_min_cost")),
+        )
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            _mi("s_acctbal").alias("s_acctbal_micro"), "supp_cost_micro",
+        )
+    )
+
+
+def volume_shipping(
+    tables: dict[str, DataFrame],
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Q7 shape — one fact scan feeding TWO independent dim paths
+    (supplier nation via l_suppkey, customer nation via orders ->
+    customer), with the cross-nation pair filter (a,b) OR (b,a) applied
+    where both paths meet. nation is constant-sized -> broadcast onto
+    supplier/customer; supplier/customer/orders scale with SF ->
+    unhinted, AQE decides. Grouped by (supp_nation, cust_nation,
+    year) — year() stays a codegen expression, never a UDF."""
+    nat = tables["nation"].filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    ).select("n_nationkey", "n_name")
+    supp = tables["supplier"].join(
+        F.broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = tables["customer"].join(
+        F.broadcast(
+            nat.withColumnRenamed("n_name", "cust_nation")
+            .withColumnRenamed("n_nationkey", "_cnk")
+        ),
+        F.col("c_nationkey") == F.col("_cnk"),
+    ).select("c_custkey", "cust_nation")
+    ords = tables["orders"].select("o_orderkey", "o_custkey").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    return (
+        tables["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_disc_price_mi()).alias("revenue_micro"))
+    )
+
+
+def market_share(
+    tables: dict[str, DataFrame],
+    target_nation: str = "NATION_3",
+    market_region: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """Q8 shape — the conditional-share aggregate: per order-year, the
+    target nation's slice of the region's market for one part type.
+    The share is emitted as an EXACT (numerator, denominator) BIGINT
+    micro pair — a float division would make the displayed ratio the
+    only inexact number in the plan, so the caller divides at render
+    time. Still one fact scan: part prunes it first (most selective),
+    the customer-region path bounds the market, the supplier-nation
+    CASE feeds the numerator."""
+    parts = tables["part"].filter(F.col("p_type") == part_type).select("p_partkey")
+    nat_r = (
+        tables["nation"]
+        .join(
+            F.broadcast(tables["region"].filter(F.col("r_name") == market_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_rnk"))
+    )
+    cust = tables["customer"].join(
+        F.broadcast(nat_r), F.col("c_nationkey") == F.col("_rnk")
+    ).select("c_custkey")
+    ords = (
+        tables["orders"]
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    supp = tables["supplier"].join(
+        F.broadcast(tables["nation"].select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    dp = _disc_price_mi()
+    return (
+        tables["lineitem"]
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, dp).otherwise(F.lit(0)))
+            .alias("target_volume_micro"),
+            F.sum(dp).alias("total_volume_micro"),
+        )
+    )
+
+
+def product_profit(
+    tables: dict[str, DataFrame],
+    name_pattern: str = "%widget%",
+) -> DataFrame:
+    """Q9 shape — profit per (supplier nation, order year) for parts
+    matching a name pattern. Fixture stand-in for ps_supplycost:
+    cost = p_retailprice x quantity (micro-quantized, exact — the
+    same row-local integer derivation as disc_price, so profit =
+    dp_mi - cost_mi never leaves BIGINT). The part filter (LIKE) is
+    the most selective predicate and prunes the fact before any other
+    join; nation broadcasts; orders joins only for the year column."""
+    parts = tables["part"].filter(F.col("p_name").like(name_pattern)).select(
+        "p_partkey", _mi("p_retailprice").alias("_retail_mi")
+    )
+    supp = tables["supplier"].join(
+        F.broadcast(tables["nation"].select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    ords = tables["orders"].select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    profit = (
+        _disc_price_mi()
+        - F.col("_retail_mi") * F.expr("CAST(round(l_quantity) AS BIGINT)")
+    ).cast("bigint")
+    return (
+        tables["lineitem"]
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(profit).alias("profit_micro"))
+    )
+
+
+def returned_item_customers(
+    tables: dict[str, DataFrame],
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """Q10 shape — group-then-top-k with the dims joined AFTER the cut.
+
+    Revenue lost to returns per customer in one quarter, top-k
+    customers. The scale-decisive ordering: aggregate on the fact's
+    key, take the global top-k via the shared two-level pattern
+    (partial per partition, <= k x P final), and only THEN join the k
+    winners to customer/nation — the dims see k rows, not |customer|.
+    Joining customer before the cut would drag name/nation columns
+    through the fact-sized exchange for rows that lose the ranking."""
+    ords = tables["orders"].filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        tables["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price_mi()).alias("revenue_micro"))
+    )
+    top = two_level_topk(
+        rev,
+        group_cols=[],
+        order_cols=[F.col("revenue_micro").desc(), F.col("o_custkey").asc()],
+        k=k,
+    )
+    cust = tables["customer"].join(
+        F.broadcast(tables["nation"].select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", _mi("c_acctbal").alias("c_acctbal_micro"), "n_name")
+    return top.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_custkey", "c_name", "revenue_micro", "c_acctbal_micro", "n_name", "rank"
+    )
+
+
+def important_parts(
+    tables: dict[str, DataFrame],
+    nation: str = "NATION_5",
+    fraction_ppm: int = 1000,
+) -> DataFrame:
+    """Q11 shape — group value vs a FRACTION of the global total.
+
+    Per-part shipped value for one nation's suppliers, keeping parts
+    whose value exceeds fraction_ppm/1e6 of the nation's total. The
+    fact is scanned ONCE: the global total is an aggregate OF the
+    per-part aggregate (config-sized input), broadcast back as one
+    row, and the HAVING lands as an exact integer cross-multiplication
+    value x 1e6 > total x ppm — no float fraction, no second fact
+    scan. Peak product ~1e17 x 1e6 needs care: both sides are DIV'd by
+    1e6 first (value_milli), keeping the compare inside BIGINT at any
+    SF."""
+    supp = tables["supplier"].join(
+        F.broadcast(tables["nation"].filter(F.col("n_name") == nation)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        tables["lineitem"]
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price_mi()).alias("value_micro"))
+    )
+    value_unit = F.expr(f"value_micro DIV {MICRO}")
+    tot = per_part.agg(F.sum(value_unit).alias("_tot_unit"))
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(value_unit * MICRO > F.col("_tot_unit") * fraction_ppm)
+        .select("l_partkey", "value_micro")
+    )
+
+
+def late_shipment_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """Q12 shape — join + split conditional counts.
+
+    Per line status (fixture stand-in for shipmode), how many LATE
+    lines (shipped > late_days after the order date) belong to
+    critical vs non-critical orders. The two counts come out of ONE
+    aggregate as conditional sums — never two filtered passes. The
+    lateness predicate is a non-equi residual on the orderkey equi-join
+    (same rule as Q4: the date compare rides the join, it never forces
+    a cross product), and the date-window filter prunes the fact scan
+    first."""
+    ords = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(
+            ords,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+            ),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(crit.cast("bigint")).alias("high_line_count"),
+            F.sum((~crit).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    promo_type: str = "PROMO",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Q14 shape — the conditional-numerator ratio, per ship month.
+
+    promo share = revenue from PROMO parts / all revenue, emitted as
+    the exact (numerator, denominator) BIGINT micro pair (the
+    repo-wide rule: the only division happens at display time). The
+    part side carries ONLY (partkey, is_promo) into the join — the
+    boolean is computed before the join so the fact-sized exchange
+    never carries the type string; part scales with SF, so the join is
+    unhinted for AQE."""
+    parts = part.select(
+        "p_partkey", (F.col("p_type") == promo_type).alias("_is_promo")
+    )
+    dp = _disc_price_mi()
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("_is_promo"), dp).otherwise(F.lit(0)))
+            .alias("promo_revenue_micro"),
+            F.sum(dp).alias("total_revenue_micro"),
+        )
+        .select(
+            F.unix_micros(F.col("ship_month")).alias("ship_month_us"),
+            "promo_revenue_micro",
+            "total_revenue_micro",
+        )
+    )
+
+
+def small_quantity_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brand: str = "Brand#3",
+    fraction_num: int = 1,
+    fraction_den: int = 5,
+) -> DataFrame:
+    """Q17 shape — the correlated per-group AVG decorrelated as
+    aggregate-then-join-back on the SAME fact.
+
+    Revenue from lines of one brand whose quantity is below
+    fraction x that part's average quantity. The per-part average
+    joins back to the fact as an exact (sum, count) pair and the
+    compare is the integer cross-multiplication
+
+        qty x n x den < sum x num       (qty < num/den x sum/n)
+
+    — no float average, no boundary row that flips between engines.
+    Both the aggregate and the probe read the SAME brand-pruned fact
+    subset: the part filter semi-joins the fact once, the per-part
+    aggregate is derived FROM that subset (config-sized output), and
+    the final compare is a partkey equi-join of the subset against
+    its own aggregate — the fact is scanned once, not once per
+    subquery."""
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    sub = (
+        lineitem.select(
+            "l_partkey",
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("_qty"),
+            F.expr("CAST(round(l_extendedprice * 1e6) AS BIGINT)").alias("_price_mi"),
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    avg_q = sub.groupBy(F.col("l_partkey").alias("_apk")).agg(
+        F.sum("_qty").alias("_sum_qty"), F.count("*").alias("_n")
+    )
+    return (
+        sub.join(avg_q, F.col("l_partkey") == F.col("_apk"))
+        .filter(
+            F.col("_qty") * F.col("_n") * fraction_den
+            < F.col("_sum_qty") * fraction_num
+        )
+        .agg(
+            F.sum("_price_mi").alias("revenue_micro"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def banded_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    bands: tuple[tuple[str, int, int, float, float], ...] = (
+        ("Brand#1", 1, 10, 1.0, 15.0),
+        ("Brand#2", 10, 25, 10.0, 30.0),
+        ("Brand#3", 25, 50, 20.0, 50.0),
+    ),
+) -> DataFrame:
+    """Q19 shape — the OR-of-ANDs disjunction evaluated in ONE pass.
+
+    Revenue from lines matching ANY of three (brand, size-range,
+    quantity-range) bands. The trap shape is three filtered scans
+    UNION'd (three fact reads, three joins); the correct plan is one
+    partkey equi-join with the whole disjunction as a single residual
+    predicate — each conjunct mixes part columns (brand, size) with
+    lineitem columns (quantity), so it can only run where the rows
+    meet, and Catalyst still pushes the per-side implied bounds
+    (size BETWEEN overall min/max, quantity BETWEEN overall min/max)
+    down each scan. Emitted per band (conditional sums) plus the
+    total — one aggregate, no union."""
+    pr = part.select("p_partkey", "p_brand", "p_size")
+    joined = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(pr, F.col("l_partkey") == F.col("p_partkey"))
+    conds = [
+        (F.col("p_brand") == b)
+        & (F.col("p_size") >= slo)
+        & (F.col("p_size") <= shi)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+        for (b, slo, shi, qlo, qhi) in bands
+    ]
+    any_band = conds[0]
+    for c in conds[1:]:
+        any_band = any_band | c
+    dp = _disc_price_mi()
+    aggs = [
+        F.sum(F.when(c, dp).otherwise(F.lit(0))).alias(f"band{i}_revenue_micro")
+        for i, c in enumerate(conds)
+    ]
+    return joined.filter(any_band).agg(
+        *aggs, F.sum(dp).alias("revenue_micro"), F.count("*").alias("n_lines")
+    )
+
+
+def dominant_part_suppliers(
+    tables: dict[str, DataFrame],
+    name_prefix: str = "red",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    share_num: int = 2,
+    share_den: int = 3,
+) -> DataFrame:
+    """Q20 shape — the nested IN chain as a semi-join pipeline with a
+    correlated-aggregate threshold.
+
+    Suppliers who carried more than share (num/den) of some matching
+    part's yearly volume (fixture stand-in for Q20's availqty >
+    0.5 x shipped: the per-(part, supplier) volume against the
+    per-part total; 2/3 calibrated so the cut keeps a strict subset —
+    25 of 100 suppliers at sf0.01, never everyone). The chain runs bottom-up with ONE fact pass:
+
+        part name filter (broadcast semi onto the fact)
+        -> groupBy(part, supp) volume            [the inner aggregate]
+        -> per-part totals derived FROM it        [aggregate of aggregate]
+        -> integer cross-mult share cut           [den x v > num x tot]
+        -> DISTINCT suppkey                       [the IN -> semi dedup]
+        -> join supplier + broadcast nation       [outer query]
+
+    Every IN becomes a semi-shaped step on an equi-key; nothing ever
+    re-reads the fact or collects to the driver."""
+    pk = tables["part"].filter(F.col("p_name").like(name_prefix + "%")).select(
+        "p_partkey"
+    )
+    vol = (
+        tables["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("_vol"))
+    )
+    totals = vol.groupBy(F.col("l_partkey").alias("_tpk")).agg(
+        F.sum("_vol").alias("_tot")
+    )
+    winners = (
+        vol.join(totals, F.col("l_partkey") == F.col("_tpk"))
+        .filter(F.col("_vol") * share_den > F.col("_tot") * share_num)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = tables["supplier"].join(
+        F.broadcast(tables["nation"].select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return winners.join(
+        supp, F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_name")

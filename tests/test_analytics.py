@@ -261,3 +261,260 @@ def test_waiting_suppliers_one_fact_scan_and_semantics(spark, sf_dir):
     got = {r.s_name: r.numwait
            for r in analytics.waiting_suppliers(li, sup).collect()}
     assert got == {"sa": 1}  # order 1 once, despite two R lines
+
+
+# ---------------------------------------------------------------------------
+# The twelve shapes completing the 22-pattern set
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_revenue_scan_only_and_integer_golden(spark, sf_dir):
+    """Q6 shape: zero joins, one exchange; revenue = price x discount
+    in exact micros."""
+    t = analytics.load_tpch(spark, sf_dir, "lineitem")
+    df = analytics.forecast_revenue(t["lineitem"])
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+    li = _lineitem(
+        spark,
+        [(1, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", "1997-06-01"),   # in band
+         (2, 1, 30.0, 100.0, 0.05, 0.0, "N", "O", "1997-06-01"),   # qty too big
+         (3, 1, 10.0, 100.0, 0.08, 0.0, "N", "O", "1997-06-01"),   # disc out
+         (4, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", "1996-06-01")],  # year out
+    )
+    got = analytics.forecast_revenue(li).collect()[0]
+    assert got.revenue_micro == 5_000_000  # 100 * 0.05
+    assert got.n_lines == 1
+
+
+def test_min_cost_suppliers_tie_and_reuse(spark, sf_dir):
+    """Q2 shape: per-part MIN joined back on its own key — ties keep
+    every matching supplier; the aggregate's exchange is REUSED (the
+    fact feeds both branches through one scan)."""
+    t = analytics.load_tpch(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    df = analytics.min_cost_suppliers(t)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1  # branches share the scan
+    assert "ReusedExchange" in plan
+
+    part = spark.createDataFrame(
+        [(1, "big bolt", 45)], "p_partkey long, p_name string, p_size int"
+    )
+    sup = spark.createDataFrame(
+        [(10, "sa", 5.0, 0), (20, "sb", 6.0, 0), (30, "sc", 7.0, 0)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey int",
+    )
+    nat = spark.createDataFrame([(0, "N0", 0)],
+                                "n_nationkey int, n_name string, n_regionkey int")
+    reg = spark.createDataFrame([(0, "ASIA")], "r_regionkey int, r_name string")
+    li = spark.createDataFrame(
+        # unit costs: supp10 -> 2.0, supp20 -> 2.0 (tie), supp30 -> 3.0
+        [(1, 10, 5.0, 10.0), (1, 20, 2.0, 4.0), (1, 30, 1.0, 3.0)],
+        "l_partkey long, l_suppkey long, l_quantity double, l_extendedprice double",
+    )
+    got = analytics.min_cost_suppliers(
+        {"part": part, "supplier": sup, "lineitem": li, "nation": nat,
+         "region": reg}
+    ).collect()
+    assert sorted(r.s_suppkey for r in got) == [10, 20]
+    assert all(r.supp_cost_micro == 2_000_000 for r in got)
+
+
+def test_volume_shipping_pair_filter_golden(spark):
+    """Q7 shape: both directions kept, same-nation and third-nation
+    flows dropped, grouped per year."""
+    nat = spark.createDataFrame(
+        [(1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3")],
+        "n_nationkey int, n_name string",
+    )
+    sup = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "s_suppkey long, s_nationkey int"
+    )
+    cust = spark.createDataFrame(
+        [(100, 1), (200, 2), (300, 3)], "c_custkey long, c_nationkey int"
+    )
+    ords = spark.createDataFrame(
+        [(1000, 200), (2000, 100), (3000, 300), (4000, 100)],
+        "o_orderkey long, o_custkey long",
+    )
+    li = _lineitem(
+        spark,
+        # supp1 -> cust2 (kept), supp2 -> cust1 (kept, other direction),
+        # supp3 -> cust3 (dropped), supp1 -> cust1 (same nation, dropped)
+        [(1000, 10, 1.0, 100.0, 0.0, 0.0, "N", "O", "1996-06-01"),
+         (2000, 20, 1.0, 50.0, 0.0, 0.0, "N", "O", "1997-06-01"),
+         (3000, 30, 1.0, 70.0, 0.0, 0.0, "N", "O", "1996-06-01"),
+         (4000, 10, 1.0, 30.0, 0.0, 0.0, "N", "O", "1996-06-01")],
+    )
+    got = {
+        (r.supp_nation, r.cust_nation, r.l_year): r.revenue_micro
+        for r in analytics.volume_shipping(
+            {"nation": nat, "supplier": sup, "customer": cust,
+             "orders": ords, "lineitem": li}
+        ).collect()
+    }
+    assert got == {
+        ("NATION_1", "NATION_2", 1996): 100_000_000,
+        ("NATION_2", "NATION_1", 1997): 50_000_000,
+    }
+
+
+def test_market_share_num_den_and_one_scan(spark, sf_dir):
+    """Q8 shape: numerator <= denominator per year, exact pair; one
+    fact scan."""
+    t = analytics.load_tpch(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region",
+    )
+    df = analytics.market_share(t)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    got = df.collect()
+    assert len(got) >= 1
+    assert all(0 <= r.target_volume_micro <= r.total_volume_micro for r in got)
+
+
+def test_product_profit_integer_golden(spark):
+    """Q9 shape: profit = disc_price - retail x qty, exact (and
+    possibly negative) BIGINT micros."""
+    part = spark.createDataFrame(
+        [(1, "red widget", 3.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    sup = spark.createDataFrame([(10, 0)], "s_suppkey long, s_nationkey int")
+    nat = spark.createDataFrame([(0, "N0")], "n_nationkey int, n_name string")
+    ords = spark.createDataFrame(
+        [(1, "1997-03-01")], "o_orderkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    li = _lineitem(
+        spark,
+        [(1, 10, 2.0, 10.0, 0.1, 0.0, "N", "O", "1997-03-05")],
+    ).withColumn("l_partkey", F.lit(1).cast("long"))
+    got = analytics.product_profit(
+        {"part": part, "supplier": sup, "nation": nat, "orders": ords,
+         "lineitem": li}
+    ).collect()
+    # dp = 10 * 0.9 = 9.0 ; cost = 3.0 * 2 = 6.0 ; profit 3.0
+    assert got[0].nation == "N0" and got[0].o_year == 1997
+    assert got[0].profit_micro == 3_000_000
+
+
+def test_returned_customers_rank_and_dims_after_cut(spark, sf_dir):
+    """Q10 shape: contiguous ranks, k bound respected, customer dim
+    joined AFTER the top-k (the join input is k rows — asserted by the
+    output arity staying k even though every customer exists)."""
+    t = analytics.load_tpch(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    got = analytics.returned_item_customers(t).collect()
+    assert 1 <= len(got) <= 20
+    assert sorted(r.rank for r in got) == list(range(1, len(got) + 1))
+    assert all(r.c_name is not None and r.n_name is not None for r in got)
+
+
+def test_important_parts_strict_fraction_boundary(spark):
+    """Q11 shape: strict > on the cross-multiplied fraction — a part
+    exactly AT the threshold is excluded."""
+    sup = spark.createDataFrame([(10, 5)], "s_suppkey long, s_nationkey int")
+    nat = spark.createDataFrame(
+        [(5, "NATION_5")], "n_nationkey int, n_name string"
+    )
+    # values: part 1 -> 999 units, part 2 -> 1 unit of a 1000-unit total
+    # at fraction_ppm=1000 (0.1%): threshold = 1 unit; strict > excludes
+    # part 2 exactly at it.
+    li = _lineitem(
+        spark,
+        [(1, 10, 1.0, 999.0, 0.0, 0.0, "N", "O", "1997-01-01"),
+         (2, 10, 1.0, 1.0, 0.0, 0.0, "N", "O", "1997-01-01")],
+    ).withColumn(
+        "l_partkey", F.when(F.col("l_orderkey") == 1, 1).otherwise(2).cast("long")
+    )
+    got = analytics.important_parts(
+        {"lineitem": li, "supplier": sup, "nation": nat}
+    ).collect()
+    assert [r.l_partkey for r in got] == [1]
+
+
+def test_late_priority_residual_and_split_counts(spark):
+    """Q12 shape: the lateness compare is a join residual; the two
+    counts split one aggregate."""
+    ords = spark.createDataFrame(
+        [(1, "1997-01-01", "1-URGENT"), (2, "1997-01-01", "5-LOW")],
+        "o_orderkey long, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    li = _lineitem(
+        spark,
+        [(1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1997-06-01"),   # late, critical
+         (2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1997-06-01"),   # late, low
+         (1, 1, 1.0, 1.0, 0.0, 0.0, "N", "F", "1997-01-15")],  # on time -> out
+    )
+    got = {r.l_linestatus: (r.high_line_count, r.low_line_count)
+           for r in analytics.late_shipment_priority(ords, li).collect()}
+    assert got == {"O": (1, 1)}
+
+
+def test_promo_share_num_subset_of_den(spark, sf_dir):
+    """Q14 shape: per-month exact (numerator, denominator) pair."""
+    t = analytics.load_tpch(spark, sf_dir, "part", "lineitem")
+    got = analytics.promo_revenue_share(t["part"], t["lineitem"]).collect()
+    assert len(got) == 12  # every 1997 month ships something
+    assert all(0 <= r.promo_revenue_micro <= r.total_revenue_micro for r in got)
+
+
+def test_small_qty_revenue_cross_mult_boundary(spark):
+    """Q17 shape: qty exactly at num/den x avg is excluded (strict <)."""
+    part = spark.createDataFrame(
+        [(1, "Brand#3")], "p_partkey long, p_brand string"
+    )
+    # avg qty = 25 -> cut at 5: the qty-5 line sits AT the boundary and
+    # must be excluded; the qty-4 line is in.
+    li = _lineitem(
+        spark,
+        [(1, 1, 66.0, 1.0, 0.0, 0.0, "N", "O", "1997-01-01"),
+         (2, 1, 25.0, 1.0, 0.0, 0.0, "N", "O", "1997-01-01"),
+         (3, 1, 5.0, 2.0, 0.0, 0.0, "N", "O", "1997-01-01"),
+         (4, 1, 4.0, 8.0, 0.0, 0.0, "N", "O", "1997-01-01")],
+    ).withColumn("l_partkey", F.lit(1).cast("long"))
+    got = analytics.small_quantity_revenue(part, li).collect()[0]
+    assert got.n_lines == 1
+    assert got.revenue_micro == 8_000_000
+
+
+def test_banded_revenue_one_pass_no_union(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs runs as ONE join pass — no Union, one
+    fact scan; per-band conditional sums reconcile with the total."""
+    t = analytics.load_tpch(spark, sf_dir, "part", "lineitem")
+    df = analytics.banded_revenue(t["part"], t["lineitem"])
+    plan = _plan(df)
+    assert "Union" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    r = df.collect()[0]
+    # bands can overlap in principle; with these bands they don't:
+    assert (r.band0_revenue_micro + r.band1_revenue_micro
+            + r.band2_revenue_micro) == r.revenue_micro
+    assert r.n_lines > 0  # non-vacuous at sf0.001
+
+
+def test_dominant_suppliers_share_cut_golden(spark):
+    """Q20 shape: supplier above the 2/3 share wins; the others and
+    ties at exactly 2/3 lose (strict >)."""
+    part = spark.createDataFrame([(1, "red bolt")], "p_partkey long, p_name string")
+    sup = spark.createDataFrame(
+        [(10, "sa", 0), (20, "sb", 0)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nat = spark.createDataFrame([(0, "N0")], "n_nationkey int, n_name string")
+    li = _lineitem(
+        spark,
+        [(1, 10, 9.0, 1.0, 0.0, 0.0, "N", "O", "1997-01-01"),
+         (2, 20, 3.0, 1.0, 0.0, 0.0, "N", "O", "1997-01-01")],
+    ).withColumn("l_partkey", F.lit(1).cast("long"))
+    got = analytics.dominant_part_suppliers(
+        {"part": part, "supplier": sup, "lineitem": li, "nation": nat}
+    ).collect()
+    assert [r.s_suppkey for r in got] == [10]  # 9/12 > 2/3; 3/12 is not
