@@ -455,6 +455,14 @@ def q_events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_op.rollup_time_windows(ev, width="1 hour")
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets in one pass
+    (Expand x4 -> map-side-combined aggregate); rolled dims surface as
+    '(all)', grouping_id carries the exact set id."""
+    ev = datagen.load_events(spark, sf_dir)
+    return agg_op.cube_rollup(ev)
+
+
 def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style increase(): per-(user, type) counter deltas with
     reset detection (a value drop restarts the counter), rolled up to
@@ -1912,6 +1920,17 @@ GROUP BY 1, 2, 3"""
 
 ORACLES["events_rollup_incremental"] = ORACLES["events_rollup_hourly"]
 
+ORACLES["events_cube"] = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+       CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT)
+         AS grouping_id,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS value_micro_sum
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))"""
+
 ORACLES["counter_rate"] = """
 WITH q AS (
   SELECT user_id, event_type, ts, event_id,
@@ -2293,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "session_window_stats": q_session_window_stats,
         "events_rollup_hourly": q_events_rollup_hourly,
+        "events_cube": q_events_cube,
         "counter_rate": q_counter_rate,
         "log_templates": q_log_templates,
         "events_rollup_sliding": q_events_rollup_sliding,

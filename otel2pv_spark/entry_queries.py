@@ -294,6 +294,13 @@ def q_text_vocab(spark, sf_dir):
     return ts.vocab_counts(_docs(spark, sf_dir))
 
 
+def q_text_pair_lift(spark, sf_dir):
+    """Adjacent-token association lift — the integer-exact PMI analog
+    (collocation mining): lift = c_xy * N / (c_x * c_y) with staged
+    BIGINT division, top-50 via the shared two-level pattern."""
+    return ts.pair_lift(_docs(spark, sf_dir), min_count=2, k=50)
+
+
 def q_text_top_ngrams(spark, sf_dir):
     """Corpus-wide 20 most frequent bigrams via skew-safe two-level
     top-k (boilerplate / stopword-phrase mining)."""
@@ -970,6 +977,7 @@ QUERIES = {
     "embed_hash_topk": q_embed_hash_topk,
     "text_vocab": q_text_vocab,
     "text_top_ngrams": q_text_top_ngrams,
+    "text_pair_lift": q_text_pair_lift,
     "text_ngram_lm": q_text_ngram_lm,
     "text_lm_perplexity": q_text_lm_perplexity,
     "text_bpe_pairs": q_text_bpe_pairs,
@@ -1659,6 +1667,34 @@ ga AS (SELECT ngram, count(*) AS count FROM g GROUP BY ngram)
 SELECT ngram, count,
        CAST(row_number() OVER (ORDER BY count DESC, ngram) AS INT) AS rank
 FROM ga QUALIFY rank <= 20"""
+
+ORACLES["text_pair_lift"] = f"""WITH t AS (
+  SELECT {_TOKS} AS w FROM documents
+),
+uni AS (SELECT unnest(w) AS token FROM t),
+uc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+pr AS (
+  SELECT unnest([[w[i], w[i+1]] for i in range(1, len(w))]) AS p
+  FROM t WHERE len(w) >= 2
+),
+pc AS (
+  SELECT p[1] AS x, p[2] AS y, CAST(count(*) AS BIGINT) AS pair_count
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
+),
+scored AS (
+  SELECT pc.x, pc.y, pc.pair_count,
+         ux.c AS x_count, uy.c AS y_count,
+         CAST(((pc.pair_count * 1000000) // ux.c) * t.n // uy.c AS BIGINT)
+           AS lift_micro
+  FROM pc JOIN uc ux ON pc.x = ux.token
+          JOIN uc uy ON pc.y = uy.token
+          CROSS JOIN tot t
+)
+SELECT x, y, pair_count, x_count, y_count, lift_micro,
+       CAST(row_number() OVER (ORDER BY lift_micro DESC, x, y) AS INT)
+         AS rank
+FROM scored QUALIFY rank <= 50"""
 
 ORACLES["text_ngram_lm"] = f"""WITH t AS (
   SELECT {_TOKS} AS w FROM documents

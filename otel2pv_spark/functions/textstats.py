@@ -1775,3 +1775,74 @@ def train_linear_classifier(
     return out.select(
         "bucket", "weight_micro", (F.col("weight_micro") / 1e6).alias("weight")
     )
+
+
+def pair_lift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Adjacent-token association mining — the integer-exact PMI
+    analog (collocation discovery, the distributional-similarity prep
+    step word2vec/GloVe pipelines run before training).
+
+    PMI = log( p(xy) / (p(x) p(y)) ) is a monotone transform of the
+    LIFT c_xy * N / (c_x * c_y); ranking by lift needs no log at all,
+    so the whole operator stays in BIGINT — no libm, bit-identical
+    across engines. The division is staged to keep every intermediate
+    inside int64 at 10^12 tokens:
+
+        t1 = (c_xy * 1e6) DIV c_x      (<= 1e6 always: c_xy <= c_x)
+        lift_micro = (t1 * N) DIV c_y  (<= 1e6 * N — fits to N ~ 9e12)
+
+    The staged floor semantics are the DEFINED result (documented,
+    mirrored by the oracle) — a single-expression rational would
+    overflow first.
+
+    Plan shape: one explode for unigram counts (map-side combined),
+    one transform+explode for adjacent pairs, min-support filter
+    BEFORE the two vocab joins (pairs above support are a sliver of
+    all pairs), unigram joins on token (vocabulary-sized, scales with
+    corpus -> unhinted, AQE's skew join splits stopword-hot tokens),
+    total-token count as a one-row broadcast, final top-k via the
+    shared two-level pattern."""
+    toks = df.select(tokens(text_col).alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    total = uni.agg(F.sum("c_tok").alias("n_total"))
+    pairs = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(w)-2),"
+                       " i -> struct(w[i] AS x, w[i+1] AS y))")
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    ux = uni.select(F.col("token").alias("_xt"), F.col("c_tok").alias("x_count"))
+    uy = uni.select(F.col("token").alias("_yt"), F.col("c_tok").alias("y_count"))
+    scored = (
+        pairs.join(ux, F.col("x") == F.col("_xt"))
+        .join(uy, F.col("y") == F.col("_yt"))
+        .join(F.broadcast(total))
+        .withColumn(
+            "lift_micro",
+            F.expr("((pair_count * 1000000) DIV x_count) * n_total DIV y_count"),
+        )
+        .select("x", "y", "pair_count", "x_count", "y_count", "lift_micro")
+    )
+    return two_level_topk(
+        scored,
+        group_cols=[],
+        order_cols=[F.col("lift_micro").desc(), F.col("x").asc(), F.col("y").asc()],
+        k=k,
+    )

@@ -486,3 +486,50 @@ def counter_rate(
         F.count("*").alias("n_deltas"),
     )
     return out.select(*_win_us(), *out_keys, "increase_micro", "n_deltas")
+
+
+def cube_rollup(
+    df: DataFrame,
+    dim1: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-dimensional CUBE rollup over (dim1, day) — the one
+    grouping construct (GROUPING SETS family) the corpus-stats ROLLUP
+    doesn't exercise: all four grouping sets — (dim, day), (dim),
+    (day), () — out of ONE pass.
+
+    Scale shape: CUBE is an Expand x4 BEFORE the aggregate — 4x the
+    scan rows enter the hash aggregate, but the map-side partial
+    combine collapses them to <= 4 x (|dims| x |days|) rows per task
+    before the exchange, so the shuffle carries aggregate-grain rows
+    only (same reasoning as the plain rollup; asserted in
+    tests/test_plans.py-style plan checks). Output is config-sized:
+    |dims| x |days| + |dims| + |days| + 1.
+
+    Rolled-up dimensions surface as the '(all)' sentinel rather than
+    NULL (the driver canonicalizer and downstream consumers treat NULL
+    as missing data, not as a subtotal marker); grouping_id carries
+    the exact set id (bit 1 = dim1 rolled, bit 0 = day rolled — Spark
+    and DuckDB agree on first-arg-MSB)."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    return (
+        df.select(
+            F.col(dim1).alias("_d1"),
+            day.alias("_day"),
+            _value_micro(value_col).alias("_v"),
+        )
+        .cube("_d1", "_day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_id"),
+            F.count("*").alias("n"),
+            F.sum("_v").alias("value_micro_sum"),
+        )
+        .select(
+            F.coalesce(F.col("_d1"), F.lit("(all)")).alias(dim1),
+            F.coalesce(F.col("_day"), F.lit("(all)")).alias("day"),
+            "grouping_id",
+            "n",
+            "value_micro_sum",
+        )
+    )

@@ -1163,3 +1163,35 @@ def test_sparse_dot_topk_matches_dense(spark):
         else:
             dot, neg_n = best
             assert got[q] == (-neg_n, dot)
+
+
+def test_pair_lift_golden_staged_division(spark):
+    """pair_lift: exact staged-BIGINT lift on a hand-computed corpus;
+    min-support filter; deterministic tie order."""
+    df = spark.createDataFrame(
+        [(1, "red bolt red bolt"), (2, "red gear"), (3, "red bolt")],
+        "doc_id long, text string",
+    )
+    got = {(r.x, r.y): r for r in ts.pair_lift(df, min_count=2, k=10).collect()}
+    # tokens: red x4, bolt x3, gear x1; N = 8
+    # pairs: (red,bolt) x3, (bolt,red) x1, (red,gear) x1 -> only
+    # (red,bolt) reaches min_count=2
+    assert set(got) == {("red", "bolt")}
+    r = got[("red", "bolt")]
+    assert (r.pair_count, r.x_count, r.y_count) == (3, 4, 3)
+    # staged: (3 * 1e6) DIV 4 = 750000 ; 750000 * 8 DIV 3 = 2000000
+    assert r.lift_micro == 2_000_000
+    assert r.rank == 1
+
+
+def test_pair_lift_rank_and_bounds(spark):
+    """Lower min_count: every adjacent pair scored, ranks contiguous,
+    lift positive, c_xy <= min(c_x, c_y) invariant holds."""
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "c a b a")], "doc_id long, text string"
+    )
+    rows = ts.pair_lift(df, min_count=1, k=100).collect()
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.pair_count <= min(r.x_count, r.y_count)
+        assert r.lift_micro > 0

@@ -650,3 +650,30 @@ def test_rollup_fill_gaps_derived_width_and_offgrid_preserved(spark):
     # landing on the grid stepped from the shifted min
     vals = sorted(r.n_events for r in misfit.filter("n_events > 0").collect())
     assert vals == [2, 5]
+
+
+def test_cube_rollup_grouping_sets_golden(spark):
+    """cube_rollup: all four grouping sets from one pass; '(all)'
+    sentinels; grouping_id bit semantics (dim=bit1, day=bit0); exact
+    micro sums; output arity = |dims|x|days| + |dims| + |days| + 1."""
+    from otel2pv_spark.operators.aggregate import cube_rollup
+
+    df = spark.createDataFrame(
+        [("click", datetime(2025, 1, 1, 10), 1.5),
+         ("click", datetime(2025, 1, 2, 10), 2.0),
+         ("view", datetime(2025, 1, 1, 11), 0.25)],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = {(r.event_type, r.day): r for r in cube_rollup(df).collect()}
+    assert len(rows) == 3 + 2 + 2 + 1  # 3 sparse base cells + types + days + total
+    base = rows[("click", "2025-01-01")]
+    assert (base.grouping_id, base.n, base.value_micro_sum) == (0, 1, 1_500_000)
+    per_type = rows[("click", "(all)")]
+    assert (per_type.grouping_id, per_type.n, per_type.value_micro_sum) == (
+        1, 2, 3_500_000)
+    per_day = rows[("(all)", "2025-01-01")]
+    assert (per_day.grouping_id, per_day.n, per_day.value_micro_sum) == (
+        2, 2, 1_750_000)
+    total = rows[("(all)", "(all)")]
+    assert (total.grouping_id, total.n, total.value_micro_sum) == (
+        3, 3, 3_750_000)
