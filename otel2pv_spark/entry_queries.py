@@ -931,8 +931,33 @@ def q_graph_pagerank(spark, sf_dir):
     return gr.pagerank(edges, iters=4)
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the same 97-node synthetic link
+    graph — degree-ordered orientation (Suri-Vassilvitskii), so no
+    node's wedge fan-out exceeds O(sqrt(m)). The oracle counts the
+    triangles by direct a<b<c three-way join — a different algorithm
+    validating the oriented construction. The edge set unions a linear
+    and a quadratic rule: the pagerank permutation graph alone is
+    cycle-only (ZERO triangles — a vacuously green query), the union
+    carries 6 triangles at sf0.01."""
+    from .functions import graph as gr
+
+    d = _docs(spark, sf_dir)
+    lin = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    quad = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+    )
+    edges = lin.unionByName(quad).filter(F.col("src") != F.col("dst"))
+    return gr.triangle_counts(edges)
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
     "curation_audit": q_curation_audit,
     "prep_scrub": q_prep_scrub,
     "prep_url_normalize": q_prep_url_normalize,
@@ -3163,6 +3188,29 @@ WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
 
 
 # PageRank: the oracle replays all 4 rounds as unrolled CTEs
+ORACLES["graph_triangles"] = """
+WITH raw AS (
+  SELECT doc_id % 97 AS s, (doc_id * 31 + 7) % 97 AS d FROM documents
+  UNION ALL
+  SELECT doc_id % 97, (doc_id * doc_id + 1) % 97 FROM documents
+),
+und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE s != d
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM corners GROUP BY node"""
+
 ORACLES["graph_pagerank"] = """
 WITH e AS (
   SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst

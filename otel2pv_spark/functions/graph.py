@@ -103,3 +103,75 @@ def pagerank(
         )
 
     return state.select("node", "rank_micro")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation —
+    the MapReduce-classic skew-proof construction (Suri & Vassilvitskii
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+
+    Input is an arbitrary directed/multi edge list; self-loops drop and
+    parallel/reverse duplicates collapse to ONE undirected edge first
+    (a triangle is a property of the simple graph). Each undirected
+    edge is then oriented from its (degree, id)-SMALLER endpoint toward
+    the larger:
+
+        u -> v   iff   (deg(u), u) < (deg(v), v)
+
+    which caps every node's out-degree at O(sqrt(m)) — the wedge
+    self-join that enumerates candidate (v, w) pairs per source is
+    bounded by sum(outdeg^2) <= m^1.5 instead of the unbounded
+    sum(deg^2) a celebrity node would cause (the "last reducer" this
+    construction kills: a 10^8-degree hub contributes ZERO wedges as a
+    source because every edge points INTO it).
+
+    Plan: two groupBys (canonical edges, degrees), one degree join per
+    endpoint, one wedge self-join on the oriented source, one closing
+    equi-join against the oriented edges, one explode(3)+groupBy to
+    attribute each triangle to its corners. Everything equi-keyed —
+    AQE handles residual skew; nothing reaches the driver."""
+    # canonical undirected edge set: (a < b), loops out, dups collapsed
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("_na"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("_nb"), F.col("deg").alias("_db"))
+    keyed = (
+        und.join(da, F.col("a") == F.col("_na"))
+        .join(db, F.col("b") == F.col("_nb"))
+        .select(
+            "a", "b",
+            F.struct(F.col("_da").alias("d"), F.col("a").alias("i")).alias("ka"),
+            F.struct(F.col("_db").alias("d"), F.col("b").alias("i")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+    )
+    e1 = oriented.select(F.col("u").alias("_s"), F.col("v").alias("_v1"),
+                         F.col("kv").alias("_k1"))
+    e2 = oriented.select(F.col("u").alias("_s"), F.col("v").alias("_v2"),
+                         F.col("kv").alias("_k2"))
+    wedges = e1.join(e2, "_s").filter(F.col("_k1") < F.col("_k2")).select(
+        F.col("_s").alias("tu"), F.col("_v1").alias("tv"), F.col("_v2").alias("tw")
+    )
+    closing = oriented.select(F.col("u").alias("tv"), F.col("v").alias("tw"))
+    tris = wedges.join(closing, ["tv", "tw"])
+    return (
+        tris.select(F.explode(F.array("tu", "tv", "tw")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -375,6 +375,8 @@ def run(
     spark: SparkSession,
     transcripts: DataFrame,
     cfg: PipelineConfig,
+    tool_meta: DataFrame | None = None,
+    role_meta: DataFrame | None = None,
 ) -> dict:
     """Execute + persist all outputs; resumable via the run manifest.
 
@@ -403,8 +405,8 @@ def run(
             "resumed": True,
         }
 
-    tool_meta = datagen.tool_meta(spark)
-    role_meta = datagen.role_meta(spark)
+    tool_meta = tool_meta if tool_meta is not None else datagen.tool_meta(spark)
+    role_meta = role_meta if role_meta is not None else datagen.role_meta(spark)
 
     routed_all = build_single_pass(transcripts, tool_meta, role_meta, cfg)
 
@@ -443,6 +445,8 @@ def run_incremental(
     transcripts: DataFrame,
     cfg: PipelineConfig,
     changed_convs,
+    tool_meta: DataFrame | None = None,
+    role_meta: DataFrame | None = None,
 ) -> dict:
     """Late/changed-data re-run — the batch analog of the reference's
     late-message handling (a late same-tree message re-processes that
@@ -480,8 +484,8 @@ def run_incremental(
         )
 
     affected = transcripts.join(keys, "conv_id", "left_semi")
-    tool_meta = datagen.tool_meta(spark)
-    role_meta = datagen.role_meta(spark)
+    tool_meta = tool_meta if tool_meta is not None else datagen.tool_meta(spark)
+    role_meta = role_meta if role_meta is not None else datagen.role_meta(spark)
     routed_all = build_single_pass(affected, tool_meta, role_meta, cfg)
 
     if not man.is_committed("incr_fanout"):
@@ -560,3 +564,59 @@ def replay_rejects(
         "rejects_before_convs": n_convs,
         "rejects_after_rows": remaining,
     }
+
+
+def refresh_dims(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    old_tool_meta: DataFrame,
+    new_tool_meta: DataFrame,
+    role_meta: DataFrame | None = None,
+) -> dict:
+    """Dim-delta view maintenance: after the tool-metadata dim changes
+    (a tool re-homed to a new sink, a category rename), bring the
+    committed sink tables up to date WITHOUT re-reading the corpus.
+
+    The reference has no analog (its config is fixed at boot;
+    setupServers.go:319-443 — a config change means restart +
+    reprocess); this is the operation a 10^12-turn deployment actually
+    needs, since re-running the whole pipeline for a 3-row dim edit is
+    absurd.
+
+    Mechanics: diff the two dim states on the tool key
+    (operators.diff.snapshot_diff — inserts, deletes and real value
+    changes; a byte-identical row contributes nothing), semi-join the
+    corpus on the changed keys to find the AFFECTED CONVERSATIONS
+    (conversation granularity, not row: sequenced outputs splice in
+    whole conversations via replace_keys, and enrichment feeds the
+    sink routing that fan-out partitioning is keyed on), then delegate
+    to run_incremental under the NEW dim — bit-identical tables to a
+    from-scratch run with it (asserted in test_incremental).
+
+    Scale shape: the dim diff is config-sized; the only corpus-scale
+    work is ONE semi-join scan pruned to rows whose tool is in the
+    changed-key broadcast (at the real target the tool->conv inverted
+    index or a partition-stats prune cuts this further) plus the
+    bounded recompute of affected conversations.
+    """
+    from ..operators import diff as diff_op
+
+    changed = (
+        diff_op.snapshot_diff(old_tool_meta, new_tool_meta, ["tool"])
+        .select("tool")
+        .distinct()
+    )
+    affected_convs = (
+        transcripts.join(F.broadcast(changed), "tool", "left_semi")
+        .select("conv_id")
+        .distinct()
+    )
+    n_keys = changed.count()
+    if n_keys == 0:
+        return {"changed_dim_keys": 0, "recomputed_convs": 0}
+    res = run_incremental(
+        spark, transcripts, cfg, affected_convs,
+        tool_meta=new_tool_meta, role_meta=role_meta,
+    )
+    return {**res, "changed_dim_keys": n_keys}

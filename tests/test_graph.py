@@ -48,3 +48,24 @@ def test_pagerank_validates_params(spark):
         gr.pagerank(e, iters=-1)
     with pytest.raises(ValueError):
         gr.pagerank(e, damping_ppm=2_000_000)
+
+
+def test_triangle_counts_golden(spark):
+    """Canonicalization (reverse dup + self-loop) and per-corner
+    attribution: two triangles sharing edge 1-2."""
+    from otel2pv_spark.functions.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 1), (2, 2), (4, 1), (4, 2)],
+        "src long, dst long",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    """A path graph has none — empty output, not zero rows per node."""
+    from otel2pv_spark.functions.graph import triangle_counts
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_counts(edges).count() == 0

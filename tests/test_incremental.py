@@ -99,3 +99,70 @@ def test_incremental_idempotent_rerun(spark, sf_dir, tmp_path):
         ["conv_id", "turn_idx", "sink", "event_id"],
     )
     assert first == second
+
+
+def test_refresh_dims_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Dim-delta maintenance: re-home one tool's sink, refresh, and the
+    tables must be bit-identical to a from-scratch run under the new
+    dim; only conversations touching the changed tool recompute."""
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    old_dim = datagen.tool_meta(spark)
+    # re-home tool-0 (a search tool) to a different sink + new owner
+    new_dim = old_dim.withColumn(
+        "tool_sink",
+        F.when(F.col("tool") == "tool-0", F.lit("sink_misc"))
+        .otherwise(F.col("tool_sink")),
+    ).withColumn(
+        "owner",
+        F.when(F.col("tool") == "tool-0", F.lit("team-misc"))
+        .otherwise(F.col("owner")),
+    )
+
+    pipeline.run(
+        spark, tr,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "dimr"), run_id="base"),
+    )
+    res = pipeline.refresh_dims(
+        spark, tr,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "dimr"), run_id="dimdelta"),
+        old_dim, new_dim,
+    )
+    assert res["changed_dim_keys"] == 1
+    n_affected = (
+        tr.filter(F.col("tool") == "tool-0").select("conv_id").distinct().count()
+    )
+    assert res["recomputed_convs"] == n_affected
+
+    pipeline.run(
+        spark, tr,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "dimf"), run_id="fresh"),
+        tool_meta=new_dim,
+    )
+    out_cols = [
+        "conv_id", "turn_idx", "sink", "event_id", "previous_event_ids",
+        "verified", "sequenceable", "is_duplicate",
+    ]
+    a = spark.read.parquet(str(tmp_path / "dimr" / "sequenced_events"))
+    b = spark.read.parquet(str(tmp_path / "dimf" / "sequenced_events"))
+    assert _rows(a, out_cols) == _rows(b, out_cols)
+    # the refresh actually moved rows (non-vacuous)
+    assert a.filter(
+        (F.col("tool") == "tool-0") & (F.col("sink") == "sink_misc")
+    ).count() > 0
+
+
+def test_refresh_dims_noop_on_identical_dim(spark, sf_dir, tmp_path):
+    """A byte-identical dim state is a metadata-only no-op: zero keys,
+    zero recomputed conversations, no table touched."""
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    dim = datagen.tool_meta(spark)
+    pipeline.run(
+        spark, tr,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "dimn"), run_id="base"),
+    )
+    res = pipeline.refresh_dims(
+        spark, tr,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "dimn"), run_id="nop"),
+        dim, dim,
+    )
+    assert res == {"changed_dim_keys": 0, "recomputed_convs": 0}
