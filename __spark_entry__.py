@@ -482,6 +482,16 @@ def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tmpl_op.mine_templates(_tr(spark, sf_dir))
 
 
+def q_log_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline event reassembly: garbled (non-grammar) lines fold
+    into the preceding event instead of dying in the DLQ — gaps-and-
+    islands running head count + one same-exchange groupBy. See
+    operators.templates.reassemble_multiline."""
+    from otel2pv_spark.operators import templates as tmpl_op
+
+    return tmpl_op.reassemble_multiline(_tr(spark, sf_dir))
+
+
 def q_events_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping 2-hour/1-hour rollup — every event lands in exactly two
     overlapping windows; replication happens before the partial agg."""
@@ -1334,6 +1344,22 @@ FROM (
 )
 WHERE delta IS NOT NULL
 GROUP BY tool""",
+)
+
+ORACLES["log_multiline"] = with_transcripts(
+    """SELECT conv_id, event_seq,
+       min(turn_idx) AS start_turn_idx,
+       count(*) AS n_lines,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS event_text,
+       (event_seq = 0) AS head_missing
+FROM (
+  SELECT conv_id, turn_idx, text,
+         CAST(sum(CASE WHEN regexp_matches(text, '^event=') THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+           AS event_seq
+  FROM transcripts
+)
+GROUP BY conv_id, event_seq"""
 )
 
 ORACLES["log_templates"] = with_transcripts(
@@ -2315,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "counter_rate": q_counter_rate,
         "log_templates": q_log_templates,
+        "log_multiline": q_log_multiline,
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,
         "rollup_gaps_filled": q_rollup_gaps_filled,

@@ -111,3 +111,59 @@ def assign_templates(
     return keyed.join(F.broadcast(tmpl), ["_nt", "_ft"], "left").drop(
         "_nt", "_ft"
     )
+
+
+def reassemble_multiline(
+    df,
+    head_pattern: str = "^event=",
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+):
+    """Multiline log-event reassembly — the stack-trace folding pass
+    every log pipeline needs before extraction (a Java traceback or a
+    wrapped payload arrives as N physical lines, only the first of
+    which matches the event grammar; the reference sees this as the
+    consumer's invalid-JSON reject path, Server/dataTypes.go:71-99 —
+    here the continuation lines FOLD INTO their head event instead of
+    dying in the DLQ).
+
+    Gaps-and-islands on the key exchange: a line is a HEAD iff it
+    matches ``head_pattern``; the running head count per stream is the
+    event sequence number; one groupBy on (stream, seq) — the SAME
+    hash partitioning the running sum just established, so the whole
+    operator costs ONE shuffle. Lines are reassembled in line order
+    via sort inside a bounded per-event array (events are stack-trace
+    sized, never conversation-sized). A stream that STARTS mid-event
+    (rotation cut the head off) yields seq 0, flagged head_missing
+    rather than silently attached or dropped."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    seq = F.sum(F.col(text_col).rlike(head_pattern).cast("bigint")).over(w)
+    lines = df.select(
+        F.col(conv_col), F.col(order_col), F.col(text_col), seq.alias("event_seq")
+    )
+    return (
+        lines.groupBy(conv_col, "event_seq")
+        .agg(
+            F.min(order_col).alias("start_turn_idx"),
+            F.count("*").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(order_col).alias("i"),
+                                F.col(text_col).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias("event_text"),
+        )
+        .withColumn("head_missing", F.col("event_seq") == 0)
+    )

@@ -102,3 +102,29 @@ def test_counter_rate_window_split(spark):
     assert r.increase_micro == 4_000_000
     # 11:00 UTC bucket
     assert r.window_start_us == 1704106800000000
+
+
+def test_reassemble_multiline_golden(spark):
+    """Continuations fold into their head in line order; a stream
+    starting mid-event flags head_missing; single one-shuffle shape."""
+    from otel2pv_spark.operators.templates import reassemble_multiline
+
+    df = spark.createDataFrame(
+        [("c1", 0, "event=a id=1"),
+         ("c1", 1, "  at Foo.bar(Foo.java:7)"),
+         ("c1", 2, "  at Baz.qux(Baz.java:9)"),
+         ("c1", 3, "event=b id=2"),
+         ("c2", 0, "  at Orphan.line(O.java:1)"),  # rotation cut the head
+         ("c2", 1, "event=c id=3")],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {(r.conv_id, r.event_seq): r
+           for r in reassemble_multiline(df).collect()}
+    assert len(got) == 4
+    a = got[("c1", 1)]
+    assert a.n_lines == 3 and a.start_turn_idx == 0 and not a.head_missing
+    assert a.event_text == (
+        "event=a id=1\n  at Foo.bar(Foo.java:7)\n  at Baz.qux(Baz.java:9)")
+    assert got[("c1", 2)].n_lines == 1
+    orphan = got[("c2", 0)]
+    assert orphan.head_missing and orphan.n_lines == 1
