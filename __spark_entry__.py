@@ -492,6 +492,24 @@ def q_log_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tmpl_op.reassemble_multiline(_tr(spark, sf_dir))
 
 
+def q_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerts per synthetic service shard
+    (user_id % 10): hourly window >= 3x budget AND daily window >= 2x
+    budget, both as exact integer cross-multiplications. See
+    operators.aggregate.burn_rate_alerts."""
+    ev = datagen.load_events(spark, sf_dir).withColumn(
+        "service", (F.col("user_id") % 10).cast("bigint")
+    )
+    return agg_op.burn_rate_alerts(
+        ev,
+        F.col("event_type") == "error",
+        budget_ppm=100_000,
+        short_factor=3,
+        long_factor=2,
+        key_col="service",
+    )
+
+
 def q_events_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping 2-hour/1-hour rollup — every event lands in exactly two
     overlapping windows; replication happens before the partial agg."""
@@ -1345,6 +1363,27 @@ FROM (
 WHERE delta IS NOT NULL
 GROUP BY tool""",
 )
+
+ORACLES["burn_rate_alerts"] = """
+WITH short AS (
+  SELECT date_trunc('hour', ts) AS ws, user_id % 10 AS service,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS errors,
+         count(*) AS total
+  FROM events GROUP BY 1, 2
+),
+long AS (
+  SELECT date_trunc('day', ws) AS ls, service,
+         CAST(sum(errors) AS BIGINT) AS l_errors,
+         CAST(sum(total) AS BIGINT) AS l_total
+  FROM short GROUP BY 1, 2
+)
+SELECT epoch_us(s.ws) AS window_start_us, s.service,
+       s.errors, s.total, l.l_errors, l.l_total
+FROM short s
+JOIN long l ON date_trunc('day', s.ws) = l.ls AND s.service = l.service
+WHERE s.errors * 1000000 >= 3 * 100000 * s.total
+  AND l.l_errors * 1000000 >= 2 * 100000 * l.l_total"""
 
 ORACLES["log_multiline"] = with_transcripts(
     """SELECT conv_id, event_seq,
@@ -2342,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "log_templates": q_log_templates,
         "log_multiline": q_log_multiline,
+        "burn_rate_alerts": q_burn_rate_alerts,
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,
         "rollup_gaps_filled": q_rollup_gaps_filled,

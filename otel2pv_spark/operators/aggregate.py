@@ -533,3 +533,90 @@ def cube_rollup(
             "value_micro_sum",
         )
     )
+
+
+def burn_rate_alerts(
+    events: DataFrame,
+    error_pred,
+    budget_ppm: int = 1000,
+    short_width: str = "1 hour",
+    long_width: str = "1 day",
+    short_factor: int = 14,
+    long_factor: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE-workbook
+    construction): alert on a key iff BOTH the short and the long
+    error-ratio windows burn the error budget faster than their
+    factor — the short window gives fast detection, the long window
+    suppresses blips.
+
+    burn(w) = error_ratio(w) / budget, alert iff
+    burn(short) >= short_factor AND burn(long) >= long_factor.
+    Every compare is an exact integer cross-multiplication
+
+        errors * 1e6 >= factor * budget_ppm * total
+
+    — no float ratio, no boundary row that flips between engines.
+    (A zero-traffic window has no row, hence no alert — no 0/0.)
+
+    Scale shape: ONE pass over the fact builds both rollups via a
+    tumbling groupBy each (map-side combined; the long window re-reads
+    the SHORT rollup at its own grain — long = sum of shorts — so the
+    corpus is scanned once and the second aggregate's input is
+    aggregate-grain); the final alert join is (key, long-window)
+    aligned and aggregate-sized on both sides."""
+    err = F.when(error_pred, F.lit(1)).otherwise(F.lit(0))
+    short = (
+        events.groupBy(
+            _win(ts_col, short_width, None).alias("_w"),
+            F.col(key_col),
+        )
+        .agg(F.sum(err).alias("errors"), F.count("*").alias("total"))
+        .select(
+            F.col("_w.start").alias("_ws"),
+            key_col,
+            "errors",
+            "total",
+        )
+    )
+    # long windows aggregate the short rollup (aligned widths: the
+    # short width must divide the long width, true for 1h/1d)
+    long = (
+        short.groupBy(
+            _win("_ws", long_width, None).alias("_lw"), F.col(key_col)
+        )
+        .agg(F.sum("errors").alias("l_errors"), F.sum("total").alias("l_total"))
+        .select(
+            F.col("_lw.start").alias("_ls"),
+            F.col(key_col).alias("_lk"),
+            "l_errors",
+            "l_total",
+        )
+    )
+    s_burn = (
+        F.col("errors") * 1_000_000
+        >= F.lit(short_factor) * F.lit(budget_ppm) * F.col("total")
+    )
+    l_burn = (
+        F.col("l_errors") * 1_000_000
+        >= F.lit(long_factor) * F.lit(budget_ppm) * F.col("l_total")
+    )
+    joined = short.withColumn(
+        "_ls_of_s", _win("_ws", long_width, None).start
+    ).join(
+        long,
+        (F.col("_ls_of_s") == F.col("_ls")) & (F.col(key_col) == F.col("_lk")),
+    )
+    return (
+        joined.filter(s_burn & l_burn)
+        .select(
+            F.unix_micros(F.col("_ws")).alias("window_start_us"),
+            key_col,
+            "errors",
+            "total",
+            "l_errors",
+            "l_total",
+        )
+    )

@@ -135,3 +135,40 @@ def test_fresh_session_reattaches_bucketed_layout(spark, tmp_path, sf_dir):
 def test_events_table_namespaced_by_out_root(tmp_path):
     assert obs.events_table("/a") != obs.events_table("/b")
     assert obs.events_table("/a") == obs.events_table("/a")
+
+
+def test_burn_rate_alerts_multi_window_golden(spark):
+    """Only the key burning BOTH windows alerts: fast-burn blip (short
+    only) and slow background burn (long only) are suppressed; the
+    threshold compare is exact at the boundary (>=)."""
+    from datetime import datetime
+
+    from otel2pv_spark.operators.aggregate import burn_rate_alerts
+
+    rows = []
+    # service A: 30% errors in hour 0 AND 25% across the day -> alerts
+    rows += [("A", datetime(2025, 1, 1, 0, 0, i), "error") for i in range(3)]
+    rows += [("A", datetime(2025, 1, 1, 0, 0, 10 + i), "ok") for i in range(7)]
+    rows += [("A", datetime(2025, 1, 1, 5, 0, i), "error") for i in range(3)]
+    rows += [("A", datetime(2025, 1, 1, 5, 0, 10 + i), "ok") for i in range(7)]
+    # service B: 50% errors in hour 0 but a quiet day (long window
+    # diluted to 5%) -> short-only blip, suppressed
+    rows += [("B", datetime(2025, 1, 1, 0, 0, i), "error") for i in range(1)]
+    rows += [("B", datetime(2025, 1, 1, 0, 0, 10 + i), "ok") for i in range(1)]
+    rows += [("B", datetime(2025, 1, 1, 6, 0, i), "ok") for i in range(18)]
+    # service C: steady 25% day burn but no hour ever reaches 30% ->
+    # long-only, suppressed
+    for h in range(4):
+        rows += [("C", datetime(2025, 1, 1, h, 0, 0), "error")]
+        rows += [("C", datetime(2025, 1, 1, h, 0, 10 + i), "ok") for i in range(3)]
+    df = spark.createDataFrame(rows, "service string, ts timestamp, event_type string")
+    got = burn_rate_alerts(
+        df, F.col("event_type") == "error",
+        budget_ppm=100_000, short_factor=3, long_factor=2, key_col="service",
+    ).collect()
+    assert {(r.service, r.window_start_us) for r in got} == {
+        ("A", 1735689600000000),          # 2025-01-01T00:00 UTC
+        ("A", 1735689600000000 + 5 * 3600 * 1_000_000),
+    }
+    a0 = [r for r in got if r.window_start_us == 1735689600000000][0]
+    assert (a0.errors, a0.total, a0.l_errors, a0.l_total) == (3, 10, 6, 20)
