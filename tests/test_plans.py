@@ -279,3 +279,40 @@ def test_hashed_embedding_no_python_one_explode(spark, sf_dir):
     assert "Python" not in plan, plan
     assert plan.count("Generate") == 1, plan
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_reassemble_multiline_single_shuffle(spark):
+    """The islands pass costs ONE exchange: the groupBy reuses the
+    running-sum window's hash partitioning on the stream key."""
+    from otel2pv_spark.operators.templates import reassemble_multiline
+
+    df = spark.createDataFrame(
+        [("c", i, "event=x" if i % 3 else "  cont") for i in range(30)],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = reassemble_multiline(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Exchange") == 1
+
+
+def test_burn_rate_single_fact_scan(spark, sf_dir):
+    """The long rollup aggregates the short rollup: the events fact is
+    scanned once, and its exchange feeds both window grains."""
+    from otel2pv_spark import datagen
+    from otel2pv_spark.operators.aggregate import burn_rate_alerts
+
+    ev = datagen.load_events(spark, sf_dir).withColumn(
+        "service", (F.col("user_id") % 10).cast("bigint")
+    )
+    out = burn_rate_alerts(
+        ev, F.col("event_type") == "error",
+        budget_ppm=100_000, short_factor=3, long_factor=2, key_col="service",
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("events.parquet") == 1
