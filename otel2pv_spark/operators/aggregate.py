@@ -581,6 +581,25 @@ def burn_rate_alerts(
             "total",
         )
     )
+    return burn_rate_from_short(
+        short, budget_ppm, long_width, short_factor, long_factor, key_col
+    )
+
+
+def burn_rate_from_short(
+    short: DataFrame,
+    budget_ppm: int,
+    long_width: str,
+    short_factor: int,
+    long_factor: int,
+    key_col: str,
+) -> DataFrame:
+    """The alert core over a prepared SHORT rollup
+    (``_ws`` timestamp, key, errors, total) — SHARED VERBATIM by the
+    batch operator and the streaming twin
+    (streaming.run_stream_burn_rate), the repo's lambda-coherence
+    rule: live and backfill can never disagree on what burns because
+    they run the same code."""
     # long windows aggregate the short rollup (aligned widths: the
     # short width must divide the long width, true for 1h/1d)
     long = (

@@ -879,3 +879,111 @@ def stream_exact_dedup(
         .withWatermark(ts_col, watermark_delay)
         .dropDuplicatesWithinWatermark(list(keys))
     )
+
+
+def run_stream_burn_rate(
+    event_stream: DataFrame,
+    state_path: str,
+    alerts_path: str,
+    checkpoint: str,
+    error_col: str = "is_error",
+    budget_ppm: int = 1000,
+    short_width: str = "1 hour",
+    long_width: str = "1 day",
+    short_factor: int = 14,
+    long_factor: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark_delay: str = "2 hours",
+    available_now: bool = False,
+):
+    """Live SLO burn-rate alerting: the streaming twin of
+    ``aggregate.burn_rate_alerts``, sharing the alert core
+    (``aggregate.burn_rate_from_short``) VERBATIM — the same
+    lambda-coherence rule as run_stream_anomaly: live paging and
+    backfill analysis can never disagree on what burned, because both
+    run the same integer cross-multiplications over the same short
+    rollup grain.
+
+    The stream half aggregates (key, short-window) error/total counts
+    in append mode (a window finalizes once, at the watermark); each
+    foreachBatch then:
+
+    1. prunes the stored short-rollup state to the LONG windows the
+       delta touches — bounded by |touched long windows| x |keys| x
+       (long/short) rows, independent of stream age;
+    2. unions pruned state + delta and runs the batch alert core
+       unchanged (the delta's long window re-totals from its component
+       shorts — partial long windows alert on what has finalized so
+       far, the standard streaming-SLO semantics: a burn you can see
+       is a burn you page on);
+    3. appends alerts for DELTA windows only (state rows already had
+       their chance — left_semi), and the delta itself to state.
+
+    At-least-once caveat (same as run_stream_anomaly): a replayed
+    batch re-appends state rows; the real target makes the state
+    append an Iceberg MERGE on (key, window) for exactly-once."""
+    from ..operators.aggregate import _win, burn_rate_from_short
+
+    stream = event_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    err = F.when(F.col(error_col), F.lit(1)).otherwise(F.lit(0))
+    short = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            _win(F.col(ts_col), short_width, None).alias("_w"),
+            F.col(key_col),
+        )
+        .agg(F.sum(err).alias("errors"), F.count("*").alias("total"))
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+            key_col,
+            "errors",
+            "total",
+        )
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = batch.localCheckpoint()
+        if delta.isEmpty():
+            return
+        state = _read_state(spark, state_path)
+        if state is None:
+            state = delta.limit(0)
+        with_ws = lambda df: df.withColumn(  # noqa: E731
+            "_ws", F.timestamp_micros(F.col("window_start_us"))
+        )
+        # state rows matter only inside the long windows this delta
+        # touches (the long grain is a function of the short start)
+        touched = (
+            with_ws(delta)
+            .select(_win("_ws", long_width, None).start.alias("_tl"))
+            .distinct()
+        )
+        pruned = (
+            with_ws(state)
+            .withColumn("_sl", _win("_ws", long_width, None).start)
+            .join(
+                F.broadcast(touched), F.col("_sl") == F.col("_tl"), "left_semi"
+            )
+            .drop("_sl")
+        )
+        hist = pruned.unionByName(with_ws(delta)).drop("window_start_us")
+        alerts = burn_rate_from_short(
+            hist, budget_ppm, long_width, short_factor, long_factor, key_col
+        ).join(
+            delta.select(key_col, "window_start_us"),
+            [key_col, "window_start_us"],
+            "left_semi",
+        )
+        alerts.write.mode("append").parquet(alerts_path)
+        delta.write.mode("append").parquet(state_path)
+
+    writer = (
+        short.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -851,3 +851,89 @@ def test_stream_counter_rate_routes_late_rows(spark, tmp_path):
     got = sp.read_counter_rates(spark, out).collect()
     # 2.0 (batch 1) + 1.0 (13 - 12 across batches; late row excluded)
     assert [(r.increase_micro, r.n_deltas) for r in got] == [(3_000_000, 2)]
+
+
+def test_stream_burn_rate_alerts_match_batch(spark, tmp_path):
+    """run_stream_burn_rate pages exactly the hours the batch operator
+    flags: day-1 hours burn 30% (>= 3x the 10% budget short, >= 2x
+    long — stable under partial-day totals because every day-1 hour
+    has the same ratio), day-2 hours are clean; alerts accumulate
+    across micro-batches over one stored short-rollup state."""
+    import pandas as pd
+
+    from otel2pv_spark.operators import aggregate as agg_op
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "br_src")
+    state = str(tmp_path / "br_state")
+    alerts = str(tmp_path / "br_alerts")
+    ckpt = str(tmp_path / "br_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    eid = 0
+    specs = [("2026-01-01", h, 3, 7) for h in range(4)]   # 30% burn
+    specs += [("2026-01-02", h, 0, 10) for h in range(2)]  # clean
+    for day, h, n_err, n_ok in specs:
+        rows = []
+        for i in range(n_err + n_ok):
+            eid += 1
+            rows.append({
+                "event_id": eid,
+                "ts": pd.Timestamp(f"{day} {h:02d}:{1 + i * 5:02d}:00"),
+                "user_id": 1,
+                "event_type": "error" if i < n_err else "ok",
+                "value": 1.0, "props": "",
+            })
+        f = f"{src}/{day}-{h:02d}.parquet"
+        pd.DataFrame(rows).to_parquet(
+            f, index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(f, (time.time() + h + (24 if day.endswith("02") else 0),) * 2)
+    pd.DataFrame(
+        [{"event_id": 9999, "ts": pd.Timestamp("2026-01-05 00:00:00"),
+          "user_id": 1, "event_type": "ok", "value": 1.0, "props": ""}]
+    ).to_parquet(f"{src}/zz_future.parquet", index=False,
+                 coerce_timestamps="us", allow_truncated_timestamps=True)
+    os.utime(f"{src}/zz_future.parquet", (time.time() + 100,) * 2)
+
+    stream = sp.read_events_stream(
+        spark, src, max_files_per_trigger=1
+    ).withColumn("svc", F.lit("api")).withColumn(
+        "is_error", F.col("event_type") == "error"
+    )
+    q = sp.run_stream_burn_rate(
+        stream, state_path=state, alerts_path=alerts, checkpoint=ckpt,
+        error_col="is_error", budget_ppm=100_000,
+        short_factor=3, long_factor=2, key_col="svc",
+        watermark_delay="30 minutes", available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.svc, r.window_start_us)
+        for r in spark.read.parquet(alerts).collect()
+    }
+    state_windows = {
+        (r.svc, r.window_start_us)
+        for r in spark.read.parquet(state).collect()
+    }
+    # batch recompute over the SAME finalized short windows
+    ev = spark.read.parquet(src).withColumn("svc", F.lit("api"))
+    finalized = [w for (_, w) in state_windows]
+    batch = {
+        (r.svc, r.window_start_us)
+        for r in agg_op.burn_rate_alerts(
+            ev.filter(
+                F.unix_micros(
+                    F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                ).isin(finalized)
+            ),
+            F.col("event_type") == "error",
+            budget_ppm=100_000, short_factor=3, long_factor=2, key_col="svc",
+        ).collect()
+    }
+    assert got == batch
+    day1 = pd.Timestamp("2026-01-01 00:00:00").value // 1000
+    assert got == {("api", day1 + h * 3600 * 1_000_000) for h in range(4)}
+    assert len(state_windows) >= 6  # every fixture hour finalized
