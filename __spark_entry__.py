@@ -1986,8 +1986,10 @@ GROUP BY 1, 2, 3"""
 ORACLES["events_rollup_incremental"] = ORACLES["events_rollup_hourly"]
 
 ORACLES["events_cube"] = """
-SELECT coalesce(event_type, '(all)') AS event_type,
-       coalesce(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+            ELSE CAST(event_type AS VARCHAR) END AS event_type,
+       CASE WHEN GROUPING(strftime(ts, '%Y-%m-%d')) = 1 THEN '(all)'
+            ELSE strftime(ts, '%Y-%m-%d') END AS day,
        CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT)
          AS grouping_id,
        count(*) AS n,

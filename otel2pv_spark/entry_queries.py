@@ -947,10 +947,10 @@ def q_graph_triangles(spark, sf_dir):
         (F.col("doc_id") % 97).alias("src"),
         ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
     )
-    quad = d.select(
-        (F.col("doc_id") % 97).alias("src"),
-        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
-    )
+    # square the RESIDUE, not doc_id: (doc_id%97)^2 is overflow-free at
+    # any id where doc_id*doc_id exceeds BIGINT past ~3.04e9
+    r = F.col("doc_id") % 97
+    quad = d.select(r.alias("src"), ((r * r + 1) % 97).alias("dst"))
     edges = lin.unionByName(quad).filter(F.col("src") != F.col("dst"))
     return gr.triangle_counts(edges)
 
@@ -3187,12 +3187,15 @@ WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
     + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3"""
 
 
-# PageRank: the oracle replays all 4 rounds as unrolled CTEs
+# Triangles: direct a<b<c three-way join (different algorithm than the
+# oriented wedge construction it validates). The quadratic rule squares
+# the RESIDUE, not doc_id — (doc_id%97)^2 <= 97^2, overflow-free at any
+# id, where doc_id*doc_id would overflow BIGINT past doc_id ~ 3.04e9.
 ORACLES["graph_triangles"] = """
 WITH raw AS (
   SELECT doc_id % 97 AS s, (doc_id * 31 + 7) % 97 AS d FROM documents
   UNION ALL
-  SELECT doc_id % 97, (doc_id * doc_id + 1) % 97 FROM documents
+  SELECT doc_id % 97, ((doc_id % 97) * (doc_id % 97) + 1) % 97 FROM documents
 ),
 und AS (
   SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
@@ -3211,6 +3214,7 @@ corners AS (
 )
 SELECT node, count(*) AS n_triangles FROM corners GROUP BY node"""
 
+# PageRank: the oracle replays all 4 rounds as unrolled CTEs
 ORACLES["graph_pagerank"] = """
 WITH e AS (
   SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst

@@ -511,8 +511,13 @@ def cube_rollup(
     NULL (the driver canonicalizer and downstream consumers treat NULL
     as missing data, not as a subtotal marker); grouping_id carries
     the exact set id (bit 1 = dim1 rolled, bit 0 = day rolled — Spark
-    and DuckDB agree on first-arg-MSB)."""
+    and DuckDB agree on first-arg-MSB). The sentinel is driven by the
+    GROUPING BIT, not by null-ness: a row whose dim value is genuinely
+    NULL keeps its NULL at the detail grain instead of colliding with
+    the subtotal marker, and a non-string dim casts cleanly (coalesce
+    of bigint with a string literal would fail ANSI coercion)."""
     day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    gid = F.grouping_id().cast("bigint")
     return (
         df.select(
             F.col(dim1).alias("_d1"),
@@ -521,18 +526,58 @@ def cube_rollup(
         )
         .cube("_d1", "_day")
         .agg(
-            F.grouping_id().cast("bigint").alias("grouping_id"),
+            gid.alias("grouping_id"),
             F.count("*").alias("n"),
             F.sum("_v").alias("value_micro_sum"),
         )
         .select(
-            F.coalesce(F.col("_d1"), F.lit("(all)")).alias(dim1),
-            F.coalesce(F.col("_day"), F.lit("(all)")).alias("day"),
+            F.when(
+                F.col("grouping_id").bitwiseAND(2) != 0, F.lit("(all)")
+            ).otherwise(F.col("_d1").cast("string")).alias(dim1),
+            F.when(
+                F.col("grouping_id").bitwiseAND(1) != 0, F.lit("(all)")
+            ).otherwise(F.col("_day")).alias("day"),
             "grouping_id",
             "n",
             "value_micro_sum",
         )
     )
+
+
+_WIDTH_UNITS_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000,
+}
+
+
+def _validate_aligned_widths(short_width: str, long_width: str) -> int:
+    """Fail loudly when the long grain is not a whole multiple of the
+    short grain: burn_rate_from_short assigns a short window's counts
+    to the long window containing its START, so a straddling short
+    window (e.g. 1 hour into 90 minutes) would silently misattribute
+    errors and fire/suppress on wrong ratios. Returns long_width in
+    microseconds (the retention arithmetic reuses it)."""
+
+    def us(width: str) -> int:
+        try:
+            n, unit = width.strip().split()
+            return int(n) * _WIDTH_UNITS_US[unit.lower()]
+        except (ValueError, KeyError):
+            raise ValueError(
+                f"unparseable window width {width!r}; expected '<n> <unit>'"
+                f" with unit in {sorted(set(_WIDTH_UNITS_US))}"
+            ) from None
+
+    s_us, l_us = us(short_width), us(long_width)
+    if l_us <= s_us or l_us % s_us != 0:
+        raise ValueError(
+            f"long_width {long_width!r} must be a whole multiple of"
+            f" short_width {short_width!r}"
+        )
+    return l_us
 
 
 def burn_rate_alerts(
@@ -567,6 +612,7 @@ def burn_rate_alerts(
     corpus is scanned once and the second aggregate's input is
     aggregate-grain); the final alert join is (key, long-window)
     aligned and aggregate-sized on both sides."""
+    _validate_aligned_widths(short_width, long_width)
     err = F.when(error_pred, F.lit(1)).otherwise(F.lit(0))
     short = (
         events.groupBy(
@@ -597,9 +643,15 @@ def burn_rate_from_short(
     """The alert core over a prepared SHORT rollup
     (``_ws`` timestamp, key, errors, total) — SHARED VERBATIM by the
     batch operator and the streaming twin
-    (streaming.run_stream_burn_rate), the repo's lambda-coherence
-    rule: live and backfill can never disagree on what burns because
-    they run the same code."""
+    (streaming.run_stream_burn_rate): what counts as a burn (grains,
+    integer cross-multiplications) can never drift between live and
+    backfill. NB the shared core does not make the alert SETS equal:
+    the stream hands this function long windows made of the shorts
+    finalized SO FAR (live paging semantics — see
+    run_stream_burn_rate's docstring), the batch hands it complete
+    ones. Precondition (validated by both callers): the short grain
+    divides long_width — counts attach to the long window containing
+    the short START."""
     # long windows aggregate the short rollup (aligned widths: the
     # short width must divide the long width, true for 1h/1d)
     long = (

@@ -602,19 +602,27 @@ def refresh_dims(
     """
     from ..operators import diff as diff_op
 
+    # materialize the (config-sized) diff once: it feeds the count AND
+    # the semi-join, and a lazy plan would run the dim diff twice
     changed = (
         diff_op.snapshot_diff(old_tool_meta, new_tool_meta, ["tool"])
         .select("tool")
         .distinct()
-    )
-    affected_convs = (
-        transcripts.join(F.broadcast(changed), "tool", "left_semi")
-        .select("conv_id")
-        .distinct()
+        .localCheckpoint()
     )
     n_keys = changed.count()
     if n_keys == 0:
         return {"changed_dim_keys": 0, "recomputed_convs": 0}
+    affected_convs = (
+        transcripts.join(F.broadcast(changed), "tool", "left_semi")
+        .select("conv_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    # a changed key no transcript references must not trigger two
+    # corpus-scale replace_keys rewrites to splice in nothing
+    if affected_convs.isEmpty():
+        return {"changed_dim_keys": n_keys, "recomputed_convs": 0}
     res = run_incremental(
         spark, transcripts, cfg, affected_convs,
         tool_meta=new_tool_meta, role_meta=role_meta,

@@ -883,7 +883,7 @@ def stream_exact_dedup(
 
 def run_stream_burn_rate(
     event_stream: DataFrame,
-    state_path: str,
+    state_root: str,
     alerts_path: str,
     checkpoint: str,
     error_col: str = "is_error",
@@ -898,12 +898,18 @@ def run_stream_burn_rate(
     available_now: bool = False,
 ):
     """Live SLO burn-rate alerting: the streaming twin of
-    ``aggregate.burn_rate_alerts``, sharing the alert core
-    (``aggregate.burn_rate_from_short``) VERBATIM — the same
-    lambda-coherence rule as run_stream_anomaly: live paging and
-    backfill analysis can never disagree on what burned, because both
-    run the same integer cross-multiplications over the same short
-    rollup grain.
+    ``aggregate.burn_rate_alerts``, sharing the alert CORE
+    (``aggregate.burn_rate_from_short``) VERBATIM — what counts as a
+    burn (the integer cross-multiplications, the window grains) can
+    never drift between live and backfill because both run the same
+    code. The alert SETS are not identical by construction: each
+    micro-batch pages on long-window totals FINALIZED SO FAR (a 30%
+    hour pages immediately even though the full day may dilute to 1% —
+    the standard live-SLO semantics: a burn you can see is a burn you
+    page on), while the batch operator is the after-the-fact truth
+    over complete windows. They coincide when burn ratios are stable
+    within the long window (the property the stream-equals-batch test
+    pins on a ratio-stable fixture).
 
     The stream half aggregates (key, short-window) error/total counts
     in append mode (a window finalizes once, at the watermark); each
@@ -911,19 +917,29 @@ def run_stream_burn_rate(
 
     1. prunes the stored short-rollup state to the LONG windows the
        delta touches — bounded by |touched long windows| x |keys| x
-       (long/short) rows, independent of stream age;
+       (long/short) rows;
     2. unions pruned state + delta and runs the batch alert core
-       unchanged (the delta's long window re-totals from its component
-       shorts — partial long windows alert on what has finalized so
-       far, the standard streaming-SLO semantics: a burn you can see
-       is a burn you page on);
+       unchanged;
     3. appends alerts for DELTA windows only (state rows already had
-       their chance — left_semi), and the delta itself to state.
+       their chance — left_semi);
+    4. REPLACES the state (Catalog atomic swap, same mechanics as
+       run_stream_counter_rate) with the retained rows: long windows
+       older than one long_width behind the delta's newest can never
+       be touched again (short windows finalize in watermark order),
+       so state stays bounded by ~2 long windows x |keys| x
+       (long/short) rows however old the stream is. The replace
+       dedups on (key, window) — a replayed batch reconverges to the
+       same state instead of double-counting (the alert append is the
+       one remaining at-least-once surface; the real target makes it
+       an Iceberg MERGE on (key, window) for exactly-once)."""
+    from ..operators.aggregate import (
+        _validate_aligned_widths,
+        _win,
+        burn_rate_from_short,
+    )
+    from ..sources.catalog import Catalog
 
-    At-least-once caveat (same as run_stream_anomaly): a replayed
-    batch re-appends state rows; the real target makes the state
-    append an Iceberg MERGE on (key, window) for exactly-once."""
-    from ..operators.aggregate import _win, burn_rate_from_short
+    long_us = _validate_aligned_widths(short_width, long_width)
 
     stream = event_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     err = F.when(F.col(error_col), F.lit(1)).otherwise(F.lit(0))
@@ -947,9 +963,12 @@ def run_stream_burn_rate(
         delta = batch.localCheckpoint()
         if delta.isEmpty():
             return
-        state = _read_state(spark, state_path)
-        if state is None:
-            state = delta.limit(0)
+        cat = Catalog(spark, state_root)
+        state = (
+            cat.read("short_rollup")
+            if cat.exists("short_rollup")
+            else delta.limit(0)
+        )
         with_ws = lambda df: df.withColumn(  # noqa: E731
             "_ws", F.timestamp_micros(F.col("window_start_us"))
         )
@@ -977,7 +996,22 @@ def run_stream_burn_rate(
             "left_semi",
         )
         alerts.write.mode("append").parquet(alerts_path)
-        delta.write.mode("append").parquet(state_path)
+        # retained state: only long windows >= one long_width behind
+        # the newest delta window can still be touched (watermark
+        # order); dedup on (key, window) makes a batch replay
+        # reconverge instead of double-count
+        horizon = (
+            delta.agg(F.max("window_start_us").alias("_m"))
+            .select((F.col("_m") - 2 * long_us).alias("_h"))
+        )
+        new_state = (
+            state.unionByName(delta)
+            .dropDuplicates([key_col, "window_start_us"])
+            .join(F.broadcast(horizon))
+            .filter(F.col("window_start_us") >= F.col("_h"))
+            .drop("_h")
+        )
+        cat.write(new_state, "short_rollup")
 
     writer = (
         short.writeStream.foreachBatch(process)

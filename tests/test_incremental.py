@@ -166,3 +166,32 @@ def test_refresh_dims_noop_on_identical_dim(spark, sf_dir, tmp_path):
         dim, dim,
     )
     assert res == {"changed_dim_keys": 0, "recomputed_convs": 0}
+
+
+def test_refresh_dims_unreferenced_key_skips_rewrite(spark, sf_dir, tmp_path):
+    """A changed dim key no transcript references must not rewrite the
+    sink tables: changed_dim_keys counts it, recomputed_convs is 0 and
+    the committed tables keep their mtimes."""
+    import os
+
+    tr = datagen.transcripts_from_events(spark, sf_dir)
+    old_dim = datagen.tool_meta(spark)
+    new_dim = old_dim.unionByName(
+        spark.createDataFrame(
+            [("tool-ghost", "misc", "owner-z", "sink_misc")],
+            "tool string, tool_category string, owner string, tool_sink string",
+        )
+    )
+    pipeline.run(
+        spark, tr,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "dimg"), run_id="base"),
+    )
+    seq_dir = str(tmp_path / "dimg" / "sequenced_events")
+    before = os.path.getmtime(seq_dir)
+    res = pipeline.refresh_dims(
+        spark, tr,
+        pipeline.PipelineConfig(out_root=str(tmp_path / "dimg"), run_id="ghost"),
+        old_dim, new_dim,
+    )
+    assert res == {"changed_dim_keys": 1, "recomputed_convs": 0}
+    assert os.path.getmtime(seq_dir) == before

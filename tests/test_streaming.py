@@ -903,7 +903,7 @@ def test_stream_burn_rate_alerts_match_batch(spark, tmp_path):
         "is_error", F.col("event_type") == "error"
     )
     q = sp.run_stream_burn_rate(
-        stream, state_path=state, alerts_path=alerts, checkpoint=ckpt,
+        stream, state_root=state, alerts_path=alerts, checkpoint=ckpt,
         error_col="is_error", budget_ppm=100_000,
         short_factor=3, long_factor=2, key_col="svc",
         watermark_delay="30 minutes", available_now=True,
@@ -916,7 +916,7 @@ def test_stream_burn_rate_alerts_match_batch(spark, tmp_path):
     }
     state_windows = {
         (r.svc, r.window_start_us)
-        for r in spark.read.parquet(state).collect()
+        for r in spark.read.parquet(f"{state}/short_rollup").collect()
     }
     # batch recompute over the SAME finalized short windows
     ev = spark.read.parquet(src).withColumn("svc", F.lit("api"))
@@ -937,3 +937,63 @@ def test_stream_burn_rate_alerts_match_batch(spark, tmp_path):
     day1 = pd.Timestamp("2026-01-01 00:00:00").value // 1000
     assert got == {("api", day1 + h * 3600 * 1_000_000) for h in range(4)}
     assert len(state_windows) >= 6  # every fixture hour finalized
+
+
+def test_stream_burn_rate_state_retention_bounded(spark, tmp_path):
+    """State stays bounded however old the stream gets: short windows
+    older than two long windows behind the newest finalized one are
+    dropped at the atomic state replace."""
+    import pandas as pd
+
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "brr_src")
+    state = str(tmp_path / "brr_state")
+    alerts = str(tmp_path / "brr_alerts")
+    ckpt = str(tmp_path / "brr_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    eid = 0
+    specs = [("2026-01-01", 0), ("2026-01-01", 1), ("2026-01-05", 0)]
+    for i, (day, h) in enumerate(specs):
+        rows = []
+        for j in range(5):
+            eid += 1
+            rows.append({
+                "event_id": eid, "ts": pd.Timestamp(f"{day} {h:02d}:{1+j*5:02d}:00"),
+                "user_id": 1, "event_type": "ok", "value": 1.0, "props": "",
+            })
+        f = f"{src}/{i}-{day}-{h}.parquet"
+        pd.DataFrame(rows).to_parquet(
+            f, index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(f, (time.time() + i,) * 2)
+    pd.DataFrame(
+        [{"event_id": 9999, "ts": pd.Timestamp("2026-01-08 00:00:00"),
+          "user_id": 1, "event_type": "ok", "value": 1.0, "props": ""}]
+    ).to_parquet(f"{src}/zz_future.parquet", index=False,
+                 coerce_timestamps="us", allow_truncated_timestamps=True)
+    os.utime(f"{src}/zz_future.parquet", (time.time() + 100,) * 2)
+
+    stream = sp.read_events_stream(
+        spark, src, max_files_per_trigger=1
+    ).withColumn("svc", F.lit("api")).withColumn(
+        "is_error", F.col("event_type") == "error"
+    )
+    q = sp.run_stream_burn_rate(
+        stream, state_root=state, alerts_path=alerts, checkpoint=ckpt,
+        error_col="is_error", budget_ppm=100_000,
+        short_factor=3, long_factor=2, key_col="svc",
+        watermark_delay="30 minutes", available_now=True,
+    )
+    q.awaitTermination(300)
+
+    kept = {
+        r.window_start_us
+        for r in spark.read.parquet(f"{state}/short_rollup").collect()
+    }
+    jan5 = pd.Timestamp("2026-01-05 00:00:00").value // 1000
+    # the Jan-1 windows fell out of the retention horizon (Jan-3) when
+    # the Jan-5 delta replaced the state
+    assert kept == {jan5}
