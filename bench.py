@@ -126,6 +126,9 @@ HEADLINE = [
     "log_templates",
     "counter_rate",
     "graph_pagerank",
+    "graph_triangles",
+    "text_pair_lift",
+    "events_cube",
     "events_kmv_quantiles",
     "rollup_gaps_filled",
 ]
