@@ -99,6 +99,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_bm25_indexed",
     "text_rerank_topk",
+    "retrieval_topk",
     "text_top_ngrams",
     "conv_features",
     "dedup_conversations",

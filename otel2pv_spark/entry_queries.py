@@ -402,6 +402,30 @@ def q_text_rerank_topk(spark, sf_dir):
     return rr.crossencoder_rerank(docs, BM25_QUERIES, cands, k=5)
 
 
+def q_retrieval_topk(spark, sf_dir):
+    """The FULL retrieval chain, chunk-grained: fixed-token chunking
+    (packed BIGINT chunk ids) -> BM25 inverted index -> index-probe
+    recall (top-20 per query, corpus text never re-read) -> Arrow
+    cross-encoder rerank -> final top-5. plans/retrieval.py composes
+    the same chain over COMMITTED Catalog tables (pytest-covered);
+    this query runs it lazily so the oracle checks the whole chain
+    end-to-end."""
+    from .plans import retrieval as rtr
+
+    cfg = rtr.RetrievalConfig()
+    chunks = rtr.build_chunks(_docs(spark, sf_dir), cfg)
+    postings, stats = ts.bm25_index(
+        chunks, id_col="chunk_uid", text_col="chunk_text"
+    )
+    recall = ts.bm25_topk_from_index(
+        postings, stats, BM25_QUERIES, k=cfg.recall_k, id_col="chunk_uid"
+    )
+    return rr.crossencoder_rerank(
+        chunks, BM25_QUERIES, recall, k=cfg.final_k,
+        id_col="chunk_uid", text_col="chunk_text",
+    )
+
+
 def q_text_winnow(spark, sf_dir):
     return ts.winnow_fingerprint(_docs(spark, sf_dir))
 
@@ -1011,6 +1035,7 @@ QUERIES = {
     "text_bm25_topk": q_text_bm25_topk,
     "text_bm25_indexed": q_text_bm25_indexed,
     "text_rerank_topk": q_text_rerank_topk,
+    "retrieval_topk": q_retrieval_topk,
     "prep_cap_per_group": q_prep_cap_per_group,
     "prep_mix_corpus": q_prep_mix_corpus,
     "text_subwords": q_text_subwords,
@@ -2174,6 +2199,90 @@ ORACLES["text_bm25_indexed"] = _bm25_oracle(5)
 _RERANK_QT = ",\n    ".join(
     f"('{qid}', '{qtext}')" for qid, qtext in BM25_QUERIES
 )
+def _bm25_chunk_oracle(k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """The _bm25_oracle construction re-based onto the chunk table
+    (chunk_uid = doc_id*1000 + chunk_idx, 64-token windows, stride
+    48) — the whole-chain oracle for retrieval_topk."""
+    import re as _re
+
+    qvals = ",\n         ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in BM25_QUERIES
+        for t in sorted(set(_re.split(r"[^a-z0-9]+", qtext.lower())) - {""})
+    )
+    terms = sorted(
+        {
+            t
+            for _, qtext in BM25_QUERIES
+            for t in _re.split(r"[^a-z0-9]+", qtext.lower())
+            if t
+        }
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""tt AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+c0 AS (
+  SELECT doc_id, w,
+         unnest(range(0, 1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS INT))) AS k
+  FROM tt
+),
+chunks AS (
+  SELECT doc_id * 1000 + k AS chunk_uid,
+         array_to_string(w[k*48 + 1 : k*48 + 64], ' ') AS chunk_text
+  FROM c0
+),
+d AS (
+  SELECT chunk_uid, chunk_text,
+         list_filter(string_split_regex(lower(chunk_text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM chunks
+),
+dl AS (SELECT chunk_uid, chunk_text, CAST(len(toks) AS DOUBLE) AS dl, toks FROM d),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl FROM dl
+),
+q(query_id, term) AS (
+  VALUES {qvals}
+),
+posts AS (
+  SELECT chunk_uid, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT chunk_uid, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN ({in_list})
+  GROUP BY chunk_uid, dl, term
+),
+idf AS (
+  SELECT term,
+         ln((n_docs - cnt + 0.5) / (cnt + 0.5) + 1.0) AS idf,
+         sum_dl / n_docs AS avgdl
+  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+        FROM posts GROUP BY term), stats
+),
+contrib AS (
+  SELECT q.query_id, p.chunk_uid,
+         CAST(round(i.idf * (p.tf * {k1 + 1.0})
+             / (p.tf + {k1} * ({1.0 - b} + {b} * p.dl / i.avgdl))
+             * 1e6) AS BIGINT) AS c
+  FROM posts p JOIN idf i USING (term) JOIN q USING (term)
+),
+scored AS (
+  SELECT query_id, chunk_uid, CAST(sum(c) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, chunk_uid
+),
+recall AS (
+  SELECT query_id, chunk_uid
+  FROM (SELECT query_id, chunk_uid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, chunk_uid) AS rnk
+        FROM scored)
+  WHERE rnk <= {k}
+),
+cands AS (
+  SELECT r.query_id, r.chunk_uid, c.chunk_text
+  FROM recall r JOIN chunks c USING (chunk_uid)
+)"""
+
+
 ORACLES["text_rerank_topk"] = f"""WITH
 qt(query_id, query_text) AS (VALUES
     {_RERANK_QT}),
@@ -2196,6 +2305,30 @@ ranked AS (
   FROM scored
 )
 SELECT * FROM ranked WHERE rank <= 5"""
+
+# Whole-chain retrieval oracle: chunking -> chunk-grained BM25 recall
+# (top-20) -> fake cross-encoder over (query, chunk_text) -> top-5,
+# mirroring plans/retrieval.py's lazy chain in retrieval_topk.
+ORACLES["retrieval_topk"] = f"""WITH {_bm25_chunk_oracle(20)},
+qt(query_id, query_text) AS (VALUES
+    {_RERANK_QT}),
+scored2 AS (
+  SELECT c.query_id, c.chunk_uid,
+         (('0x' || substr(md5(q.query_text || chr(31) || c.chunk_text
+                              || chr(31) || 'ce-v1'), 1, 8))::BIGINT)
+           / 4294967296.0 AS ce
+  FROM cands c
+  JOIN qt q USING (query_id)
+  WHERE c.chunk_text IS NOT NULL
+),
+ranked2 AS (
+  SELECT query_id, chunk_uid, round(ce, 6) AS ce_score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ce DESC, chunk_uid) AS INTEGER) AS rank
+  FROM scored2
+)
+SELECT * FROM ranked2 WHERE rank <= 5"""
 
 ORACLES["prep_cap_per_group"] = """WITH r AS (
   SELECT doc_id, source, n_chars,
