@@ -89,6 +89,8 @@ HEADLINE = [
     "pipeline_checks",
     "table_profile",
     "rollup_anomalies",
+    "burn_rate_alerts",
+    "log_multiline",
     "funnel_reach",
     "error_bursts",
     "events_hll_intersect",
