@@ -564,12 +564,15 @@ def _validate_aligned_widths(short_width: str, long_width: str) -> int:
     def us(width: str) -> int:
         try:
             n, unit = width.strip().split()
-            return int(n) * _WIDTH_UNITS_US[unit.lower()]
+            out = int(n) * _WIDTH_UNITS_US[unit.lower()]
         except (ValueError, KeyError):
             raise ValueError(
                 f"unparseable window width {width!r}; expected '<n> <unit>'"
                 f" with unit in {sorted(set(_WIDTH_UNITS_US))}"
             ) from None
+        if out <= 0:
+            raise ValueError(f"window width must be positive, got {width!r}")
+        return out
 
     s_us, l_us = us(short_width), us(long_width)
     if l_us <= s_us or l_us % s_us != 0:

@@ -204,6 +204,22 @@ def read_docs_stream(
     return reader.parquet(path)
 
 
+def _append_alerts(df: DataFrame, path: str) -> None:
+    """Append alert rows, keeping the table READABLE when empty: an
+    append of an empty DataFrame emits only _SUCCESS (no part file),
+    so a healthy stream would leave a directory schema inference
+    cannot read. Seed the schema with an unpartitioned limit(0)
+    overwrite instead (the same empty-write trap Catalog.write
+    guards, sources/catalog.py) and skip the no-op append."""
+    import os as _os
+
+    if df.isEmpty():
+        if not _os.path.isdir(path):
+            df.limit(0).write.mode("overwrite").parquet(path)
+        return
+    df.write.mode("append").parquet(path)
+
+
 def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a foreachBatch state table, returning None when it does not
     exist YET — a missing path, or a directory created but with no
@@ -639,7 +655,7 @@ def run_stream_anomaly(
             [key, "window_start_us"],
             "left_semi",
         )
-        alerts.write.mode("append").parquet(alerts_path)
+        _append_alerts(alerts, alerts_path)
         delta.write.mode("append").parquet(state_path)
 
     writer = (
@@ -928,10 +944,12 @@ def run_stream_burn_rate(
        be touched again (short windows finalize in watermark order),
        so state stays bounded by ~2 long windows x |keys| x
        (long/short) rows however old the stream is. The replace
-       dedups on (key, window) — a replayed batch reconverges to the
-       same state instead of double-counting (the alert append is the
-       one remaining at-least-once surface; the real target makes it
-       an Iceberg MERGE on (key, window) for exactly-once)."""
+       dedups on (key, window) — and the alert INPUT dedups the same
+       way, so a replayed batch reconverges to the same state and the
+       same decisions. The alert append is the one remaining
+       at-least-once surface (duplicate alert ROWS, never wrong
+       ones); the real target makes it an Iceberg MERGE on
+       (key, window) for exactly-once."""
     from ..operators.aggregate import (
         _validate_aligned_widths,
         _win,
@@ -987,7 +1005,17 @@ def run_stream_burn_rate(
             )
             .drop("_sl")
         )
-        hist = pruned.unionByName(with_ws(delta)).drop("window_start_us")
+        # dedup on (key, window) BEFORE totalling: on a replayed batch
+        # the pruned state already contains this delta's windows (the
+        # state replace committed, the checkpoint didn't), and a
+        # doubled short would shift the long-window ratio enough to
+        # flip an alert near the threshold — the replay must
+        # reconverge on the ALERT input too, not just the state
+        hist = (
+            pruned.unionByName(with_ws(delta))
+            .dropDuplicates([key_col, "window_start_us"])
+            .drop("window_start_us")
+        )
         alerts = burn_rate_from_short(
             hist, budget_ppm, long_width, short_factor, long_factor, key_col
         ).join(
@@ -995,7 +1023,7 @@ def run_stream_burn_rate(
             [key_col, "window_start_us"],
             "left_semi",
         )
-        alerts.write.mode("append").parquet(alerts_path)
+        _append_alerts(alerts, alerts_path)
         # retained state: only long windows >= one long_width behind
         # the newest delta window can still be touched (watermark
         # order); dedup on (key, window) makes a batch replay

@@ -997,3 +997,42 @@ def test_stream_burn_rate_state_retention_bounded(spark, tmp_path):
     # the Jan-1 windows fell out of the retention horizon (Jan-3) when
     # the Jan-5 delta replaced the state
     assert kept == {jan5}
+
+
+def test_stream_burn_rate_empty_alerts_readable(spark, tmp_path):
+    """A healthy stream (nothing burns) must leave a READABLE empty
+    alerts table — the empty-append trap writes only _SUCCESS."""
+    import pandas as pd
+
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "bre_src")
+    os.makedirs(src, exist_ok=True)
+    rows = [{"event_id": i, "ts": pd.Timestamp(f"2026-01-01 00:{i:02d}:00"),
+             "user_id": 1, "event_type": "ok", "value": 1.0, "props": ""}
+            for i in range(5)]
+    pd.DataFrame(rows).to_parquet(f"{src}/a.parquet", index=False,
+                                  coerce_timestamps="us",
+                                  allow_truncated_timestamps=True)
+    pd.DataFrame(
+        [{"event_id": 99, "ts": pd.Timestamp("2026-01-03 00:00:00"),
+          "user_id": 1, "event_type": "ok", "value": 1.0, "props": ""}]
+    ).to_parquet(f"{src}/z.parquet", index=False, coerce_timestamps="us",
+                 allow_truncated_timestamps=True)
+    os.utime(f"{src}/z.parquet", (time.time() + 50,) * 2)
+
+    stream = sp.read_events_stream(spark, src).withColumn(
+        "svc", F.lit("api")
+    ).withColumn("is_error", F.col("event_type") == "error")
+    alerts = str(tmp_path / "bre_alerts")
+    q = sp.run_stream_burn_rate(
+        stream, state_root=str(tmp_path / "bre_state"), alerts_path=alerts,
+        checkpoint=str(tmp_path / "bre_ckpt"), error_col="is_error",
+        budget_ppm=100_000, short_factor=3, long_factor=2, key_col="svc",
+        watermark_delay="30 minutes", available_now=True,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(alerts)  # must not raise
+    assert got.count() == 0
+    assert set(got.columns) == {
+        "window_start_us", "svc", "errors", "total", "l_errors", "l_total"}
