@@ -510,6 +510,27 @@ def q_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_log_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) deterministic rate cap (first 5 by
+    (ts, id)) via the skew-safe two-level cut. See
+    operators.templates.rate_limit."""
+    from otel2pv_spark.operators import templates as tmpl_op
+
+    ev = datagen.load_events(spark, sf_dir)
+    kept, _ = tmpl_op.rate_limit(ev, max_per_window=5)
+    return kept.select("event_id", "event_type", "window_start_us", "sample_rank")
+
+
+def q_log_rate_limit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact dropped census of the same cap: n_kept + n_dropped ==
+    n_total per grain, no silent drops."""
+    from otel2pv_spark.operators import templates as tmpl_op
+
+    ev = datagen.load_events(spark, sf_dir)
+    _, census = tmpl_op.rate_limit(ev, max_per_window=5)
+    return census
+
+
 def q_events_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping 2-hour/1-hour rollup — every event lands in exactly two
     overlapping windows; replication happens before the partial agg."""
@@ -1384,6 +1405,28 @@ FROM short s
 JOIN long l ON date_trunc('day', s.ws) = l.ls AND s.service = l.service
 WHERE s.errors * 1000000 >= 3 * 100000 * s.total
   AND l.l_errors * 1000000 >= 2 * 100000 * l.l_total"""
+
+ORACLES["log_rate_limit"] = """
+SELECT event_id, event_type, window_start_us,
+       CAST(rnk AS INT) AS sample_rank
+FROM (
+  SELECT event_id, event_type,
+         epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rnk
+  FROM events
+)
+WHERE rnk <= 5"""
+
+ORACLES["log_rate_limit_census"] = """
+SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       count(*) AS n_total,
+       CAST(least(count(*), 5) AS BIGINT) AS n_kept,
+       CAST(count(*) - least(count(*), 5) AS BIGINT) AS n_dropped
+FROM events
+GROUP BY 1, 2"""
 
 ORACLES["log_multiline"] = with_transcripts(
     """SELECT conv_id, event_seq,
@@ -2383,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "log_templates": q_log_templates,
         "log_multiline": q_log_multiline,
+        "log_rate_limit": q_log_rate_limit,
+        "log_rate_limit_census": q_log_rate_limit_census,
         "burn_rate_alerts": q_burn_rate_alerts,
         "events_rollup_sliding": q_events_rollup_sliding,
         "events_rollup_incremental": q_events_rollup_incremental,

@@ -91,6 +91,7 @@ HEADLINE = [
     "rollup_anomalies",
     "burn_rate_alerts",
     "log_multiline",
+    "log_rate_limit",
     "funnel_reach",
     "error_bursts",
     "events_hll_intersect",

@@ -167,3 +167,56 @@ def reassemble_multiline(
         )
         .withColumn("head_missing", F.col("event_seq") == 0)
     )
+
+
+def rate_limit(
+    df,
+    max_per_window: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    width: str = "1 hour",
+):
+    """Deterministic per-key rate limiting with an EXACT dropped
+    census — the log-shipper throttle (fluentd/vector's per-tag rate
+    cap) done audit-correctly: keep the FIRST ``max_per_window`` rows
+    of each (key, window) in (ts, id) order, and emit per-grain drop
+    counts so downstream aggregates can correct for the sampling
+    instead of silently under-counting (the same no-silent-drops
+    doctrine as prep.curate's audit table).
+
+    Returns (kept, census): ``kept`` = the admitted rows (plus their
+    ``sample_rank``), ``census`` = one row per (key, window) with
+    n_total / n_kept / n_dropped — n_kept + n_dropped == n_total
+    exactly, and a grain that dropped nothing still appears (audit
+    completeness).
+
+    Scale shape: admission runs through the shared two-level top-k —
+    partial per-partition cut first, so a hot key's viral window never
+    lands in one task before shrinking to <= k x P rows; the census is
+    one map-side-combined groupBy on the same (key, window) grain.
+    Determinism: (ts, id) is a total order, so reruns admit the same
+    rows — the cap is reproducible, not arrival-order-dependent."""
+    from pyspark.sql import functions as F
+
+    from ..functions.topk import two_level_topk
+    from .aggregate import _win
+
+    src = df.withColumn(
+        "_w_start",
+        F.unix_micros(_win(ts_col, width, None).start),
+    )
+    kept = two_level_topk(
+        src,
+        group_cols=[key_col, "_w_start"],
+        order_cols=[F.col(ts_col).asc(), F.col(id_col).asc()],
+        k=max_per_window,
+        rank_col="sample_rank",
+    ).withColumnRenamed("_w_start", "window_start_us")
+    census = (
+        src.groupBy(F.col(key_col), F.col("_w_start").alias("window_start_us"))
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("n_kept", F.least(F.col("n_total"), F.lit(max_per_window)))
+        .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
+    )
+    return kept, census

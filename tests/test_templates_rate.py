@@ -128,3 +128,33 @@ def test_reassemble_multiline_golden(spark):
     assert got[("c1", 2)].n_lines == 1
     orphan = got[("c2", 0)]
     assert orphan.head_missing and orphan.n_lines == 1
+
+
+def test_rate_limit_cap_census_golden(spark):
+    """First-N admission in (ts, id) order; census reconciles exactly;
+    uncapped grains still appear with zero drops."""
+    from datetime import datetime
+
+    from otel2pv_spark.operators.templates import rate_limit
+
+    rows = [(i, datetime(2025, 1, 1, 0, 0, i), "hot", 1.0) for i in range(7)]
+    rows += [(100, datetime(2025, 1, 1, 0, 30, 0), "cold", 1.0)]
+    rows += [(200, datetime(2025, 1, 1, 1, 0, 0), "hot", 1.0)]  # next hour
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    kept, census = rate_limit(df, max_per_window=3)
+    admitted = {}
+    for r in kept.collect():
+        admitted.setdefault((r.event_type, r.window_start_us), []).append(
+            (r.sample_rank, r.event_id))
+    h0 = 1735689600000000
+    hot0 = sorted(admitted[("hot", h0)])
+    assert hot0 == [(1, 0), (2, 1), (3, 2)]  # first three by (ts, id)
+    assert admitted[("cold", h0)] == [(1, 100)]  # under cap: all admitted
+    cen = {(r.event_type, r.window_start_us): (r.n_total, r.n_kept, r.n_dropped)
+           for r in census.collect()}
+    assert cen[("hot", h0)] == (7, 3, 4)
+    assert cen[("cold", h0)] == (1, 1, 0)           # uncapped, still audited
+    assert cen[("hot", h0 + 3600 * 1_000_000)] == (1, 1, 0)
+    assert all(t == kk + d for (t, kk, d) in cen.values())
