@@ -1049,3 +1049,122 @@ def run_stream_burn_rate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_rate_limit(
+    event_stream: DataFrame,
+    state_root: str,
+    out_root: str,
+    checkpoint: str,
+    max_per_window: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    width: str = "1 hour",
+    available_now: bool = False,
+):
+    """Live per-key throttle: the streaming twin of
+    ``templates.rate_limit``. The semantic difference is the admission
+    ORDER, and it is inherent, not an implementation accident: a live
+    shipper must decide per arrival, so it admits the first
+    ``max_per_window`` rows per (key, window) in ARRIVAL order (within
+    a micro-batch, (ts, id) — the batch operator's order — breaks
+    ties), while the batch operator re-run over the full log admits
+    the first N in (ts, id) order. Counts per grain agree exactly
+    (both cap at N, both census-reconcile); the admitted SETS can
+    differ when late rows with earlier timestamps arrive after a grain
+    filled — the standard throttle trade-off, documented rather than
+    hidden.
+
+    State = ONE row per (key, window) holding n_admitted — bounded by
+    live grains, replaced atomically per batch (Catalog swap). Kept
+    rows append to ``{out_root}/kept``; the census log appends
+    per-batch (key, window, n_total, n_kept, n_dropped) deltas that
+    SUM to the batch operator's census (counts are mergeable).
+    At-least-once caveat: a replayed batch re-appends its kept rows
+    and census delta; the real target makes both Iceberg MERGEs."""
+    from ..operators.aggregate import _win
+    from ..sources.catalog import Catalog
+
+    stream = event_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.withColumn(
+            "window_start_us",
+            F.unix_micros(_win(ts_col, width, None).start),
+        ).localCheckpoint()
+        if batch.isEmpty():
+            return
+        cat = Catalog(spark, state_root)
+        state = (
+            cat.read("admitted")
+            if cat.exists("admitted")
+            else batch.select(
+                key_col, "window_start_us"
+            ).limit(0).withColumn("n_admitted", F.lit(0).cast("bigint"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col, "window_start_us").orderBy(
+            F.col(ts_col), F.col(id_col)
+        )
+        st = state.select(
+            F.col(key_col).alias("_sk"),
+            F.col("window_start_us").alias("_sw"),
+            "n_admitted",
+        )
+        ranked = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .join(
+                st,
+                (F.col(key_col) == F.col("_sk"))
+                & (F.col("window_start_us") == F.col("_sw")),
+                "left",
+            )
+            .withColumn("_base", F.coalesce(F.col("n_admitted"), F.lit(0)))
+            .drop("_sk", "_sw", "n_admitted")
+            .localCheckpoint()
+        )
+        kept = ranked.filter(F.col("_rn") + F.col("_base") <= max_per_window)
+        kept.withColumn(
+            "sample_rank", (F.col("_rn") + F.col("_base")).cast("int")
+        ).drop("_rn", "_base").write.mode("append").parquet(f"{out_root}/kept")
+        census_delta = (
+            ranked.groupBy(key_col, "window_start_us", "_base")
+            .agg(F.count("*").alias("n_total"))
+            .select(
+                key_col,
+                "window_start_us",
+                "n_total",
+                F.least(
+                    F.col("n_total"),
+                    F.greatest(
+                        F.lit(max_per_window) - F.col("_base"), F.lit(0)
+                    ),
+                ).alias("n_kept"),
+            )
+            .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
+        )
+        census_delta.write.mode("append").parquet(f"{out_root}/census")
+        new_state = (
+            state.unionByName(
+                census_delta.select(
+                    key_col,
+                    "window_start_us",
+                    F.col("n_kept").alias("n_admitted"),
+                )
+            )
+            .groupBy(key_col, "window_start_us")
+            .agg(F.sum("n_admitted").alias("n_admitted"))
+        )
+        cat.write(new_state, "admitted")
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

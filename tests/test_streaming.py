@@ -1036,3 +1036,56 @@ def test_stream_burn_rate_empty_alerts_readable(spark, tmp_path):
     assert got.count() == 0
     assert set(got.columns) == {
         "window_start_us", "svc", "errors", "total", "l_errors", "l_total"}
+
+
+def test_stream_rate_limit_census_sums_to_batch(spark, tmp_path):
+    """The live throttle's census deltas SUM to the batch operator's
+    census per grain, quota carries across micro-batches (a grain
+    filled in batch 1 admits nothing in batch 2), and kept counts cap
+    at N."""
+    import pandas as pd
+
+    from otel2pv_spark.operators.templates import rate_limit
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "rl_src")
+    os.makedirs(src, exist_ok=True)
+    # batch 1: 4 'hot' rows in hour 0; batch 2: 3 more in the SAME hour
+    for b, ids in enumerate([[0, 1, 2, 3], [10, 11, 12]]):
+        rows = [{"event_id": i,
+                 "ts": pd.Timestamp(f"2026-01-01 00:{i:02d}:00"),
+                 "user_id": 1, "event_type": "hot", "value": 1.0, "props": ""}
+                for i in ids]
+        pd.DataFrame(rows).to_parquet(f"{src}/b{b}.parquet", index=False,
+                                      coerce_timestamps="us",
+                                      allow_truncated_timestamps=True)
+        os.utime(f"{src}/b{b}.parquet", (time.time() + b,) * 2)
+
+    out = str(tmp_path / "rl_out")
+    q = sp.run_stream_rate_limit(
+        sp.read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root=str(tmp_path / "rl_state"), out_root=out,
+        checkpoint=str(tmp_path / "rl_ckpt"),
+        max_per_window=5, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    kept = spark.read.parquet(f"{out}/kept")
+    assert kept.count() == 5  # 4 from batch 1 + only 1 from batch 2
+    ranks = sorted(r.sample_rank for r in kept.collect())
+    assert ranks == [1, 2, 3, 4, 5]
+
+    census = (
+        spark.read.parquet(f"{out}/census")
+        .groupBy("event_type", "window_start_us")
+        .agg(F.sum("n_total").alias("n_total"),
+             F.sum("n_kept").alias("n_kept"),
+             F.sum("n_dropped").alias("n_dropped"))
+    )
+    ev = spark.read.parquet(src)
+    _, batch_census = rate_limit(ev, max_per_window=5)
+    live = {(r.event_type, r.window_start_us): (r.n_total, r.n_kept, r.n_dropped)
+            for r in census.collect()}
+    ref = {(r.event_type, r.window_start_us): (r.n_total, r.n_kept, r.n_dropped)
+           for r in batch_census.collect()}
+    assert live == ref
