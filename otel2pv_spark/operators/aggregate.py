@@ -553,6 +553,22 @@ _WIDTH_UNITS_US = {
 }
 
 
+def _width_us(width: str) -> int:
+    """Parse '<n> <unit>' to microseconds; non-positive and
+    unparseable widths raise (fail-loudly doctrine)."""
+    try:
+        n, unit = width.strip().split()
+        out = int(n) * _WIDTH_UNITS_US[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unparseable window width {width!r}; expected '<n> <unit>'"
+            f" with unit in {sorted(set(_WIDTH_UNITS_US))}"
+        ) from None
+    if out <= 0:
+        raise ValueError(f"window width must be positive, got {width!r}")
+    return out
+
+
 def _validate_aligned_widths(short_width: str, long_width: str) -> int:
     """Fail loudly when the long grain is not a whole multiple of the
     short grain: burn_rate_from_short assigns a short window's counts
@@ -560,21 +576,7 @@ def _validate_aligned_widths(short_width: str, long_width: str) -> int:
     window (e.g. 1 hour into 90 minutes) would silently misattribute
     errors and fire/suppress on wrong ratios. Returns long_width in
     microseconds (the retention arithmetic reuses it)."""
-
-    def us(width: str) -> int:
-        try:
-            n, unit = width.strip().split()
-            out = int(n) * _WIDTH_UNITS_US[unit.lower()]
-        except (ValueError, KeyError):
-            raise ValueError(
-                f"unparseable window width {width!r}; expected '<n> <unit>'"
-                f" with unit in {sorted(set(_WIDTH_UNITS_US))}"
-            ) from None
-        if out <= 0:
-            raise ValueError(f"window width must be positive, got {width!r}")
-        return out
-
-    s_us, l_us = us(short_width), us(long_width)
+    s_us, l_us = _width_us(short_width), _width_us(long_width)
     if l_us <= s_us or l_us % s_us != 0:
         raise ValueError(
             f"long_width {long_width!r} must be a whole multiple of"

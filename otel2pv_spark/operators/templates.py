@@ -200,7 +200,14 @@ def rate_limit(
     from pyspark.sql import functions as F
 
     from ..functions.topk import two_level_topk
-    from .aggregate import _win
+    from .aggregate import _width_us, _win
+
+    if max_per_window < 1:
+        raise ValueError(
+            f"max_per_window must be >= 1, got {max_per_window} — a"
+            " non-positive cap would emit a self-contradictory census"
+        )
+    _width_us(width)  # fail loudly on unparseable/non-positive widths
 
     src = df.withColumn(
         "_w_start",

@@ -210,9 +210,13 @@ def _append_alerts(df: DataFrame, path: str) -> None:
     so a healthy stream would leave a directory schema inference
     cannot read. Seed the schema with an unpartitioned limit(0)
     overwrite instead (the same empty-write trap Catalog.write
-    guards, sources/catalog.py) and skip the no-op append."""
+    guards, sources/catalog.py) and skip the no-op append. The input
+    is localCheckpointed first: the emptiness probe would otherwise
+    execute the full (uncached) alert pipeline once, and the append a
+    second time — doubling the hot per-batch path."""
     import os as _os
 
+    df = df.localCheckpoint()
     if df.isEmpty():
         if not _os.path.isdir(path):
             df.limit(0).write.mode("overwrite").parquet(path)
@@ -1076,15 +1080,35 @@ def run_stream_rate_limit(
     filled — the standard throttle trade-off, documented rather than
     hidden.
 
-    State = ONE row per (key, window) holding n_admitted — bounded by
-    live grains, replaced atomically per batch (Catalog swap). Kept
-    rows append to ``{out_root}/kept``; the census log appends
+    State = an IDEMPOTENT admission log: one row per (key, window,
+    batch_id) holding that batch's admitted count, replaced atomically
+    per batch (Catalog swap). A grain's carried-in quota (_base) sums
+    the log EXCLUDING the current batch_id, so a replayed micro-batch
+    recomputes the same _base, re-derives the same decisions, and
+    REPLACES its own log rows instead of double-counting (the same
+    reconverge-on-replay contract as run_stream_burn_rate; the kept /
+    census appends remain the at-least-once surface — duplicate ROWS
+    on replay, never different ones — an Iceberg MERGE at the real
+    target). The log is pruned to windows within 2 x width of the
+    newest window the stream has admitted into (older windows are
+    watermark-passed and can never fill further; a straggler past the
+    horizon gets a fresh quota — the documented staleness trade-off),
+    so state stays bounded by live grains x touching batches. NULL
+    keys/windows match their state rows null-safely — a NULL grain is
+    one grain, capped like any other, exactly as the batch operator's
+    groupBy treats it.
+
+    Kept rows append to ``{out_root}/kept``; the census log appends
     per-batch (key, window, n_total, n_kept, n_dropped) deltas that
-    SUM to the batch operator's census (counts are mergeable).
-    At-least-once caveat: a replayed batch re-appends its kept rows
-    and census delta; the real target makes both Iceberg MERGEs."""
-    from ..operators.aggregate import _win
+    SUM to the batch operator's census (counts are mergeable)."""
+    from ..operators.aggregate import _width_us, _win
     from ..sources.catalog import Catalog
+
+    if max_per_window < 1:
+        raise ValueError(
+            f"max_per_window must be >= 1, got {max_per_window}"
+        )
+    width_us = _width_us(width)
 
     stream = event_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
@@ -1100,30 +1124,35 @@ def run_stream_rate_limit(
         state = (
             cat.read("admitted")
             if cat.exists("admitted")
-            else batch.select(
-                key_col, "window_start_us"
-            ).limit(0).withColumn("n_admitted", F.lit(0).cast("bigint"))
+            else batch.select(key_col, "window_start_us").limit(0)
+            .withColumn("batch_id", F.lit(0).cast("bigint"))
+            .withColumn("n_kept", F.lit(0).cast("bigint"))
+        )
+        # carried-in quota per grain: the log EXCLUDING this batch_id —
+        # a replay recomputes the same _base it saw the first time
+        base = (
+            state.filter(F.col("batch_id") != batch_id)
+            .groupBy(
+                F.col(key_col).alias("_sk"),
+                F.col("window_start_us").alias("_sw"),
+            )
+            .agg(F.sum("n_kept").alias("_base0"))
         )
         from pyspark.sql import Window
 
         w = Window.partitionBy(key_col, "window_start_us").orderBy(
             F.col(ts_col), F.col(id_col)
         )
-        st = state.select(
-            F.col(key_col).alias("_sk"),
-            F.col("window_start_us").alias("_sw"),
-            "n_admitted",
-        )
         ranked = (
             batch.withColumn("_rn", F.row_number().over(w))
             .join(
-                st,
-                (F.col(key_col) == F.col("_sk"))
-                & (F.col("window_start_us") == F.col("_sw")),
+                base,
+                F.col(key_col).eqNullSafe(F.col("_sk"))
+                & F.col("window_start_us").eqNullSafe(F.col("_sw")),
                 "left",
             )
-            .withColumn("_base", F.coalesce(F.col("n_admitted"), F.lit(0)))
-            .drop("_sk", "_sw", "n_admitted")
+            .withColumn("_base", F.coalesce(F.col("_base0"), F.lit(0)))
+            .drop("_sk", "_sw", "_base0")
             .localCheckpoint()
         )
         kept = ranked.filter(F.col("_rn") + F.col("_base") <= max_per_window)
@@ -1145,18 +1174,33 @@ def run_stream_rate_limit(
                 ).alias("n_kept"),
             )
             .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
+            .localCheckpoint()
         )
         census_delta.write.mode("append").parquet(f"{out_root}/census")
+        # replace this batch's own log rows (replay reconverges) and
+        # prune grains past the 2 x width horizon behind the newest
+        # window this batch touched (prune-less-never-more: a batch of
+        # only-old windows computes a lower horizon and prunes nothing)
+        horizon = (
+            census_delta.agg(F.max("window_start_us").alias("_m"))
+            .select((F.col("_m") - 2 * width_us).alias("_h"))
+        )
         new_state = (
-            state.unionByName(
+            state.filter(F.col("batch_id") != batch_id)
+            .unionByName(
                 census_delta.select(
                     key_col,
                     "window_start_us",
-                    F.col("n_kept").alias("n_admitted"),
+                    F.lit(batch_id).cast("bigint").alias("batch_id"),
+                    F.col("n_kept"),
                 )
             )
-            .groupBy(key_col, "window_start_us")
-            .agg(F.sum("n_admitted").alias("n_admitted"))
+            .join(F.broadcast(horizon))
+            .filter(
+                F.col("window_start_us").isNull()
+                | (F.col("window_start_us") >= F.col("_h"))
+            )
+            .drop("_h")
         )
         cat.write(new_state, "admitted")
 
