@@ -717,11 +717,15 @@ def important_parts(
     whose value exceeds fraction_ppm/1e6 of the nation's total. The
     fact is scanned ONCE: the global total is an aggregate OF the
     per-part aggregate (config-sized input), broadcast back as one
-    row, and the HAVING lands as an exact integer cross-multiplication
-    value x 1e6 > total x ppm — no float fraction, no second fact
-    scan. Peak product ~1e17 x 1e6 needs care: both sides are DIV'd by
-    1e6 first (value_milli), keeping the compare inside BIGINT at any
-    SF."""
+    row, and the HAVING is the integer cross-multiplication
+    unit_value x 1e6 > unit_total x ppm — no float fraction, no second
+    fact scan. DEFINED SEMANTICS: both sides are first truncated to
+    whole currency units (``value_micro DIV 1e6``) for BIGINT overflow
+    headroom (peak product ~1e17 x 1e6 would overflow in micros), so
+    decisions within 1e6 micros of the threshold follow the
+    truncated-unit compare, not an exact micro compare — the DuckDB
+    oracle mirrors the same truncation. Use a DECIMAL compare instead
+    if sub-unit exactness at the threshold is ever required."""
     supp = tables["supplier"].join(
         F.broadcast(tables["nation"].filter(F.col("n_name") == nation)),
         F.col("s_nationkey") == F.col("n_nationkey"),

@@ -62,19 +62,27 @@ def build_chunks(docs: DataFrame, cfg: RetrievalConfig) -> DataFrame:
         docs, chunk_tokens=cfg.chunk_tokens, overlap=cfg.overlap
     )
     # fail loudly on id-packing overflow rather than colliding: a doc
-    # would need > CHUNKS_PER_DOC * stride tokens (~48k at defaults)
+    # would need > CHUNKS_PER_DOC * stride tokens (~48k at defaults),
+    # and doc_id itself must fit the packed range — Spark's default
+    # non-ANSI bigint arithmetic wraps silently, so BOTH operands are
+    # guarded (a negative or > 2^63/CHUNKS_PER_DOC doc_id would
+    # otherwise collide exactly as the comment above promises it can't)
+    max_doc_id = (2**63 - 1) // CHUNKS_PER_DOC
     guarded = chunks.withColumn(
         "chunk_uid",
         F.when(
-            F.col("chunk_idx") < CHUNKS_PER_DOC,
+            (F.col("chunk_idx") < CHUNKS_PER_DOC)
+            & (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < max_doc_id),
             F.col("doc_id") * CHUNKS_PER_DOC + F.col("chunk_idx"),
         ).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("chunk_idx overflow (>= "),
-                    F.lit(str(CHUNKS_PER_DOC)),
-                    F.lit(") for doc_id "),
+                    F.lit("chunk_uid packing overflow: chunk_idx "),
+                    F.col("chunk_idx").cast("string"),
+                    F.lit(f" (cap {CHUNKS_PER_DOC}) doc_id "),
                     F.col("doc_id").cast("string"),
+                    F.lit(f" (range [0, {max_doc_id}))"),
                 )
             )
         ),

@@ -1040,7 +1040,13 @@ def run_stream_burn_rate(
             state.unionByName(delta)
             .dropDuplicates([key_col, "window_start_us"])
             .join(F.broadcast(horizon))
-            .filter(F.col("window_start_us") >= F.col("_h"))
+            # null-horizon guard: an all-null-timestamp delta must
+            # prune nothing, not NULL-out the compare and drop all
+            # retained windows
+            .filter(
+                F.col("_h").isNull()
+                | (F.col("window_start_us") >= F.col("_h"))
+            )
             .drop("_h")
         )
         cat.write(new_state, "short_rollup")
@@ -1094,9 +1100,13 @@ def run_stream_rate_limit(
     watermark-passed and can never fill further; a straggler past the
     horizon gets a fresh quota — the documented staleness trade-off),
     so state stays bounded by live grains x touching batches. NULL
-    keys/windows match their state rows null-safely — a NULL grain is
-    one grain, capped like any other, exactly as the batch operator's
-    groupBy treats it.
+    KEYS match their state rows null-safely — a NULL key is one grain,
+    capped like any other, exactly as the batch operator's groupBy
+    treats it. NULL event times are window-filtered by Spark's time
+    window in BOTH twins (defined semantics); an all-null-timestamp
+    batch therefore yields an empty census and a NULL horizon, which
+    the prune guards against (prunes nothing) instead of NULLing the
+    compare and wiping the admission log.
 
     Kept rows append to ``{out_root}/kept``; the census log appends
     per-batch (key, window, n_total, n_kept, n_dropped) deltas that
@@ -1196,8 +1206,13 @@ def run_stream_rate_limit(
                 )
             )
             .join(F.broadcast(horizon))
+            # a batch whose every row has a NULL event time yields a
+            # NULL horizon; without the _h null-guard the >= compare
+            # is NULL for every real-window row and the whole
+            # admission log would be silently dropped (quotas reset)
             .filter(
-                F.col("window_start_us").isNull()
+                F.col("_h").isNull()
+                | F.col("window_start_us").isNull()
                 | (F.col("window_start_us") >= F.col("_h"))
             )
             .drop("_h")

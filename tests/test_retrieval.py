@@ -73,7 +73,20 @@ def test_chunk_uid_overflow_raises(spark):
         "doc_id long, text string",
     )
     cfg = rtr.RetrievalConfig(chunk_tokens=2, overlap=1)  # stride 1
-    with pytest.raises(Exception, match="chunk_idx overflow"):
+    with pytest.raises(Exception, match="chunk_uid packing overflow"):
         # NB .count() would column-prune chunk_uid and never evaluate
         # the guard — force the column itself
         rtr.build_chunks(long_doc, cfg).select("chunk_uid").collect()
+
+
+def test_chunk_uid_doc_id_range_guard(spark):
+    """A doc_id outside [0, 2^63/CHUNKS_PER_DOC) would wrap the packed
+    bigint under non-ANSI arithmetic and silently collide — both a
+    negative id and an over-range id must raise instead."""
+    for bad_id in (-1, (2**63 - 1) // rtr.CHUNKS_PER_DOC + 1):
+        bad = spark.createDataFrame(
+            [(bad_id, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        cfg = rtr.RetrievalConfig(chunk_tokens=2, overlap=0)
+        with pytest.raises(Exception, match="chunk_uid packing overflow"):
+            rtr.build_chunks(bad, cfg).select("chunk_uid").collect()

@@ -1089,3 +1089,56 @@ def test_stream_rate_limit_census_sums_to_batch(spark, tmp_path):
     ref = {(r.event_type, r.window_start_us): (r.n_total, r.n_kept, r.n_dropped)
            for r in batch_census.collect()}
     assert live == ref
+
+
+def test_stream_rate_limit_all_null_ts_batch_keeps_state(spark, tmp_path):
+    """Regression: a micro-batch whose every row has a NULL event time
+    contributes nothing to the census (Spark time windows null-filter
+    their timestamp, in the batch twin too), so the prune horizon is
+    NULL; the admission log must survive it (prune nothing), so a
+    grain filled before the null batch still admits nothing after
+    it. Before the _h null-guard the NULL compare dropped the whole
+    log and batch 3 was re-admitted."""
+    import pandas as pd
+
+    from otel2pv_spark.streaming import stream_pipeline as sp
+
+    src = str(tmp_path / "rln_src")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        # batch 1 fills the 'hot'/hour-0 grain (cap 3)
+        [{"event_id": i, "ts": pd.Timestamp(f"2026-01-01 00:{i:02d}:00"),
+          "user_id": 1, "event_type": "hot", "value": 1.0, "props": ""}
+         for i in range(3)],
+        # batch 2: every ts NULL — horizon is NULL; must prune nothing
+        [{"event_id": 100 + i, "ts": pd.NaT,
+          "user_id": 1, "event_type": "hot", "value": 1.0, "props": ""}
+         for i in range(2)],
+        # batch 3: same hour-0 grain — quota must still be exhausted
+        [{"event_id": 200 + i,
+          "ts": pd.Timestamp(f"2026-01-01 00:3{i}:00"),
+          "user_id": 1, "event_type": "hot", "value": 1.0, "props": ""}
+         for i in range(2)],
+    ]
+    for b, rows in enumerate(batches):
+        pd.DataFrame(rows).to_parquet(
+            f"{src}/b{b}.parquet", index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        os.utime(f"{src}/b{b}.parquet", (time.time() + b,) * 2)
+
+    out = str(tmp_path / "rln_out")
+    q = sp.run_stream_rate_limit(
+        sp.read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root=str(tmp_path / "rln_state"), out_root=out,
+        checkpoint=str(tmp_path / "rln_ckpt"),
+        max_per_window=3, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    kept = spark.read.parquet(f"{out}/kept")
+    # 3 from batch 1; null-ts rows are window-filtered in BOTH twins
+    # (defined semantics); batch 3's hour-0 rows must ALL be dropped —
+    # before the null-horizon guard the log was wiped and they slipped in
+    assert kept.count() == 3
+    assert sorted(r.event_id for r in kept.collect()) == [0, 1, 2]
+    assert kept.filter(F.col("ts").isNull()).count() == 0
