@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..snapshot import snapshot
+
+
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
@@ -150,7 +153,7 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
     Band key = md5 of the band's minhash values (in hash-index order).
 
-    ``materialize`` snapshots the band table (``localCheckpoint``)
+    ``materialize`` snapshots the band table (``snapshot()``)
     before the self-join. Without it the shingle→minhash→band subtree
     — the dominant cost — executes TWICE: AQE's stage planner does not
     reuse identical exchanges across self-join sides (measured: plan
@@ -163,7 +166,7 @@ def minhash_lsh_candidates(
     keep the plan fully lazy (e.g. under a caller-managed cache)."""
     banded = minhash_band_table(df, id_col, text_col, n, num_hashes, bands)
     if materialize:
-        banded = banded.localCheckpoint(eager=True)
+        banded = banded.transform(snapshot)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -296,7 +299,7 @@ def minhash_lsh_candidates_incremental(
         # exchanges — see minhash_lsh_candidates.
         new_bands = minhash_band_table(
             new_df, id_col, text_col, n, num_hashes, bands
-        ).localCheckpoint(eager=True)
+        ).transform(snapshot)
     all_bands = old_bands.select(id_col, "band", "band_key").unionByName(new_bands)
     a = new_bands.select(
         F.col(id_col).alias("_na"), "band", "band_key"
@@ -376,7 +379,7 @@ def connected_components(
     all map-side-combinable; no step ever materializes a neighborhood
     larger than the node's adjacency. The per-round fixpoint check is
     an order-insensitive checksum (count + sum of edge hashes), one
-    tiny action; ``localCheckpoint`` cuts the iterative lineage so the
+    tiny action; ``snapshot()`` cuts the iterative lineage so the
     plan does not grow with rounds (same pattern a 1000-executor run
     needs, else Catalyst re-derives round k from round 0).
 
@@ -392,7 +395,7 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(snapshot)
     )
 
     def _sym(ced: DataFrame) -> DataFrame:
@@ -447,7 +450,7 @@ def connected_components(
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .unionByName(mn.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        e = _canon(small).localCheckpoint()
+        e = _canon(small).transform(snapshot)
 
         cur = _checksum(e)
         if cur == prev:
@@ -545,7 +548,7 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(F.col("_w"), n))).alias("shingle"),
     )
     if candidates is not None:
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.transform(snapshot)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:
         # shingles of doc_a fan in per candidate pair, then match doc_b's

@@ -27,7 +27,7 @@ map-side-combined groupBy(dst) + a left join back onto the node set
 for no-inbound nodes. The edge table — the corpus-scale side — is
 hash-partitioned on src ONCE and checkpointed; every iteration's join
 then reuses that layout and only the rank table (one row per node)
-moves. Rank lineage is cut per round (localCheckpoint) so the plan
+moves. Rank lineage is cut per round (snapshot(), reliable-switchable) so the plan
 doesn't grow with the iteration count; nothing ever reaches the
 driver.
 """
@@ -36,6 +36,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..snapshot import snapshot
+
 
 MICRO = 1_000_000
 
@@ -63,13 +66,13 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     # pay the src shuffle once; every iteration's join reuses it
-    e = e.repartition("src").localCheckpoint(eager=True)
+    e = e.repartition("src").transform(snapshot)
 
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(snapshot)
     )
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     # degree rides WITH the rank row so the per-iteration join needs no
@@ -99,7 +102,7 @@ def pagerank(
                 ).cast("bigint").alias("rank_micro"),
                 "_deg",
             )
-            .localCheckpoint(eager=True)
+            .transform(snapshot)
         )
 
     return state.select("node", "rank_micro")

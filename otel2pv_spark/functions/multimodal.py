@@ -22,6 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..snapshot import snapshot
+
+
 FEATURE_DIM = 4
 
 MEDIA_SCHEMA_SUFFIX = (
@@ -235,7 +238,7 @@ def phash_neardup(
         )
     hashes = df.select(
         id_col, *[f"band{i}" for i in range(PHASH_BANDS)]
-    ).localCheckpoint()  # snapshot: joined 3x below, never recompute
+    ).transform(snapshot)  # snapshot: joined 3x below, never recompute
     band_rows = hashes.select(
         F.col(id_col).alias("_id"),
         F.explode(

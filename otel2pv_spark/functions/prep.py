@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+
+from ..snapshot import snapshot
 from .dedup import shingles, tokens
 from .textstats import LANG_MARKERS, STOPWORDS, _count_in
 
@@ -765,7 +767,7 @@ def mix_corpus(
     # consume `rows`, and an unmaterialized plan would tokenize the
     # whole corpus twice; (id, source, n_tokens) is tiny next to the
     # text it summarizes (same argument as ngram_lm's grams_all)
-    rows = rows.localCheckpoint()
+    rows = rows.transform(snapshot)
     avail = rows.groupBy(source_col).agg(F.sum("n_tokens").alias("_avail"))
     w_expr = F.lit(0.0)
     for src in sorted(weights):

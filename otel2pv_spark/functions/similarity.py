@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+
+from ..snapshot import snapshot
 from .topk import two_level_topk
 
 
@@ -281,7 +283,7 @@ def ivf_train(
         # earlier rounds a growing number of times per round — the same
         # one-checkpoint-per-round rule as connected_components. Also
         # makes the result reusable by downstream consumers for free.
-        cent = cent.localCheckpoint()
+        cent = cent.transform(snapshot)
     return cent
 
 
@@ -461,7 +463,7 @@ def pq_train(
     # consumed by several downstream actions (encode, LUT build, dim
     # probes), each of which would otherwise re-run the whole Lloyd
     # chain over the corpus
-    return cb.localCheckpoint()
+    return cb.transform(snapshot)
 
 
 def pq_encode(
@@ -589,7 +591,7 @@ def embedding_neardup_pairs(
     # dedup.minhash_lsh_candidates) — without this the anchor dot
     # products run twice. The fat vectors are NOT checkpointed; the
     # corpus scan itself stays lazy on each side.
-    buckets = lsh_buckets(df, anchors, id_col, vec_col).localCheckpoint(eager=True)
+    buckets = lsh_buckets(df, anchors, id_col, vec_col).transform(snapshot)
     v = df.join(buckets, id_col)
     a = v.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
@@ -642,7 +644,7 @@ def semantic_dedup(
     # join exchanges (see dedup.minhash_lsh_candidates) — without this
     # the k-centroid assignment projection runs three times. Vectors
     # are not checkpointed.
-    assigned = ivf_assign(df, centroids, id_col, vec_col).localCheckpoint(eager=True)
+    assigned = ivf_assign(df, centroids, id_col, vec_col).transform(snapshot)
     # Precompute each vector's norm ONCE (n rows) instead of inside the
     # pair expression (2× per pair): cos stays dot/(na*nb) — the exact
     # same value the oracle computes, just with the norm factored out.
@@ -757,7 +759,7 @@ def sparse_dot_topk(
     # the posting-list table feeds BOTH sides of the self-join and AQE
     # does not reuse self-join exchanges (the LSH band-table lesson):
     # materialize it once instead of re-running the upstream reduction.
-    components = components.localCheckpoint()
+    components = components.transform(snapshot)
     qside = components
     if queries is not None:
         qside = components.join(

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+
+from ..snapshot import snapshot
 from .dedup import TOKEN_SPLIT, tokens
 from .topk import two_level_topk
 
@@ -348,8 +350,8 @@ def winnow_candidates(
     # (see dedup.minhash_lsh_candidates) — without this the rolling-
     # hash fingerprint subtree executes three times. Narrow rows, so
     # the snapshot is small; production stores it as the index table.
-    fps = winnow_fingerprint_set(df, id_col, text_col, k, w).localCheckpoint(
-        eager=True
+    fps = winnow_fingerprint_set(df, id_col, text_col, k, w).transform(
+        snapshot
     )
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
     rare = fps.join(dfreq.filter(F.col("_df") <= max_df).select("fp"), "fp")
@@ -508,7 +510,7 @@ def ngram_lm(
     # explodes the whole corpus twice. The checkpointed table is the
     # distinct n-gram count table: orders of magnitude smaller than the
     # corpus (the same size argument as the winnowing stages above).
-    grams_all = grams_all.localCheckpoint()
+    grams_all = grams_all.transform(snapshot)
     contexts = (
         grams_all.groupBy(
             F.substring_index("ngram", " ", n - 1).alias("context")
@@ -689,14 +691,14 @@ def bpe_train(df: DataFrame, n_merges: int = 3,
     map-side-combined groupBy for pair counts, a 1-row argmax collect
     (the merge table is config, not data — same broadcast argument as
     make_anchors), and a pure-projection literal replace. The vocab is
-    localCheckpoint()ed per round so round r+1 doesn't re-execute
+    snapshot()-ed per round so round r+1 doesn't re-execute
     rounds 1..r (the Lloyd-iteration lesson)."""
     vocab = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
         .select(_bpe_wrap(F.col("word")).alias("seq"), "wc")
-        .localCheckpoint()
+        .transform(snapshot)
     )
     spark = df.sparkSession
     merges: list[tuple] = []
@@ -725,7 +727,7 @@ def bpe_train(df: DataFrame, n_merges: int = 3,
         merges.append((rank, left, right, left + right, int(best[0]["c"])))
         vocab = vocab.withColumn(
             "seq", _bpe_replace(F.col("seq"), left, right)
-        ).localCheckpoint()
+        ).transform(snapshot)
     return spark.createDataFrame(
         merges,
         "rank int, left_sym string, right_sym string, "
@@ -1342,7 +1344,7 @@ def lm_backoff_score(
     )
     # total token count: derived from the unigram table, not a second
     # corpus scan (the table is vocabulary-sized)
-    uni = uni.localCheckpoint()
+    uni = uni.transform(snapshot)
     total = uni.agg(F.sum("c1").alias("n_total"))
     # materialized once: the bigram table joins TWICE below (context
     # and suffix) with different pushed filters, which breaks
@@ -1353,7 +1355,7 @@ def lm_backoff_score(
         .groupBy("g")
         .agg(F.count("*").alias("c2"))
         .filter(F.col("c2") >= min_count)
-    ).localCheckpoint()
+    ).transform(snapshot)
     tri = (
         rtoks.select(F.explode(shingles(F.col("_w"), n)).alias("g"))
         .groupBy("g")
@@ -1571,7 +1573,7 @@ def ranking_auc(
         # distinct-score table feeds BOTH the block offsets and the
         # within-block cumulative: snapshot it (it is corpus-reduction
         # output, small) so the corpus is scanned and shuffled ONCE.
-        .localCheckpoint()
+        .transform(snapshot)
     )
     # floor-div block id (pmod keeps it exact for negative scores)
     blk_of = ((F.col("_s") - F.pmod(F.col("_s"), F.lit(block))) / block).cast(
@@ -1725,7 +1727,7 @@ def train_linear_classifier(
         )
         .groupBy(id_col, "_y_u", "_b")
         .agg(F.count("*").alias("_x"))
-    ).localCheckpoint()  # reused every iteration: never recompute the corpus scan
+    ).transform(snapshot)  # reused every iteration: never recompute the corpus scan
     n_docs = df.count()
     spark = df.sparkSession
 

@@ -42,6 +42,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+
+from ..snapshot import snapshot
 from .. import datagen
 from ..operators import aggregate as agg_op
 from ..operators import enrich as enrich_op
@@ -552,7 +554,7 @@ def replay_rejects(
     # from, and a lazy plan would re-read the deleted files afterwards
     # (Iceberg analog: pin the snapshot the keys came from).
     rejected_convs = (
-        cat.read("rejects").select("conv_id").distinct().localCheckpoint()
+        cat.read("rejects").select("conv_id").distinct().transform(snapshot)
     )
     n_convs = rejected_convs.count()
     if n_convs == 0:
@@ -608,7 +610,7 @@ def refresh_dims(
         diff_op.snapshot_diff(old_tool_meta, new_tool_meta, ["tool"])
         .select("tool")
         .distinct()
-        .localCheckpoint()
+        .transform(snapshot)
     )
     n_keys = changed.count()
     if n_keys == 0:
@@ -617,7 +619,7 @@ def refresh_dims(
         transcripts.join(F.broadcast(changed), "tool", "left_semi")
         .select("conv_id")
         .distinct()
-        .localCheckpoint()
+        .transform(snapshot)
     )
     # a changed key no transcript references must not trigger two
     # corpus-scale replace_keys rewrites to splice in nothing

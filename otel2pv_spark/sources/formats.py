@@ -9,7 +9,7 @@ mode, and rows that failed to decode are ROUTED (with the raw record
 preserved) rather than silently dropped or fatally thrown.
 
 Scale notes: the split needs the scan materialized once
-(``localCheckpoint``) because Spark refuses to filter on the internal
+(``snapshot()`` — a lineage cut) because Spark refuses to filter on the internal
 corrupt-record column straight off the scan (it could be pruned away
 before the parser runs). That one materialization is the price of a
 DLQ split in any engine; on the real target the checkpoint is a few
@@ -22,7 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
+
+from ..snapshot import snapshot
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -90,7 +93,7 @@ def read_with_dlq(
     if fmt != "parquet":
         # Spark refuses to filter the internal corrupt column straight
         # off the scan; one materialization funds the DLQ split
-        df = df.localCheckpoint()
+        df = df.transform(snapshot)
 
     reason = F.when(corrupt.isNotNull(), F.lit("decode_error"))
     if key_col is not None:

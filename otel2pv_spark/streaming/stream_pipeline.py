@@ -43,9 +43,11 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..snapshot import snapshot
 from ..operators import enrich as enrich_op
 from ..operators import parse as parse_op
 from ..operators import route as route_op
@@ -211,12 +213,12 @@ def _append_alerts(df: DataFrame, path: str) -> None:
     cannot read. Seed the schema with an unpartitioned limit(0)
     overwrite instead (the same empty-write trap Catalog.write
     guards, sources/catalog.py) and skip the no-op append. The input
-    is localCheckpointed first: the emptiness probe would otherwise
+    is snapshot()-ed first: the emptiness probe would otherwise
     execute the full (uncached) alert pipeline once, and the append a
     second time — doubling the hot per-batch path."""
     import os as _os
 
-    df = df.localCheckpoint()
+    df = df.transform(snapshot)
     if df.isEmpty():
         if not _os.path.isdir(path):
             df.limit(0).write.mode("overwrite").parquet(path)
@@ -275,7 +277,7 @@ def run_stream_dedup(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.localCheckpoint()  # stabilize: read twice below
+        batch = batch.transform(snapshot)  # stabilize: read twice below
         # absence vs unreadability: see _read_state (fail closed)
         idx = _read_state(spark, index_path)
         have_index = idx is not None
@@ -285,7 +287,7 @@ def run_stream_dedup(
         # dominant per-batch cost — recomputing it doubled it)
         new_bands = dd.minhash_band_table(
             batch, id_col=id_col, text_col=text_col
-        ).localCheckpoint()
+        ).transform(snapshot)
         if not have_index:
             idx = new_bands.limit(0)  # empty index, same schema
         cand = dd.minhash_lsh_candidates_incremental(
@@ -313,7 +315,7 @@ def run_stream_dedup(
 
         kept = batch.join(
             first_match.select(F.col("_dup").alias(id_col)), id_col, "left_anti"
-        ).localCheckpoint()  # one materialization feeds both appends
+        ).transform(snapshot)  # one materialization feeds both appends
         dropped = batch.join(
             first_match.withColumnRenamed("_dup", id_col), id_col
         )
@@ -633,7 +635,7 @@ def run_stream_anomaly(
         spark = batch.sparkSession
         delta = batch.select(
             key, "window_start_us", "n_events"
-        ).localCheckpoint()
+        ).transform(snapshot)
         if delta.isEmpty():
             return
         state = _read_state(spark, state_path)
@@ -726,7 +728,7 @@ def run_stream_counter_rate(
         spark = batch.sparkSession
         batch = batch.withColumn(
             ts_col, F.col(ts_col).cast("timestamp")
-        ).localCheckpoint()
+        ).transform(snapshot)
         if batch.isEmpty():
             return
         cat = Catalog(spark, state_root)
@@ -751,13 +753,13 @@ def run_stream_counter_rate(
                 & (F.col(tiebreak_col) <= F.col("_s_tb"))
             )
         )
-        joined = joined.withColumn("_late", is_late).localCheckpoint()
+        joined = joined.withColumn("_late", is_late).transform(snapshot)
         joined.filter("_late").select(*cols).write.mode("append").parquet(
             f"{out_root}/late"
         )
         fresh = joined.filter(~F.col("_late")).select(*cols)
 
-        union = state.unionByName(fresh).localCheckpoint()
+        union = state.unionByName(fresh).transform(snapshot)
         counter_rate(
             union,
             series_cols=series_cols,
@@ -982,7 +984,7 @@ def run_stream_burn_rate(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        delta = batch.localCheckpoint()
+        delta = batch.transform(snapshot)
         if delta.isEmpty():
             return
         cat = Catalog(spark, state_root)
@@ -1127,7 +1129,7 @@ def run_stream_rate_limit(
         batch = batch.withColumn(
             "window_start_us",
             F.unix_micros(_win(ts_col, width, None).start),
-        ).localCheckpoint()
+        ).transform(snapshot)
         if batch.isEmpty():
             return
         cat = Catalog(spark, state_root)
@@ -1163,7 +1165,7 @@ def run_stream_rate_limit(
             )
             .withColumn("_base", F.coalesce(F.col("_base0"), F.lit(0)))
             .drop("_sk", "_sw", "_base0")
-            .localCheckpoint()
+            .transform(snapshot)
         )
         kept = ranked.filter(F.col("_rn") + F.col("_base") <= max_per_window)
         kept.withColumn(
@@ -1184,7 +1186,7 @@ def run_stream_rate_limit(
                 ).alias("n_kept"),
             )
             .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
-            .localCheckpoint()
+            .transform(snapshot)
         )
         census_delta.write.mode("append").parquet(f"{out_root}/census")
         # replace this batch's own log rows (replay reconverges) and
