@@ -135,6 +135,51 @@ def q_parse_extract_grok_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("parse_ok")).select(*GROK_COLS)
 
 
+EXPR_COLS = ["conv_id", "turn_idx", "parent_ref", "evt_label", "job_x2"]
+
+
+def _expr_rules() -> list:
+    """default captures + computed/conditional expr rules: the last JQ
+    expressiveness tier (jqTransformer.go:116-143) — a //-alternative,
+    an if/else with string interpolation, and a two-capture arithmetic
+    value."""
+    return parse_op.default_rules() + [
+        parse_op.ExtractionRule(
+            "parent_ref",
+            "coalesce(nullif(parent_event_id, ''), event_id)",
+            kind="expr",
+        ),
+        parse_op.ExtractionRule(
+            "evt_label",
+            "CASE WHEN parent_event_id = '' THEN concat('root:', event_type)"
+            " ELSE concat('child:', event_type) END",
+            kind="expr",
+        ),
+        parse_op.ExtractionRule(
+            "job_x2",
+            "try_cast(regexp_extract(job_name, '([0-9]+)', 1) AS bigint)"
+            " * 2 + length(event_id)",
+            kind="expr",
+            dtype="long",
+        ),
+    ]
+
+
+def q_parse_extract_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 expr-kind rules (native): computed/conditional values over
+    earlier captures, fused into the same single projection."""
+    df = parse_op.parse(_tr(spark, sf_dir), rules=_expr_rules())
+    return df.filter(F.col("parse_ok")).select(*EXPR_COLS)
+
+
+def q_parse_extract_expr_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same expr rule set with captures through the Arrow UDF path —
+    the expr columns stay JVM-side over the UDF struct; must agree
+    with the native path AND the oracle."""
+    df = parse_op.parse(_tr(spark, sf_dir), rules=_expr_rules(), use_pandas=True)
+    return df.filter(F.col("parse_ok")).select(*EXPR_COLS)
+
+
 def q_parse_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/P4: invalid rows → rejects (DLQ analog)."""
     _, bad = parse_op.split_rejects(parse_op.parse(_tr(spark, sf_dir)))
@@ -1510,6 +1555,20 @@ WHERE regexp_extract(text, '{_GROK_LIT}', 1) <> ''
 )
 ORACLES["parse_extract_grok_pandas"] = ORACLES["parse_extract_grok"]
 
+# expr-rule oracle: the same scalar expressions hand-written in DuckDB
+# over the independently-parsed captures.
+ORACLES["parse_extract_expr"] = with_transcripts(
+    """SELECT conv_id, turn_idx,
+  coalesce(nullif(parent_event_id, ''), event_id) AS parent_ref,
+  CASE WHEN parent_event_id = '' THEN concat('root:', event_type)
+       ELSE concat('child:', event_type) END AS evt_label,
+  TRY_CAST(regexp_extract(job_name, '([0-9]+)', 1) AS BIGINT) * 2
+    + length(event_id) AS job_x2
+FROM parsed WHERE parse_ok""",
+    [PARSED_CTE],
+)
+ORACLES["parse_extract_expr_pandas"] = ORACLES["parse_extract_expr"]
+
 ORACLES["parse_rejects"] = with_transcripts(
     "SELECT conv_id, turn_idx, text, 'invalid_parse' AS reject_reason "
     "FROM parsed WHERE NOT parse_ok",
@@ -2389,6 +2448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_extract_json_pandas": q_parse_extract_json_pandas,
         "parse_extract_grok": q_parse_extract_grok,
         "parse_extract_grok_pandas": q_parse_extract_grok_pandas,
+        "parse_extract_expr": q_parse_extract_expr,
+        "parse_extract_expr_pandas": q_parse_extract_expr_pandas,
         "parse_rejects": q_parse_rejects,
         "enrich_route": q_enrich_route,
         "enrich_asof": q_enrich_asof,

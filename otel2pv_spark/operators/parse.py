@@ -26,6 +26,7 @@ Server/dataTypes.go:71-99).
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -45,6 +46,18 @@ class ExtractionRule:
     ``kind="json"``: ``pattern`` is a JSON path (``$.a.b``) — the core
     of the reference's JQ navigation (jqTransformer.go:304-327), backed
     by ``get_json_object`` so it stays inside whole-stage codegen.
+    ``kind="expr"``: ``pattern`` is a restricted SQL SCALAR EXPRESSION
+    over earlier captures (and input columns) — the computed /
+    conditional value semantics of the reference's JQ programs
+    (conditionals, ``//`` alternatives beyond empty, arithmetic,
+    string interpolation, multi-capture construction;
+    jqTransformer.go:116-143,304-327). e.g.
+    ``coalesce(nullif(parent_event_id, ''), event_id)`` or
+    ``CASE WHEN a = '' THEN concat('r:', b) ELSE a END``. The result
+    is cast to string (dtype re-casts after, like any rule) and the
+    expression fuses into the SAME single projection as the captures
+    (native and pandas paths both — Catalyst collapses the adjacent
+    projections). Statements, subqueries and comments are rejected.
     ``source``: the column the rule reads; defaults to the parse text
     column. May name an EARLIER rule's output (rules are applied in
     order), e.g. a json rule over the regex-extracted ``body`` field —
@@ -78,11 +91,30 @@ def default_rules() -> list[ExtractionRule]:
     ]
 
 
+def _check_expr(pattern: str) -> None:
+    """Fail loudly on anything beyond a scalar expression: the rule
+    language is deliberately restricted (the reference compiles a jq
+    PROGRAM; this is the SQL-scalar equivalent, not an injection
+    surface)."""
+    if ";" in pattern or "--" in pattern or "/*" in pattern:
+        raise ValueError(
+            f"expr rule must be a single scalar expression: {pattern!r}"
+        )
+    if _re.search(r"\b(select|from|insert|update|delete|drop)\b",
+                  pattern, _re.IGNORECASE):
+        raise ValueError(
+            f"expr rule must not contain query keywords: {pattern!r}"
+        )
+
+
 def _native_col(rule: ExtractionRule, text_col: str) -> Column:
     src = F.col(rule.source or text_col)
     if rule.kind == "json":
         # '' on miss/invalid-JSON, matching regexp_extract's no-match
         c = F.coalesce(F.get_json_object(src, rule.pattern), F.lit(""))
+    elif rule.kind == "expr":
+        _check_expr(rule.pattern)
+        c = F.expr(rule.pattern).cast("string")
     else:
         c = F.regexp_extract(src, rule.pattern, rule.group)
     for s in rule.null_sentinels:
@@ -174,11 +206,21 @@ def parse(
     ``parse_ok`` (all required rules matched)."""
     rules = rules if rules is not None else default_rules()
     if use_pandas:
-        grok = _pandas_extractor(rules, text_col)
+        # expr rules stay JVM-side in BOTH paths: here they are native
+        # F.expr over the UDF's capture struct — Catalyst collapses the
+        # UDF projection and the expr projection into one pass, so the
+        # fused-program property holds (and the expression semantics
+        # cannot drift between paths). A capture rule sourcing an expr
+        # output is rejected by _pandas_extractor's known-set check.
+        base_rules = [r for r in rules if r.kind != "expr"]
+        grok = _pandas_extractor(base_rules, text_col)
         df = df.withColumn("_g", grok(F.col(text_col)))
-        for r in rules:
+        for r in base_rules:
             df = df.withColumn(r.name, F.col(f"_g.{r.name}"))
         df = df.drop("_g")
+        for r in rules:
+            if r.kind == "expr":
+                df = df.withColumn(r.name, _native_col(r, text_col))
     else:
         for r in rules:
             df = df.withColumn(r.name, _native_col(r, text_col))

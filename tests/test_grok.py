@@ -99,3 +99,124 @@ def test_required_typed_field_gates_parse_ok(spark):
     out = parse_op.parse(df, rules=rules).select("n", "parse_ok").collect()
     got = {r["parse_ok"]: r["n"] for r in out}
     assert got[True] == 5 and got[False] is None
+
+
+# ---------------------------------------------------------------- expr rules
+class TestExprRules:
+    """kind='expr' extraction: computed/conditional values over earlier
+    captures, fused into the same projection (native + pandas paths)."""
+
+    def _rules(self, parse_op):
+        return [
+            parse_op.ExtractionRule("a", r"a=(\w+)"),
+            parse_op.ExtractionRule("b", r"b=(\w+)"),
+            parse_op.ExtractionRule(
+                "a_or_b", "coalesce(nullif(a, ''), b)", kind="expr"
+            ),
+            parse_op.ExtractionRule(
+                "label",
+                "CASE WHEN a = '' THEN concat('none:', b)"
+                " ELSE concat('got:', a) END",
+                kind="expr",
+            ),
+            parse_op.ExtractionRule(
+                "n2",
+                "try_cast(b AS bigint) * 2 + length(a)",
+                kind="expr",
+                dtype="long",
+            ),
+        ]
+
+    def _fixture(self, spark):
+        return spark.createDataFrame(
+            [(1, "a=x b=7"), (2, "b=21"), (3, "a=yy b=zz")],
+            "id int, text string",
+        )
+
+    def _check(self, rows):
+        by_id = {r.id: r for r in rows}
+        assert by_id[1].a_or_b == "x" and by_id[1].label == "got:x"
+        assert by_id[1].n2 == 7 * 2 + 1
+        assert by_id[2].a_or_b == "21" and by_id[2].label == "none:21"
+        assert by_id[2].n2 == 42  # length('') == 0
+        assert by_id[3].a_or_b == "yy" and by_id[3].label == "got:yy"
+        assert by_id[3].n2 is None  # 'zz' not numeric -> NULL arithmetic
+
+    def test_expr_native_golden(self, spark):
+        from otel2pv_spark.operators import parse as parse_op
+
+        out = parse_op.parse(self._fixture(spark), rules=self._rules(parse_op))
+        self._check(out.collect())
+
+    def test_expr_pandas_matches_native(self, spark):
+        from otel2pv_spark.operators import parse as parse_op
+
+        native = parse_op.parse(
+            self._fixture(spark), rules=self._rules(parse_op)
+        )
+        pandas = parse_op.parse(
+            self._fixture(spark), rules=self._rules(parse_op), use_pandas=True
+        )
+        cols = ["id", "a_or_b", "label", "n2"]
+        assert sorted(map(tuple, native.select(*cols).collect())) == sorted(
+            map(tuple, pandas.select(*cols).collect())
+        )
+
+    def test_expr_fuses_into_one_projection(self, spark):
+        """Native path: captures + expr columns execute in ONE
+        WholeStageCodegen span over the scan — a single pass per row
+        (Catalyst may keep two Project nodes when an expr reuses a
+        capture, but codegen fuses them: no second stage, no exchange,
+        no materialization between them)."""
+        from otel2pv_spark.operators import parse as parse_op
+
+        out = parse_op.parse(self._fixture(spark), rules=self._rules(parse_op))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "*(1) Project" in plan      # codegen'd projection
+        assert "*(2)" not in plan          # ...and only one span
+        assert "Exchange" not in plan
+
+    def test_expr_required_gates_parse_ok(self, spark):
+        from otel2pv_spark.operators import parse as parse_op
+
+        rules = [
+            parse_op.ExtractionRule("a", r"a=(\w+)"),
+            parse_op.ExtractionRule(
+                "need", "nullif(a, '')", kind="expr", required=True
+            ),
+        ]
+        out = parse_op.parse(self._fixture(spark), rules=rules)
+        ok = {r.id: r.parse_ok for r in out.collect()}
+        assert ok == {1: True, 2: False, 3: True}
+
+    def test_expr_rejects_statements(self, spark):
+        import pytest
+
+        from otel2pv_spark.operators import parse as parse_op
+
+        for bad in (
+            "1; drop table x",
+            "(select 1)",
+            "a -- comment",
+            "a /* c */",
+        ):
+            rules = [parse_op.ExtractionRule("e", bad, kind="expr")]
+            with pytest.raises(ValueError, match="expr rule"):
+                parse_op.parse(self._fixture(spark), rules=rules).collect()
+
+    def test_pandas_capture_cannot_source_expr(self, spark):
+        """A capture rule sourcing an expr output is rejected in the
+        pandas path (the UDF cannot see JVM-computed columns)."""
+        import pytest
+
+        from otel2pv_spark.operators import parse as parse_op
+
+        rules = [
+            parse_op.ExtractionRule("a", r"a=(\w+)"),
+            parse_op.ExtractionRule("e", "concat(a, '!')", kind="expr"),
+            parse_op.ExtractionRule("bad", r"(\w+)", source="e"),
+        ]
+        with pytest.raises(ValueError, match="earlier rule"):
+            parse_op.parse(
+                self._fixture(spark), rules=rules, use_pandas=True
+            ).collect()
