@@ -180,6 +180,51 @@ def q_parse_extract_expr_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("parse_ok")).select(*EXPR_COLS)
 
 
+# Deterministic NESTED json payload built from the parsed captures —
+# identical string construction on both engines (portable || concat),
+# with arithmetic-selected violations so every error class is
+# non-vacuous at sf0.01: k%7==3 wrong inner type, k%11==5 wrong array
+# element type, k%13==6 missing required key, k>90 over maximum.
+PAYLOAD_SQL = """
+  '{"meta": {"job": "' || job_name || '", "n": ' ||
+  CASE WHEN CAST(k AS BIGINT) % 7 = 3 THEN '"' || k || '"' ELSE k END ||
+  '}, "tags": ["' || event_type || '"' ||
+  CASE WHEN CAST(k AS BIGINT) % 11 = 5 THEN ', 17' ELSE ', "' || role || '"' END ||
+  ']' ||
+  CASE WHEN CAST(k AS BIGINT) % 13 = 6 THEN '' ELSE ', "v": ' || k END ||
+  '}'
+"""
+
+NESTED_SCHEMA = {
+    "type": "object",
+    "required": ["meta", "tags", "v"],
+    "properties": {
+        "meta": {
+            "type": "object",
+            "required": ["job", "n"],
+            "properties": {
+                "job": {"type": "string", "pattern": "job-[0-9]+"},
+                "n": {"type": "integer"},
+            },
+        },
+        "tags": {"type": "array", "minItems": 1, "items": {"type": "string"}},
+        "v": {"type": "integer", "maximum": 90},
+    },
+}
+
+
+def q_validate_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 FULL: nested JSON-Schema validation (object/array depth) of a
+    constructed payload — variant-compiled, first failing path:keyword
+    recorded, NULL when valid (operators/validate.py validate_json;
+    reference jqTransformer.go:89-114)."""
+    df = _parsed_good(spark, sf_dir)
+    df = df.withColumn("k", F.regexp_extract("body", '"k": ([0-9]+)', 1))
+    df = df.withColumn("payload", F.expr(PAYLOAD_SQL))
+    out = validate_op.validate_json(df, "payload", NESTED_SCHEMA)
+    return out.select("conv_id", "turn_idx", "schema_error")
+
+
 def q_parse_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/P4: invalid rows → rejects (DLQ analog)."""
     _, bad = parse_op.split_rejects(parse_op.parse(_tr(spark, sf_dir)))
@@ -1569,6 +1614,50 @@ FROM parsed WHERE parse_ok""",
 )
 ORACLES["parse_extract_expr_pandas"] = ORACLES["parse_extract_expr"]
 
+# Nested-schema oracle: DuckDB's independent JSON machinery
+# (json_type/json_extract + list lambdas) re-deriving the same
+# first-failing check in the compiler's declaration order. Only checks
+# reachable on this payload appear; the full keyword surface is
+# golden-tested in pytest.
+_PAY_CTE = f"""pv AS (
+  SELECT conv_id, turn_idx, job_name, event_type, role,
+         regexp_extract(body, '"k": ([0-9]+)', 1) AS k
+  FROM parsed WHERE parse_ok
+), pay AS (
+  SELECT conv_id, turn_idx, {PAYLOAD_SQL} AS payload FROM pv
+)"""
+ORACLES["validate_nested"] = with_transcripts(
+    """SELECT conv_id, turn_idx,
+  CASE
+    WHEN NOT json_valid(payload) THEN '$: json'
+    WHEN json_type(payload) <> 'OBJECT' THEN '$: type'
+    WHEN json_type(payload, '$.meta') IS NULL THEN '$: required:meta'
+    WHEN json_type(payload, '$.tags') IS NULL THEN '$: required:tags'
+    WHEN json_type(payload, '$.v') IS NULL THEN '$: required:v'
+    WHEN json_type(payload, '$.meta') <> 'OBJECT' THEN '$.meta: type'
+    WHEN json_type(payload, '$.meta.job') IS NULL THEN '$.meta: required:job'
+    WHEN json_type(payload, '$.meta.n') IS NULL THEN '$.meta: required:n'
+    WHEN json_type(payload, '$.meta.job') <> 'VARCHAR' THEN '$.meta.job: type'
+    WHEN NOT regexp_full_match(json_extract_string(payload, '$.meta.job'),
+                               '(?:job-[0-9]+)') THEN '$.meta.job: pattern'
+    WHEN json_type(payload, '$.meta.n') NOT IN ('BIGINT', 'UBIGINT')
+         THEN '$.meta.n: type'
+    WHEN json_type(payload, '$.tags') <> 'ARRAY' THEN '$.tags: type'
+    WHEN json_array_length(payload, '$.tags') < 1 THEN '$.tags: minItems'
+    WHEN NOT coalesce(list_aggregate(list_transform(
+           json_extract(payload, '$.tags[*]'),
+           x -> json_type(x) = 'VARCHAR'), 'bool_and'), TRUE)
+         THEN '$.tags[]: type'
+    WHEN json_type(payload, '$.v') NOT IN ('BIGINT', 'UBIGINT')
+         THEN '$.v: type'
+    WHEN TRY_CAST(json_extract_string(payload, '$.v') AS DOUBLE) > 90
+         THEN '$.v: maximum'
+    ELSE NULL
+  END AS schema_error
+FROM pay""",
+    [PARSED_CTE, _PAY_CTE],
+)
+
 ORACLES["parse_rejects"] = with_transcripts(
     "SELECT conv_id, turn_idx, text, 'invalid_parse' AS reject_reason "
     "FROM parsed WHERE NOT parse_ok",
@@ -2450,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_extract_grok_pandas": q_parse_extract_grok_pandas,
         "parse_extract_expr": q_parse_extract_expr,
         "parse_extract_expr_pandas": q_parse_extract_expr_pandas,
+        "validate_nested": q_validate_nested,
         "parse_rejects": q_parse_rejects,
         "enrich_route": q_enrich_route,
         "enrich_asof": q_enrich_asof,

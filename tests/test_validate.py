@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from otel2pv_spark.operators import validate as v
+from otel2pv_spark.operators import validate as validate_op
 
 
 def _df(spark, rows):
@@ -51,3 +52,106 @@ def test_validate_stays_in_codegen(spark):
     df = v.validate(_df(spark, [("e:1", "view", "", "", 0)]), rules)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+class TestNestedJsonSchema:
+    """validate_json: nested JSON-Schema compilation to variant
+    expressions — keyword goldens, first-fail precedence, reject
+    routing, and zero Python in the plan."""
+
+    SCHEMA = {
+        "type": "object",
+        "required": ["meta", "tags", "v"],
+        "properties": {
+            "meta": {
+                "type": "object",
+                "required": ["job", "n"],
+                "properties": {
+                    "job": {"type": "string", "pattern": "job-[0-9]+"},
+                    "n": {"type": "integer"},
+                },
+            },
+            "tags": {
+                "type": "array",
+                "minItems": 1,
+                "items": {"type": "string"},
+            },
+            "v": {"type": "integer", "maximum": 90},
+        },
+    }
+
+    ROWS = [
+        (1, '{"meta": {"job": "job-3", "n": 5}, "tags": ["a"], "v": 9}', None),
+        (2, "not json", "$: json"),
+        (3, '{"tags": ["a"], "v": 9, "meta": {"job": "job-1", "n": 1}}', None),
+        (4, '{"meta": {"job": "job-3"}, "tags": ["a"], "v": 9}',
+         "$.meta: required:n"),
+        (5, '{"meta": {"job": "j", "n": 5}, "tags": ["a"], "v": 9}',
+         "$.meta.job: pattern"),
+        (6, '{"meta": {"job": "job-3", "n": "x"}, "tags": ["a"], "v": 9}',
+         "$.meta.n: type"),
+        (7, '{"meta": {"job": "job-3", "n": 5}, "tags": [], "v": 9}',
+         "$.tags: minItems"),
+        (8, '{"meta": {"job": "job-3", "n": 5}, "tags": ["a", 7], "v": 9}',
+         "$.tags[]: type"),
+        (9, '{"meta": {"job": "job-3", "n": 5}, "tags": ["a"], "v": 95}',
+         "$.v: maximum"),
+        (10, '{"meta": {"job": "job-3", "n": 5}, "tags": ["a"]}',
+         "$: required:v"),
+        (11, '{"meta": {"job": "job-3", "n": 5}, "tags": ["a"], "v": null}',
+         "$.v: type"),
+        (12, "[1,2]", "$: type"),
+        # missing optional subtree: meta absent fails required, but a
+        # schema WITHOUT required accepts absence of any property
+        (13, '{"meta": {"job": "job-3", "n": 5}, "tags": ["x"], "v": 1,'
+             ' "extra": {"deep": [1]}}', None),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, p) for i, p, _ in self.ROWS], "id int, payload string"
+        )
+
+    def test_keyword_goldens(self, spark):
+        out = validate_op.validate_json(self._df(spark), "payload", self.SCHEMA)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {i: err for i, _, err in self.ROWS}
+
+    def test_first_fail_precedence(self, spark):
+        """A row violating BOTH a root required and a nested type must
+        report the root required (declaration order)."""
+        df = spark.createDataFrame(
+            [(1, '{"meta": {"job": "job-1", "n": "x"}, "tags": ["a"]}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", self.SCHEMA)
+        assert out.collect()[0].schema_error == "$: required:v"
+
+    def test_optional_absent_passes(self, spark):
+        """Keywords are if-present: no required ⇒ absent subtree valid."""
+        schema = {
+            "type": "object",
+            "properties": {"opt": {"type": "integer", "minimum": 3}},
+        }
+        df = spark.createDataFrame(
+            [(1, "{}"), (2, '{"opt": 5}'), (3, '{"opt": 1}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: None, 2: None, 3: "$.opt: minimum"}
+
+    def test_split_valid_routes_schema_errors(self, spark):
+        out = validate_op.validate_json(
+            self._df(spark), "payload", self.SCHEMA, error_col="validation_error"
+        )
+        good, bad = validate_op.split_valid(out)
+        n_bad = sum(1 for _, _, e in self.ROWS if e)
+        assert good.count() == len(self.ROWS) - n_bad
+        assert bad.count() == n_bad
+
+    def test_no_python_in_plan(self, spark):
+        out = validate_op.validate_json(self._df(spark), "payload", self.SCHEMA)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # pure per-row projection
