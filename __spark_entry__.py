@@ -1448,14 +1448,100 @@ HAVING count(*) >= 2""",
     [PARSED_CTE],
 )
 
-ORACLES["events_hll_intersect"] = sketch_fn.hll_intersect_oracle_sql(
-    "SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events"
-    " WHERE ts < TIMESTAMP '2024-01-16'",
-    "SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events"
-    " WHERE ts >= TIMESTAMP '2024-01-16'",
-    "event_type",
-    "u",
+# STATIC hand-auditable HLL oracle text (p=8, salt hll-v1). Previously
+# generated at import time by the engine module; now committed as
+# reviewable SQL — tests/test_sketch.py re-generates from the engine
+# constants and asserts equality, so drift is caught WITHOUT the
+# shipped oracle depending on engine code.
+ORACLES["events_hll_intersect"] = """\
+
+WITH _srca AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+_srcb AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+_ha AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(u || '#hll-v1'), 1, 8))::BIGINT % 256 AS INT) AS register,
+         substr(md5(u || '#hll-v1'), 9, 8) AS _whex
+  FROM _srca WHERE u IS NOT NULL
+),
+_ra AS (
+  SELECT event_type, register,
+         MAX(CAST(4 * (8 - length(trim(LEADING '0' FROM _whex))) + CASE substring(trim(LEADING '0' FROM _whex), 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             ELSE 0 END + 1 AS INT)) AS rho
+  FROM _ha GROUP BY event_type, register
+),
+_hb AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(u || '#hll-v1'), 1, 8))::BIGINT % 256 AS INT) AS register,
+         substr(md5(u || '#hll-v1'), 9, 8) AS _whex
+  FROM _srcb WHERE u IS NOT NULL
+),
+_rb AS (
+  SELECT event_type, register,
+         MAX(CAST(4 * (8 - length(trim(LEADING '0' FROM _whex))) + CASE substring(trim(LEADING '0' FROM _whex), 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             ELSE 0 END + 1 AS INT)) AS rho
+  FROM _hb GROUP BY event_type, register
+),
+_ru AS (
+  SELECT event_type, register, MAX(rho) AS rho
+  FROM (SELECT * FROM _ra UNION ALL SELECT * FROM _rb)
+  GROUP BY event_type, register
+),
+_agga AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS registers_present,
+         SUM(1::BIGINT << (33 - rho)) + (256 - COUNT(*)) * 8589934592 AS z_scaled
+  FROM _ra GROUP BY event_type
+),
+_esta AS (
+  SELECT event_type,
+         CAST(ROUND(CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) <= CAST(640.0 AS DOUBLE)
+                          AND 256 - registers_present > 0
+                    THEN CAST(256.0 AS DOUBLE)
+                         * ln(CAST(256.0 AS DOUBLE) / (256 - registers_present))
+                    ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) END) AS BIGINT) AS n_a
+  FROM _agga
+),
+_aggb AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS registers_present,
+         SUM(1::BIGINT << (33 - rho)) + (256 - COUNT(*)) * 8589934592 AS z_scaled
+  FROM _rb GROUP BY event_type
+),
+_estb AS (
+  SELECT event_type,
+         CAST(ROUND(CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) <= CAST(640.0 AS DOUBLE)
+                          AND 256 - registers_present > 0
+                    THEN CAST(256.0 AS DOUBLE)
+                         * ln(CAST(256.0 AS DOUBLE) / (256 - registers_present))
+                    ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) END) AS BIGINT) AS n_b
+  FROM _aggb
+),
+_aggu AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS registers_present,
+         SUM(1::BIGINT << (33 - rho)) + (256 - COUNT(*)) * 8589934592 AS z_scaled
+  FROM _ru GROUP BY event_type
+),
+_estu AS (
+  SELECT event_type,
+         CAST(ROUND(CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) <= CAST(640.0 AS DOUBLE)
+                          AND 256 - registers_present > 0
+                    THEN CAST(256.0 AS DOUBLE)
+                         * ln(CAST(256.0 AS DOUBLE) / (256 - registers_present))
+                    ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) END) AS BIGINT) AS n_union
+  FROM _aggu
 )
+SELECT event_type, a.n_a, b.n_b, u.n_union,
+       GREATEST(CAST(0 AS BIGINT), a.n_a + b.n_b - u.n_union)
+         AS n_intersect_est
+FROM _esta a
+JOIN _estb b USING (event_type)
+JOIN _estu u USING (event_type)
+"""
 
 ORACLES["latency_stats"] = with_transcripts(
     """SELECT tool,
@@ -2268,27 +2354,70 @@ JOIN n ON r.event_type = n.event_type
 CROSS JOIN (VALUES (500), (950), (990)) q(q_permille)
 WHERE r.vr = GREATEST((q.q_permille * n.n_sample + 999) // 1000, 1)"""
 
-# HLL oracles are generated next to the Spark formula (sketch.py) so the
-# two renderings of the estimator cannot drift; the inner SQL (grain +
-# hashed value) is written here, independently of the Spark query.
-ORACLES["events_hll_users"] = sketch_fn.hll_estimate_oracle_sql(
-    "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, "
-    "CAST(user_id AS VARCHAR) AS u FROM events",
-    "hour_us",
-    "u",
-    p=8,
-    estimate_col="n_users_hll",
-)
+# STATIC HLL estimate oracles (see events_hll_intersect note above).
+ORACLES["events_hll_users"] = """\
 
-_HLL_GRAIN_SQL = sketch_fn.hll_estimate_oracle_sql(
-    "SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, "
-    "epoch_us(date_trunc('hour', ts)) + CAST(3600 AS BIGINT) * 1000000 "
-    "AS window_end_us, event_type, CAST(user_id AS VARCHAR) AS u FROM events",
-    "window_start_us, window_end_us, event_type",
-    "u",
-    p=8,
-    estimate_col="n_users_hll",
+WITH _src AS (SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, CAST(user_id AS VARCHAR) AS u FROM events),
+_h AS (
+  SELECT hour_us,
+         CAST(('0x' || substr(md5(u || '#hll-v1'), 1, 8))::BIGINT % 256 AS INT) AS register,
+         substr(md5(u || '#hll-v1'), 9, 8) AS _whex
+  FROM _src WHERE u IS NOT NULL
+),
+_r AS (
+  SELECT hour_us, register,
+         MAX(CAST(4 * (8 - length(trim(LEADING '0' FROM _whex))) + CASE substring(trim(LEADING '0' FROM _whex), 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             ELSE 0 END + 1 AS INT)) AS rho
+  FROM _h GROUP BY hour_us, register
+),
+_a AS (
+  SELECT hour_us,
+         CAST(COUNT(*) AS BIGINT) AS registers_present,
+         SUM(1::BIGINT << (33 - rho)) + (256 - COUNT(*)) * 8589934592 AS z_scaled
+  FROM _r GROUP BY hour_us
 )
+SELECT hour_us, registers_present, CAST(z_scaled AS BIGINT) AS z_scaled,
+       CAST(ROUND(CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) <= CAST(640.0 AS DOUBLE)
+                        AND 256 - registers_present > 0
+                  THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / (256 - registers_present))
+                  ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) END)
+            AS BIGINT) AS n_users_hll
+FROM _a
+"""
+
+_HLL_GRAIN_SQL = """\
+
+WITH _src AS (SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, epoch_us(date_trunc('hour', ts)) + CAST(3600 AS BIGINT) * 1000000 AS window_end_us, event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+_h AS (
+  SELECT window_start_us, window_end_us, event_type,
+         CAST(('0x' || substr(md5(u || '#hll-v1'), 1, 8))::BIGINT % 256 AS INT) AS register,
+         substr(md5(u || '#hll-v1'), 9, 8) AS _whex
+  FROM _src WHERE u IS NOT NULL
+),
+_r AS (
+  SELECT window_start_us, window_end_us, event_type, register,
+         MAX(CAST(4 * (8 - length(trim(LEADING '0' FROM _whex))) + CASE substring(trim(LEADING '0' FROM _whex), 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             ELSE 0 END + 1 AS INT)) AS rho
+  FROM _h GROUP BY window_start_us, window_end_us, event_type, register
+),
+_a AS (
+  SELECT window_start_us, window_end_us, event_type,
+         CAST(COUNT(*) AS BIGINT) AS registers_present,
+         SUM(1::BIGINT << (33 - rho)) + (256 - COUNT(*)) * 8589934592 AS z_scaled
+  FROM _r GROUP BY window_start_us, window_end_us, event_type
+)
+SELECT window_start_us, window_end_us, event_type, registers_present, CAST(z_scaled AS BIGINT) AS z_scaled,
+       CAST(ROUND(CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) <= CAST(640.0 AS DOUBLE)
+                        AND 256 - registers_present > 0
+                  THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / (256 - registers_present))
+                  ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 * CAST(8589934592.0 AS DOUBLE) / CAST(z_scaled AS DOUBLE) END)
+            AS BIGINT) AS n_users_hll
+FROM _a
+"""
 ORACLES["events_rollup_hll"] = f"""WITH counts AS (
   SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
          epoch_us(date_trunc('hour', ts)) + CAST(3600 AS BIGINT) * 1000000

@@ -174,52 +174,6 @@ def hll_estimate(
     )
 
 
-def hll_estimate_oracle_sql(
-    inner_sql: str,
-    keys_sql: str,
-    value_sql: str,
-    p: int = 8,
-    salt: str = "hll-v1",
-    estimate_col: str = "n_distinct_est",
-) -> str:
-    """The DuckDB rendering of hll_state+hll_estimate over
-    ``inner_sql`` — generated next to the Spark code so the two
-    formulas cannot drift (same pattern as the histogram oracle)."""
-    m = 1 << p
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
-    trimmed = "trim(LEADING '0' FROM _whex)"
-    return f"""
-WITH _src AS ({inner_sql}),
-_h AS (
-  SELECT {keys_sql},
-         CAST(('0x' || substr(md5({value_sql} || '#{salt}'), 1, 8))::BIGINT % {m} AS INT) AS register,
-         substr(md5({value_sql} || '#{salt}'), 9, 8) AS _whex
-  FROM _src WHERE {value_sql} IS NOT NULL
-),
-_r AS (
-  SELECT {keys_sql}, register,
-         MAX(CAST(4 * (8 - length({trimmed})) + CASE substring({trimmed}, 1, 1)
-             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
-             ELSE 0 END + 1 AS INT)) AS rho
-  FROM _h GROUP BY {keys_sql}, register
-),
-_a AS (
-  SELECT {keys_sql},
-         CAST(COUNT(*) AS BIGINT) AS registers_present,
-         SUM(1::BIGINT << (33 - rho)) + ({m} - COUNT(*)) * {_TWO33} AS z_scaled
-  FROM _r GROUP BY {keys_sql}
-)
-SELECT {keys_sql}, registers_present, CAST(z_scaled AS BIGINT) AS z_scaled,
-       CAST(ROUND(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(_TWO33)!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE) <= CAST({2.5 * m!r} AS DOUBLE)
-                        AND {m} - registers_present > 0
-                  THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - registers_present))
-                  ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(_TWO33)!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE) END)
-            AS BIGINT) AS {estimate_col}
-FROM _a
-"""
-
-
 def hll_intersect_estimate(
     state_a: DataFrame,
     state_b: DataFrame,
@@ -262,82 +216,6 @@ def hll_intersect_estimate(
             F.col("n_a") + F.col("n_b") - F.col("n_union"),
         ).alias("n_intersect_est"),
     )
-
-
-def hll_intersect_oracle_sql(
-    inner_a: str,
-    inner_b: str,
-    keys_sql: str,
-    value_sql: str,
-    p: int = 8,
-    salt: str = "hll-v1",
-) -> str:
-    """DuckDB rendering of hll_intersect_estimate over two inner
-    queries — generated next to the Spark formula (same no-drift rule
-    as hll_estimate_oracle_sql): register chains for A, B, and their
-    per-register MAX union, then the shared estimator + inclusion-
-    exclusion."""
-    m = 1 << p
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
-    trimmed = "trim(LEADING '0' FROM _whex)"
-
-    def chain(src: str, tag: str) -> str:
-        return f"""_h{tag} AS (
-  SELECT {keys_sql},
-         CAST(('0x' || substr(md5({value_sql} || '#{salt}'), 1, 8))::BIGINT % {m} AS INT) AS register,
-         substr(md5({value_sql} || '#{salt}'), 9, 8) AS _whex
-  FROM {src} WHERE {value_sql} IS NOT NULL
-),
-_r{tag} AS (
-  SELECT {keys_sql}, register,
-         MAX(CAST(4 * (8 - length({trimmed})) + CASE substring({trimmed}, 1, 1)
-             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
-             ELSE 0 END + 1 AS INT)) AS rho
-  FROM _h{tag} GROUP BY {keys_sql}, register
-)"""
-
-    def est(src: str, tag: str, out: str) -> str:
-        raw = (
-            f"CAST({alpha!r} AS DOUBLE) * {m} * {m} * "
-            f"CAST({float(_TWO33)!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE)"
-        )
-        return f"""_agg{tag} AS (
-  SELECT {keys_sql},
-         CAST(COUNT(*) AS BIGINT) AS registers_present,
-         SUM(1::BIGINT << (33 - rho)) + ({m} - COUNT(*)) * {_TWO33} AS z_scaled
-  FROM {src} GROUP BY {keys_sql}
-),
-_est{tag} AS (
-  SELECT {keys_sql},
-         CAST(ROUND(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)
-                          AND {m} - registers_present > 0
-                    THEN CAST({float(m)!r} AS DOUBLE)
-                         * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - registers_present))
-                    ELSE {raw} END) AS BIGINT) AS {out}
-  FROM _agg{tag}
-)"""
-
-    return f"""
-WITH _srca AS ({inner_a}),
-_srcb AS ({inner_b}),
-{chain("_srca", "a")},
-{chain("_srcb", "b")},
-_ru AS (
-  SELECT {keys_sql}, register, MAX(rho) AS rho
-  FROM (SELECT * FROM _ra UNION ALL SELECT * FROM _rb)
-  GROUP BY {keys_sql}, register
-),
-{est("_ra", "a", "n_a")},
-{est("_rb", "b", "n_b")},
-{est("_ru", "u", "n_union")}
-SELECT {keys_sql}, a.n_a, b.n_b, u.n_union,
-       GREATEST(CAST(0 AS BIGINT), a.n_a + b.n_b - u.n_union)
-         AS n_intersect_est
-FROM _esta a
-JOIN _estb b USING ({keys_sql})
-JOIN _estu u USING ({keys_sql})
-"""
 
 
 def _bloom_positions(key_col: str, bits_log2: int, k: int, salt: str):

@@ -8,9 +8,36 @@ Iceberg path behind an import/availability check (SURVEY §7.4 risk 4).
 ALL commit mechanics live HERE — operators and plans never touch the
 filesystem directly, so an Iceberg-backed Catalog (snapshot commit,
 partition overwrite, metadata-only partition moves) slots in without
-changing the pipeline. The parquet stand-in emulates those semantics
-with write-to-tmp + atomic rename — the same temp+rename+fsync protocol
-as the reference's atomic file writer (Server/atomicWrite.go:153-226).
+changing the pipeline.
+
+TWO strategies implement the API (pick via ``Catalog(...,
+strategy=...)`` or env ``SPARK_GRAFT_CATALOG``):
+
+- ``posix`` (default): write-to-tmp + atomic DIRECTORY rename — the
+  same temp+rename+fsync protocol as the reference's atomic file
+  writer (Server/atomicWrite.go:153-226). Fast and simple, but
+  hardlinks and atomic directory renames do not exist on object
+  stores — this strategy is for POSIX filesystems (and this sandbox).
+
+- ``manifest``: the Iceberg commit protocol in miniature, safe for
+  object stores. Data files are staged into IMMUTABLE directories that
+  are never renamed or hardlinked; each commit writes a new manifest
+  JSON (the file list + partition spec + schema-evolution flag) and
+  then atomically swaps a single VERSION pointer file. The only
+  "rename" in the whole strategy is that one single-FILE
+  ``os.replace`` of the pointer — the POSIX stand-in for an object
+  store's atomic conditional PUT (If-Match) of the pointer object,
+  exactly how Iceberg's version-hint/metadata pointer commit works.
+  Appends reference existing files from the new manifest (true
+  metadata-only append, no hardlink emulation), time travel reads an
+  older manifest, partition overwrite is ONE atomic whole-commit
+  pointer swap (strictly better than the posix strategy's
+  per-partition swaps), and snapshot expiry garbage-collects staged
+  directories no retained manifest references.
+
+Single-writer assumption (both strategies, documented): concurrent
+commits to the same table last-write-win at the pointer; real Iceberg
+arbitrates with the catalog's atomic compare-and-swap.
 
 Iceberg mapping of each method (what the real implementation does):
 - ``write``            → ``df.writeTo(tbl).createOrReplace()``
@@ -22,6 +49,7 @@ Iceberg mapping of each method (what the real implementation does):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -34,7 +62,13 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.route import REJECT_SINK_PREFIX
 
 
-class Catalog:
+class _CatalogBase:
+    """API + strategy-independent pieces. Everything that only needs
+    ``read``/``write`` (diff, keyed merge, compaction, bucketing) lives
+    here once; commit mechanics are per-strategy."""
+
+    strategy = "base"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -43,12 +77,11 @@ class Catalog:
         keep_snapshots: int = 0,
     ):
         """``keep_snapshots``: number of previous table versions to
-        retain on every atomic replace (0 = none, the default —
-        replaced data is dropped as before). With N > 0, each commit
-        archives the outgoing version under ``_snapshots/<table>/vK``
-        and expires versions beyond N: the parquet stand-in for
-        Iceberg's snapshot log, enabling ``read(version=...)``
-        time-travel, ``rollback`` and ``expire_snapshots``."""
+        retain on every commit (0 = none, the default — replaced data
+        is dropped). With N > 0 each commit keeps the outgoing version
+        readable (``read(version=...)`` time-travel, ``rollback``,
+        ``expire_snapshots``) — the stand-in for Iceberg's snapshot
+        log."""
         self.spark = spark
         self.root = root
         self.fmt = fmt
@@ -56,7 +89,307 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
+        """Logical path of the table under the catalog root. For the
+        posix strategy this is the physical data directory; for the
+        manifest strategy it is informational (data lives in staged
+        dirs under ``_data/``) and the anchor for bucketed layouts."""
         return os.path.join(self.root, table)
+
+    # ------------------------------------------------------ shared ops
+    def diff(
+        self,
+        table: str,
+        key_cols: list[str],
+        old_version: int,
+        new_version: int | None = None,
+        compare_cols: list[str] | None = None,
+        include_values: bool = False,
+    ) -> DataFrame:
+        """Keyed change capture between two retained versions of a
+        table (``new_version=None`` = the current state) — the parquet
+        stand-in for Iceberg's changelog scan. ``include_values=True``
+        carries after-images so the result feeds
+        ``operators.diff.apply_changes`` (see snapshot_diff for
+        semantics and scale shape)."""
+        from ..operators.diff import snapshot_diff
+
+        return snapshot_diff(
+            self.read(table, version=old_version),
+            self.read(table, version=new_version),
+            key_cols,
+            compare_cols=compare_cols,
+            include_values=include_values,
+        )
+
+    def replace_keys(
+        self,
+        table: str,
+        staging_table: str,
+        keys: DataFrame,
+        key_col: str = "conv_id",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Key-level merge: rows of ``table`` whose ``key_col`` appears
+        in ``keys`` are replaced by the contents of ``staging_table``
+        (which holds the recomputed rows for exactly those keys).
+
+        Iceberg analog: MERGE INTO / DELETE WHERE key IN (...) +
+        APPEND, file-pruned by the key-bucket partition spec — a
+        metadata+affected-files operation. The parquet stand-in
+        rewrites the table (anti-join ∪ staging) behind the same
+        atomic commit; the CALLER's semantics are identical.
+
+        Idempotent: re-running the same merge with the same staging
+        contents yields the same table (anti-join removes the
+        previously merged rows first)."""
+        staged = self.read(staging_table)
+        if self.exists(table):
+            old = self.read(table)
+            merged = old.join(keys, key_col, "left_anti").unionByName(staged)
+        else:
+            merged = staged
+        self.write(merged, table, partition_by=partition_by)
+
+    def compact(
+        self,
+        table: str,
+        target_file_mb: int = 256,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction: rewrite ``table`` into
+        ceil(bytes / target_file_mb) files behind the same atomic
+        commit.
+
+        Fan-out sinks accumulate one file per (task, partition value)
+        per run — at 10^12-turn scale that is millions of KB-sized
+        files, and scan planning cost grows with file count, so
+        periodic compaction is part of the operating contract.
+        Iceberg analog: the ``rewrite_data_files`` maintenance action
+        (bin-packs small files into target-sized ones at snapshot
+        level). For partitioned tables pass ``partition_by`` — rows
+        are clustered on the partition columns so each output task
+        writes whole partition files instead of a sliver per partition
+        value."""
+        files_before, total_bytes = self._table_file_stats(table)
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        df = self.read(table)
+        if partition_by:
+            df = df.repartition(n_files, *partition_by)
+        else:
+            df = df.repartition(n_files)
+        self.write(df, table, partition_by=partition_by)
+        return {
+            "table": table,
+            "files_before": files_before,
+            "target_files": int(n_files),
+            "bytes": total_bytes,
+        }
+
+    def _validate_append(
+        self, df: DataFrame, table: str, merge_schema: bool
+    ) -> bool:
+        """Shared append-time schema validation (Iceberg write-schema
+        check). Returns whether this batch EVOLVES the schema. A
+        column present on both sides must keep its exact type except
+        the Iceberg-safe widenings (see ``_SAFE_WIDENINGS``): with
+        ``merge_schema=True`` an int→long / float→double batch column
+        is accepted and read back widened; everything else raises."""
+        cur_types = {f.name: f.dataType for f in self.read(table).schema.fields}
+        new_types = {f.name: f.dataType for f in df.schema.fields}
+        shared = cur_types.keys() & new_types.keys()
+        conflicts = {c for c in shared if cur_types[c] != new_types[c]}
+        widenings = {
+            c
+            for c in conflicts
+            if (
+                cur_types[c].simpleString(),
+                new_types[c].simpleString(),
+            )
+            in _SAFE_WIDENINGS
+            or (
+                new_types[c].simpleString(),
+                cur_types[c].simpleString(),
+            )
+            in _SAFE_WIDENINGS
+        }
+        hard = conflicts - widenings
+        if hard:
+            raise ValueError(
+                f"column type changes not supported in append: {sorted(hard)}"
+            )
+        evolves = bool(conflicts) or cur_types.keys() != new_types.keys()
+        if evolves and not merge_schema:
+            raise ValueError(
+                f"schema mismatch appending to {table!r} "
+                f"(batch adds {sorted(new_types.keys() - cur_types.keys())}, "
+                f"omits {sorted(cur_types.keys() - new_types.keys())}, "
+                f"widens {sorted(conflicts)}); "
+                "pass merge_schema=True to evolve"
+            )
+        return evolves
+
+    # ------------------------------------------------- strategy hooks
+    def exists(self, table: str) -> bool:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        raise NotImplementedError  # pragma: no cover - abstract
+
+    def write(self, df, table, partition_by=None) -> None:
+        raise NotImplementedError  # pragma: no cover - abstract
+
+    def _table_file_stats(self, table: str) -> tuple[int, int]:
+        raise NotImplementedError  # pragma: no cover - abstract
+
+    # ----------------------------------------------------------- bucketing
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: str,
+        n_buckets: int = 32,
+        sort_by: tuple[str, ...] | None = None,
+    ) -> str:
+        """Write ``table`` hash-bucketed on ``bucket_by`` (optionally
+        sorted within buckets) and register it in the session catalog —
+        the layout that makes every later equi-join / groupBy on the
+        bucket key SHUFFLE-FREE: two tables bucketed on the same key
+        with the same bucket count sort-merge-join with zero Exchange
+        on either side (asserted in tests), and with ``sort_by`` on the
+        join key the per-task sort disappears too.
+
+        This is how the 10^12-turn deployment co-locates the sequenced
+        table with per-conversation side tables (tree edges, verify
+        output, incremental deltas): pay the conv_id shuffle ONCE at
+        write time, never again across runs. Iceberg analog: a
+        ``bucket(N, conv_id)`` partition transform + sorted data files
+        with storage-partitioned joins; the parquet stand-in uses the
+        session-catalog bucketed-table support (metadata lives in the
+        session catalog, so a NEW session must re-register — Iceberg
+        makes it durable). Strategy-independent: the bucketed layout
+        is Spark-committer-managed at ``<root>/<table>.bucketed``.
+
+        Returns the registered table identifier.
+        """
+        ident = "o2pv_" + "".join(
+            ch if ch.isalnum() else "_" for ch in table
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        path = self.path(table + ".bucketed")
+        shutil.rmtree(path, ignore_errors=True)
+        w = (
+            df.write.format(self.fmt)
+            .mode("overwrite")
+            .bucketBy(n_buckets, bucket_by)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.option("path", path).saveAsTable(ident)
+        return ident
+
+    def register_bucketed(
+        self,
+        table: str,
+        bucket_by: str,
+        n_buckets: int,
+        sort_by: tuple[str, ...] | None = None,
+    ) -> str:
+        """Re-attach a committed ``write_bucketed`` layout in a FRESH
+        session: the parquet stand-in keeps bucket metadata in the
+        session catalog, so a new session (e.g. a crash-resumed job)
+        must recreate the table entry over the already-committed files
+        — the data files carry their bucket ids, only the metadata was
+        lost. CREATE TABLE ... CLUSTERED BY over the existing location
+        restores the layout contract, so downstream joins/groupBys on
+        the bucket key stay shuffle-free across restarts (Iceberg's
+        bucket transform makes this durable without the re-attach).
+        No-op if the table is already registered."""
+        ident = "o2pv_" + "".join(
+            ch if ch.isalnum() else "_" for ch in table
+        )
+        path = self.path(table + ".bucketed")
+        schema = self.spark.read.format(self.fmt).load(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        sorted_sql = (
+            f"SORTED BY ({', '.join(sort_by)}) " if sort_by else ""
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {ident} ({cols}) "
+            f"USING {self.fmt} "
+            f"CLUSTERED BY ({bucket_by}) {sorted_sql}"
+            f"INTO {int(n_buckets)} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return ident
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Read a table written by ``write_bucketed`` WITH its bucket
+        metadata (a plain parquet read of the same files would lose the
+        layout and reintroduce the shuffle)."""
+        ident = "o2pv_" + "".join(
+            ch if ch.isalnum() else "_" for ch in table
+        )
+        return self.spark.table(ident)
+
+
+# Iceberg's safe primitive widenings (spec §Schema Evolution): stored as
+# (narrow, wide) simpleString pairs. A batch may be on EITHER side — the
+# table schema widens to the wider of the two and old files project up.
+_SAFE_WIDENINGS = {
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _widened(cur, new):
+    """Union schema column type: the wider of the two when they differ
+    by a safe widening (validated upstream), else the shared type."""
+    if cur == new:
+        return cur
+    pair = (cur.simpleString(), new.simpleString())
+    if pair in _SAFE_WIDENINGS:
+        return new
+    return cur  # (new, cur) in _SAFE_WIDENINGS — table already wider
+
+
+def _union_schema(cur, new):
+    """Union (evolved) table schema: current fields (widened where the
+    batch widens them), then batch-only fields. This is what an
+    Iceberg table's metadata schema becomes after the same evolution;
+    readers apply it EXPLICITLY (Spark's parquet reader promotes
+    int32→int64 / float→double per file under an explicit schema —
+    verified; ``mergeSchema`` would refuse the merge)."""
+    from pyspark.sql import types as T
+
+    new_by = {f.name: f for f in new.fields}
+    fields = [
+        T.StructField(
+            f.name,
+            _widened(f.dataType, new_by[f.name].dataType)
+            if f.name in new_by
+            else f.dataType,
+            True,
+        )
+        for f in cur.fields
+    ]
+    cur_names = {f.name for f in cur.fields}
+    fields += [
+        T.StructField(f.name, f.dataType, True)
+        for f in new.fields
+        if f.name not in cur_names
+    ]
+    return T.StructType(fields)
+
+
+class PosixCatalog(_CatalogBase):
+    """Temp-dir + atomic DIRECTORY rename strategy (POSIX semantics:
+    ``os.rename`` of directories, hardlink re-reference on append).
+    The default in this sandbox; NOT object-store safe — use the
+    ``manifest`` strategy there."""
+
+    strategy = "posix"
 
     # ------------------------------------------------- snapshot history
     def _snap_dir(self, table: str) -> str:
@@ -142,7 +475,17 @@ class Catalog:
             if not os.path.isdir(src):
                 raise ValueError(f"no snapshot v{version} of table {table!r}")
         r = self.spark.read
-        if os.path.exists(os.path.join(src, "_evolved")):
+        sj = os.path.join(src, "_schema.json")
+        if os.path.exists(sj):
+            # evolved table: read with the EXPLICIT union schema (the
+            # Iceberg metadata schema) — handles added/omitted columns
+            # (NULL projection) and safe widenings (per-file int→long /
+            # float→double promotion), which mergeSchema cannot
+            from pyspark.sql import types as T
+
+            with open(sj) as fh:
+                r = r.schema(T.StructType.fromJson(json.load(fh)))
+        elif os.path.exists(os.path.join(src, "_evolved")):
             r = r.option("mergeSchema", "true")
         return r.parquet(src)
 
@@ -163,10 +506,12 @@ class Catalog:
         read-time projection of old files against the evolved schema.
         The table is marked evolved so ``read`` merges parquet footers
         (unevolved tables keep the cheap single-footer read). A column
-        present on both sides must keep its exact type (Iceberg allows
-        only safe widenings; the stand-in allows none — widen by
-        rewriting). Without ``merge_schema``, any schema difference
-        raises, mirroring Iceberg's write-schema validation.
+        present on both sides must keep its exact type except the
+        Iceberg-safe widenings (int→long, float→double, date→timestamp
+        — accepted with ``merge_schema=True``; parquet's merged read
+        resolves them footer-side). Without ``merge_schema``, any
+        schema difference raises, mirroring Iceberg's write-schema
+        validation.
 
         Unpartitioned tables only: appending loose files at the root
         of a hive-partitioned layout would corrupt partition discovery
@@ -183,25 +528,8 @@ class Catalog:
                 f"append targets unpartitioned tables; {table!r} is "
                 "hive-partitioned (use replace_keys/commit_fanout_split)"
             )
-        cur_types = {f.name: f.dataType for f in self.read(table).schema.fields}
-        new_types = {f.name: f.dataType for f in df.schema.fields}
-        shared_conflicts = {
-            c for c in cur_types.keys() & new_types.keys()
-            if cur_types[c] != new_types[c]
-        }
-        if shared_conflicts:
-            raise ValueError(
-                f"column type changes not supported in append: "
-                f"{sorted(shared_conflicts)}"
-            )
-        evolves = cur_types.keys() != new_types.keys()
-        if evolves and not merge_schema:
-            raise ValueError(
-                f"schema mismatch appending to {table!r} "
-                f"(batch adds {sorted(new_types.keys() - cur_types.keys())}, "
-                f"omits {sorted(cur_types.keys() - new_types.keys())}); "
-                "pass merge_schema=True to evolve"
-            )
+        evolves = self._validate_append(df, table, merge_schema)
+        union = _union_schema(self.read(table).schema, df.schema)
 
         self._sweep_stale(table)
         batch_tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
@@ -222,32 +550,11 @@ class Catalog:
         if evolves or os.path.exists(os.path.join(final, "_evolved")):
             with open(os.path.join(tmp, "_evolved"), "w") as fh:
                 fh.write("1")
+            # persist the union schema — the read-side contract for
+            # NULL projection of old files and safe type widenings
+            with open(os.path.join(tmp, "_schema.json"), "w") as fh:
+                json.dump(union.jsonValue(), fh)
         self._swap_in(tmp, table)
-
-    def diff(
-        self,
-        table: str,
-        key_cols: list[str],
-        old_version: int,
-        new_version: int | None = None,
-        compare_cols: list[str] | None = None,
-        include_values: bool = False,
-    ) -> DataFrame:
-        """Keyed change capture between two retained versions of a
-        table (``new_version=None`` = the current state) — the parquet
-        stand-in for Iceberg's changelog scan. ``include_values=True``
-        carries after-images so the result feeds
-        ``operators.diff.apply_changes`` (see snapshot_diff for
-        semantics and scale shape)."""
-        from ..operators.diff import snapshot_diff
-
-        return snapshot_diff(
-            self.read(table, version=old_version),
-            self.read(table, version=new_version),
-            key_cols,
-            compare_cols=compare_cols,
-            include_values=include_values,
-        )
 
     # ------------------------------------------------- commit mechanics
     def _sweep_stale(self, table: str) -> None:
@@ -349,8 +656,8 @@ class Catalog:
         then each staged partition directory swaps into the table
         (archive-and-rename, metadata-only). Each partition swap is
         atomic; the commit as a WHOLE is not (Iceberg's snapshot commit
-        is — documented stand-in gap, same class as the fanout-split
-        note in the module docstring). A crash mid-commit leaves some
+        is — documented stand-in gap; the ``manifest`` strategy closes
+        it with one pointer swap). A crash mid-commit leaves some
         partitions new and some old, and the sweep on the next write
         clears the staging remnant."""
         if not partition_by:
@@ -370,21 +677,7 @@ class Catalog:
         tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
 
-        # leaf partition dirs: one key=value path component per
-        # partition column (multi-level specs swap at LEAF grain — the
-        # dynamic-overwrite contract — not at the first level)
-        def _leaves(root: str, depth: int, rel: str = ""):
-            base = os.path.join(root, rel) if rel else root
-            for d in os.listdir(base):
-                if "=" not in d or not os.path.isdir(os.path.join(base, d)):
-                    continue
-                sub = os.path.join(rel, d) if rel else d
-                if depth == 1:
-                    yield sub
-                else:
-                    yield from _leaves(root, depth - 1, sub)
-
-        for leaf in _leaves(tmp, len(partition_by)):
+        for leaf in _leaf_partitions(tmp, len(partition_by)):
             dst = os.path.join(final, leaf)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if os.path.isdir(dst):
@@ -400,167 +693,417 @@ class Catalog:
                 os.rename(os.path.join(tmp, leaf), dst)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    def replace_keys(
-        self,
-        table: str,
-        staging_table: str,
-        keys: DataFrame,
-        key_col: str = "conv_id",
-        partition_by: list[str] | None = None,
-    ) -> None:
-        """Key-level merge: rows of ``table`` whose ``key_col`` appears
-        in ``keys`` are replaced by the contents of ``staging_table``
-        (which holds the recomputed rows for exactly those keys).
-
-        Iceberg analog: MERGE INTO / DELETE WHERE key IN (...) +
-        APPEND, file-pruned by the key-bucket partition spec — a
-        metadata+affected-files operation. The parquet stand-in
-        rewrites the table (anti-join ∪ staging) behind the same
-        atomic swap; the CALLER's semantics are identical.
-
-        Idempotent: re-running the same merge with the same staging
-        contents yields the same table (anti-join removes the
-        previously merged rows first)."""
-        staged = self.read(staging_table)
-        if self.exists(table):
-            old = self.read(table)
-            merged = old.join(keys, key_col, "left_anti").unionByName(staged)
-        else:
-            merged = staged
-        self.write(merged, table, partition_by=partition_by)
-
-    def compact(
-        self,
-        table: str,
-        target_file_mb: int = 256,
-        partition_by: list[str] | None = None,
-    ) -> dict:
-        """Small-file compaction: rewrite ``table`` into
-        ceil(bytes / target_file_mb) files behind the same atomic swap.
-
-        Fan-out sinks accumulate one file per (task, partition value)
-        per run — at 10^12-turn scale that is millions of KB-sized
-        files, and scan planning cost grows with file count, so
-        periodic compaction is part of the operating contract.
-        Iceberg analog: the ``rewrite_data_files`` maintenance action
-        (bin-packs small files into target-sized ones at snapshot
-        level); the parquet stand-in measures the directory and
-        repartitions through the atomic-replace path. For partitioned
-        tables pass ``partition_by`` — rows are clustered on the
-        partition columns so each output task writes whole partition
-        files instead of a sliver per partition value."""
-        p = self.path(table)
-        files_before = 0
-        total_bytes = 0
-        for dirpath, _dirnames, filenames in os.walk(p):
+    def _table_file_stats(self, table: str) -> tuple[int, int]:
+        files = 0
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(self.path(table)):
             for f in filenames:
                 if f.endswith(".parquet"):
-                    files_before += 1
-                    total_bytes += os.path.getsize(os.path.join(dirpath, f))
-        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-        df = self.read(table)
-        if partition_by:
-            df = df.repartition(n_files, *partition_by)
-        else:
-            df = df.repartition(n_files)
-        self.write(df, table, partition_by=partition_by)
-        return {
-            "table": table,
-            "files_before": files_before,
-            "target_files": int(n_files),
-            "bytes": total_bytes,
-        }
+                    files += 1
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return files, total
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
-    # ----------------------------------------------------------- bucketing
-    def write_bucketed(
+
+def _leaf_partitions(root: str, depth: int, rel: str = ""):
+    """Leaf partition dirs: one key=value path component per partition
+    column (multi-level specs operate at LEAF grain — the
+    dynamic-overwrite contract — not at the first level)."""
+    base = os.path.join(root, rel) if rel else root
+    for d in os.listdir(base):
+        if "=" not in d or not os.path.isdir(os.path.join(base, d)):
+            continue
+        sub = os.path.join(rel, d) if rel else d
+        if depth == 1:
+            yield sub
+        else:
+            yield from _leaf_partitions(root, depth - 1, sub)
+
+
+class ManifestCatalog(_CatalogBase):
+    """Object-store-safe strategy: immutable staged data directories +
+    per-version manifest JSON + one atomic single-file pointer swap.
+
+    Layout under the catalog root::
+
+        _data/<table>/s-<uuid>/...      immutable staged parquet dirs
+        _meta/<table>/v<N>.json         manifest per committed version
+        _meta/<table>/VERSION           current-version pointer file
+
+    No hardlinks. No directory renames. The ONLY rename anywhere is
+    ``os.replace`` of the single VERSION pointer file — the POSIX
+    emulation of an object store's atomic conditional PUT (real
+    Iceberg: the catalog's compare-and-swap of the metadata pointer).
+    A crash at ANY point leaves the current version fully intact:
+    staged dirs and manifest files are invisible until the pointer
+    names them, and orphans are garbage-collected by the next commit's
+    expiry pass.
+
+    Note on Spark's own committer: ``df.write.parquet(staged_dir)``
+    internally uses a Hadoop output committer whose default also
+    renames; on a real object store you pair this strategy with the
+    S3A magic committer / direct cloud committer (a spark-submit
+    conf, not a code change). The CATALOG layer — the part this class
+    owns — performs no directory renames of its own.
+    """
+
+    strategy = "manifest"
+
+    # --------------------------------------------------------- layout
+    def _meta_dir(self, table: str) -> str:
+        return os.path.join(self.root, "_meta", table)
+
+    def _data_dir(self, table: str) -> str:
+        return os.path.join(self.root, "_data", table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._meta_dir(table), "VERSION")
+
+    def _new_stage(self, table: str) -> str:
+        d = os.path.join(self._data_dir(table), "s-" + uuid.uuid4().hex[:12])
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        return d
+
+    def _current_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _manifest_path(self, table: str, version: int) -> str:
+        return os.path.join(self._meta_dir(table), f"v{version}.json")
+
+    def _load_manifest(self, table: str, version: int | None = None) -> dict:
+        if version is None:
+            version = self._current_version(table)
+            if version is None:
+                raise ValueError(f"table {table!r} does not exist")
+        p = self._manifest_path(table, version)
+        if not os.path.isfile(p):
+            raise ValueError(f"no snapshot v{version} of table {table!r}")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _commit(
         self,
-        df: DataFrame,
         table: str,
-        bucket_by: str,
-        n_buckets: int = 32,
-        sort_by: tuple[str, ...] | None = None,
-    ) -> str:
-        """Write ``table`` hash-bucketed on ``bucket_by`` (optionally
-        sorted within buckets) and register it in the session catalog —
-        the layout that makes every later equi-join / groupBy on the
-        bucket key SHUFFLE-FREE: two tables bucketed on the same key
-        with the same bucket count sort-merge-join with zero Exchange
-        on either side (asserted in tests), and with ``sort_by`` on the
-        join key the per-task sort disappears too.
+        entries: list[dict],
+        evolved: bool,
+        partition_by: list[str] | None,
+        schema: dict | None = None,
+    ) -> None:
+        """Write manifest v(N+1), swap the pointer file atomically,
+        expire history beyond ``keep_snapshots`` and GC unreferenced
+        staged dirs. The pointer swap is the commit point: everything
+        before it is invisible, everything after it is cleanup."""
+        meta = self._meta_dir(table)
+        os.makedirs(meta, exist_ok=True)
+        nxt = (self._current_version(table) or 0) + 1
+        man = {
+            "version": nxt,
+            "entries": entries,
+            "evolved": bool(evolved),
+            "partition_by": partition_by,
+            "schema": schema,
+        }
+        man_path = self._manifest_path(table, nxt)
+        man_tmp = man_path + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(man_tmp, "w") as fh:
+            json.dump(man, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(man_tmp, man_path)  # single-file atomic
+        ptr_tmp = self._pointer(table) + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(ptr_tmp, "w") as fh:
+            fh.write(str(nxt))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptr_tmp, self._pointer(table))  # THE commit point
+        self.expire_snapshots(table)
 
-        This is how the 10^12-turn deployment co-locates the sequenced
-        table with per-conversation side tables (tree edges, verify
-        output, incremental deltas): pay the conv_id shuffle ONCE at
-        write time, never again across runs. Iceberg analog: a
-        ``bucket(N, conv_id)`` partition transform + sorted data files
-        with storage-partitioned joins; the parquet stand-in uses the
-        session-catalog bucketed-table support (metadata lives in the
-        session catalog, so a NEW session must re-register — Iceberg
-        makes it durable).
-
-        Returns the registered table identifier.
-        """
-        ident = "o2pv_" + "".join(
-            ch if ch.isalnum() else "_" for ch in table
+    # ------------------------------------------------ snapshot history
+    def snapshots(self, table: str) -> list[int]:
+        """Retained PREVIOUS versions, oldest first (the current
+        version is not listed — same contract as the posix strategy)."""
+        d = self._meta_dir(table)
+        if not os.path.isdir(d):
+            return []
+        cur = self._current_version(table)
+        return sorted(
+            int(v[1:-5])
+            for v in os.listdir(d)
+            if v.startswith("v") and v.endswith(".json") and v[1:-5].isdigit()
+            and int(v[1:-5]) != cur
         )
-        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
-        path = self.path(table + ".bucketed")
-        shutil.rmtree(path, ignore_errors=True)
-        w = (
-            df.write.format(self.fmt)
-            .mode("overwrite")
-            .bucketBy(n_buckets, bucket_by)
-        )
-        if sort_by:
-            w = w.sortBy(*sort_by)
-        w.option("path", path).saveAsTable(ident)
-        return ident
 
-    def register_bucketed(
+    def expire_snapshots(self, table: str, keep: int | None = None) -> list[int]:
+        """Delete all but the newest ``keep`` previous manifests, then
+        garbage-collect staged dirs no retained manifest references.
+        References are resolved across ALL tables in this catalog
+        (commit_fanout_split makes two tables share one staged dir)."""
+        keep = self.keep_snapshots if keep is None else keep
+        versions = self.snapshots(table)
+        expired = versions[: max(0, len(versions) - keep)]
+        for v in expired:
+            try:
+                os.remove(self._manifest_path(table, v))
+            except OSError:
+                pass
+        self._gc_unreferenced(table)
+        return expired
+
+    def _stage_roots(self, man: dict) -> set[str]:
+        roots = set()
+        for e in man["entries"]:
+            p = e.get("base") or e["path"]
+            roots.add(os.path.normpath(p))
+        return roots
+
+    def _gc_unreferenced(self, table: str) -> None:
+        data = self._data_dir(table)
+        if not os.path.isdir(data):
+            return
+        referenced: set[str] = set()
+        meta_root = os.path.join(self.root, "_meta")
+        if os.path.isdir(meta_root):
+            for t in os.listdir(meta_root):
+                tdir = os.path.join(meta_root, t)
+                if not os.path.isdir(tdir):
+                    continue
+                for v in os.listdir(tdir):
+                    if not (v.startswith("v") and v.endswith(".json")):
+                        continue
+                    try:
+                        with open(os.path.join(tdir, v)) as fh:
+                            man = json.load(fh)
+                    except (OSError, json.JSONDecodeError):
+                        continue
+                    referenced |= self._stage_roots(man)
+        for d in os.listdir(data):
+            full = os.path.normpath(os.path.join(data, d))
+            if full not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
+
+    def rollback(self, table: str, version: int) -> None:
+        """Make ``version`` current again: a NEW manifest referencing
+        the old version's files (pure metadata — no data copied, the
+        exact Iceberg rollback), committed through the same pointer
+        swap; the pre-rollback state stays in the retained history."""
+        man = self._load_manifest(table, version)
+        self._commit(
+            table,
+            man["entries"],
+            man["evolved"],
+            man.get("partition_by"),
+            schema=man.get("schema"),
+        )
+
+    # ------------------------------------------------------- table ops
+    def exists(self, table: str) -> bool:
+        return self._current_version(table) is not None
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Assemble the DataFrame from the manifest's file references.
+        Entries sharing a ``base`` (partitioned tables — the base is
+        the staged dir, so hive partition columns survive) load in one
+        multi-path scan; groups from different commits union by name.
+        Evolved tables read with footer merging / missing-column
+        NULLs, exactly Iceberg's read-time projection."""
+        man = self._load_manifest(table, version)
+        groups: dict[str | None, list[str]] = {}
+        for e in man["entries"]:
+            groups.setdefault(e.get("base"), []).append(e["path"])
+        schema = None
+        if man.get("schema") is not None:
+            # evolved table: the manifest's union schema is the read
+            # contract (Iceberg's metadata schema) — NULL projection of
+            # files lacking a column, per-file promotion of safe
+            # widenings; mergeSchema could do neither
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(man["schema"])
+        dfs = []
+        for base, paths in sorted(
+            groups.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+        ):
+            r = self.spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            elif man["evolved"]:
+                r = r.option("mergeSchema", "true")
+            if base is not None:
+                r = r.option("basePath", base)
+            dfs.append(r.parquet(*sorted(paths)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=man["evolved"])
+        return out
+
+    def write(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Atomic replace: stage, then ONE pointer swap."""
+        stage = self._new_stage(table)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(stage)
+        if partition_by and not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(stage) for f in fs
+        ):
+            # empty partitioned write: commit an unpartitioned empty
+            # file with the schema (same reasoning as the posix path)
+            df.limit(0).write.mode("overwrite").parquet(stage)
+            partition_by = None
+        if partition_by:
+            entries = [
+                {"path": os.path.join(stage, leaf), "base": stage, "leaf": leaf}
+                for leaf in _leaf_partitions(stage, len(partition_by))
+            ]
+        else:
+            entries = [{"path": stage, "base": None}]
+        self._commit(table, entries, evolved=False, partition_by=partition_by)
+
+    def append(
+        self, df: DataFrame, table: str, merge_schema: bool = False
+    ) -> None:
+        """TRUE metadata append: the new manifest lists every previous
+        entry untouched plus the new batch's staged dir — no hardlink
+        emulation, no file copies, exactly Iceberg's append snapshot.
+        Schema evolution semantics are shared with the posix strategy
+        (``_validate_append``): adds/omissions and safe widenings with
+        ``merge_schema=True``, everything else raises."""
+        if not self.exists(table):
+            self.write(df, table)
+            return
+        man = self._load_manifest(table)
+        if man.get("partition_by"):
+            raise ValueError(
+                f"append targets unpartitioned tables; {table!r} is "
+                "hive-partitioned (use replace_keys/commit_fanout_split)"
+            )
+        evolves = self._validate_append(df, table, merge_schema)
+        union = _union_schema(self.read(table).schema, df.schema)
+        stage = self._new_stage(table)
+        df.write.mode("overwrite").parquet(stage)
+        entries = list(man["entries"]) + [{"path": stage, "base": None}]
+        evolved = man["evolved"] or evolves
+        self._commit(
+            table,
+            entries,
+            evolved=evolved,
+            partition_by=None,
+            schema=union.jsonValue() if evolved else None,
+        )
+
+    def commit_fanout_split(
         self,
+        routed_all: DataFrame,
         table: str,
-        bucket_by: str,
-        n_buckets: int,
-        sort_by: tuple[str, ...] | None = None,
-    ) -> str:
-        """Re-attach a committed ``write_bucketed`` layout in a FRESH
-        session: the parquet stand-in keeps bucket metadata in the
-        session catalog, so a new session (e.g. a crash-resumed job)
-        must recreate the table entry over the already-committed files
-        — the data files carry their bucket ids, only the metadata was
-        lost. CREATE TABLE ... CLUSTERED BY over the existing location
-        restores the layout contract, so downstream joins/groupBys on
-        the bucket key stay shuffle-free across restarts (Iceberg's
-        bucket transform makes this durable without the re-attach).
-        No-op if the table is already registered."""
-        ident = "o2pv_" + "".join(
-            ch if ch.isalnum() else "_" for ch in table
-        )
-        path = self.path(table + ".bucketed")
-        schema = self.spark.read.format(self.fmt).load(path).schema
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-        )
-        sorted_sql = (
-            f"SORTED BY ({', '.join(sort_by)}) " if sort_by else ""
-        )
-        self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {ident} ({cols}) "
-            f"USING {self.fmt} "
-            f"CLUSTERED BY ({bucket_by}) {sorted_sql}"
-            f"INTO {int(n_buckets)} BUCKETS "
-            f"LOCATION '{path}'"
-        )
-        return ident
+        rejects_table: str,
+        reject_prefix: str = REJECT_SINK_PREFIX,
+    ) -> None:
+        """One staged dynamic-partition write; the reject partitions
+        become the rejects table PURELY at manifest level (both tables'
+        manifests reference slices of the same immutable staged dir —
+        the partition-level REPLACE of the Iceberg analog with zero
+        file moves). Two pointer swaps commit the two tables (rejects
+        first, so a crash between them is re-driven by the caller's
+        run-manifest, same as the posix strategy)."""
+        stage = self._new_stage(table)
+        routed_all.write.mode("overwrite").partitionBy("sink").parquet(stage)
+        rej_entries: list[dict] = []
+        main_entries: list[dict] = []
+        for d in sorted(os.listdir(stage)):
+            if "=" not in d or not os.path.isdir(os.path.join(stage, d)):
+                continue
+            entry = {"path": os.path.join(stage, d), "base": stage, "leaf": d}
+            # reject_prefix matches the DIRECTORY name ("sink=__reject_")
+            if d.startswith(reject_prefix):
+                rej_entries.append(entry)
+            else:
+                main_entries.append(entry)
+        if rej_entries:
+            self._commit(rejects_table, rej_entries, False, ["sink"])
+        else:
+            rstage = self._new_stage(rejects_table)
+            routed_all.limit(0).write.mode("overwrite").parquet(rstage)
+            self._commit(
+                rejects_table, [{"path": rstage, "base": None}], False, None
+            )
+        self._commit(table, main_entries, False, ["sink"])
 
-    def read_bucketed(self, table: str) -> DataFrame:
-        """Read a table written by ``write_bucketed`` WITH its bucket
-        metadata (a plain parquet read of the same files would lose the
-        layout and reintroduce the shuffle)."""
-        ident = "o2pv_" + "".join(
-            ch if ch.isalnum() else "_" for ch in table
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
+        """Dynamic partition overwrite as ONE atomic commit: the new
+        manifest carries the staged leaves for partition values present
+        in ``df`` and the previous manifest's entries for every other
+        leaf — a single pointer swap, so (unlike the posix strategy's
+        per-partition swaps) a crash can never leave a half-restated
+        table. This is Iceberg's dynamic INSERT OVERWRITE exactly."""
+        if not partition_by:
+            raise ValueError("overwrite_partitions requires partition columns")
+        if not self.exists(table):
+            self.write(df, table, partition_by=partition_by)
+            return
+        man = self._load_manifest(table)
+        if not man.get("partition_by"):
+            raise ValueError(
+                f"{table!r} is not hive-partitioned; use write() to replace it"
+            )
+        stage = self._new_stage(table)
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(stage)
+        merged = {e["leaf"]: e for e in man["entries"]}
+        for leaf in _leaf_partitions(stage, len(partition_by)):
+            merged[leaf] = {
+                "path": os.path.join(stage, leaf),
+                "base": stage,
+                "leaf": leaf,
+            }
+        self._commit(
+            table,
+            [merged[k] for k in sorted(merged)],
+            man["evolved"],
+            partition_by,
+            schema=man.get("schema"),
         )
-        return self.spark.table(ident)
+
+    def _table_file_stats(self, table: str) -> tuple[int, int]:
+        man = self._load_manifest(table)
+        files = 0
+        total = 0
+        for e in man["entries"]:
+            for dirpath, _dirnames, filenames in os.walk(e["path"]):
+                for f in filenames:
+                    if f.endswith(".parquet"):
+                        files += 1
+                        total += os.path.getsize(os.path.join(dirpath, f))
+        return files, total
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._meta_dir(table), ignore_errors=True)
+        shutil.rmtree(self._data_dir(table), ignore_errors=True)
+
+
+def Catalog(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    keep_snapshots: int = 0,
+    strategy: str | None = None,
+):
+    """Factory: pick the commit strategy. ``strategy`` argument wins,
+    else env ``SPARK_GRAFT_CATALOG`` (``posix`` | ``manifest``),
+    else ``posix``. Returned objects share the full table API."""
+    strategy = strategy or os.environ.get("SPARK_GRAFT_CATALOG", "posix")
+    if strategy == "manifest":
+        return ManifestCatalog(spark, root, fmt=fmt, keep_snapshots=keep_snapshots)
+    if strategy == "posix":
+        return PosixCatalog(spark, root, fmt=fmt, keep_snapshots=keep_snapshots)
+    raise ValueError(
+        f"unknown catalog strategy {strategy!r} (expected 'posix' or 'manifest')"
+    )

@@ -21,3 +21,36 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def read_table(spark, root, tbl):
+    """Read a catalog table strategy-agnostically (tests must not
+    assume the posix physical layout — the manifest strategy keeps
+    data in staged dirs named by the manifest)."""
+    from otel2pv_spark.sources.catalog import Catalog
+
+    return Catalog(spark, str(root)).read(tbl)
+
+
+def table_mtime_fingerprint(spark, root, tbl):
+    """Data-file mtimes of a committed table, strategy-agnostic — the
+    'was this table rewritten?' probe for resume tests."""
+    from otel2pv_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(root))
+    if cat.strategy == "posix":
+        base = cat.path(tbl)
+        out = {}
+        for dp, _dirs, fs in os.walk(base):
+            for f in fs:
+                p = os.path.join(dp, f)
+                out[os.path.relpath(p, base)] = os.path.getmtime(p)
+        return out
+    man = cat._load_manifest(tbl)
+    out = {}
+    for e in man["entries"]:
+        for dp, _dirs, fs in os.walk(e["path"]):
+            for f in fs:
+                p = os.path.join(dp, f)
+                out[p] = os.path.getmtime(p)
+    return out

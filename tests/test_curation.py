@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from conftest import read_table
 from otel2pv_spark.entry_queries import PII_TAIL, docs_fixture, eval_fixture
 from otel2pv_spark.plans import curation
 
@@ -44,8 +45,8 @@ def test_run_curation_commits_and_resumes(spark, tmp_path):
     for reason in ["duplicate", "quality", "near_dup", "contaminated", "sampled_out"]:
         assert res["by_reason"].get(reason, 0) > 0, res["by_reason"]
 
-    clean = spark.read.parquet(str(tmp_path / "cur" / "clean_docs"))
-    audit = spark.read.parquet(str(tmp_path / "cur" / "audit"))
+    clean = read_table(spark, tmp_path / "cur", "clean_docs")
+    audit = read_table(spark, tmp_path / "cur", "audit")
     assert clean.count() == res["n_kept"]
     # clean docs are scrubbed (PII placeholders, no raw emails) and packed
     assert clean.filter(F.col("text").contains("bob@example.com")).count() == 0
@@ -55,7 +56,7 @@ def test_run_curation_commits_and_resumes(spark, tmp_path):
     assert audit.count() == res["n_in"]
     assert audit.filter("kept").join(clean, "doc_id").count() == res["n_kept"]
     # stats table has per-split rows + a grand total that matches
-    stats = spark.read.parquet(str(tmp_path / "cur" / "_corpus_stats"))
+    stats = read_table(spark, tmp_path / "cur", "_corpus_stats")
     total = stats.filter("grouping_level = 1").collect()
     assert len(total) == 1 and total[0]["n_docs"] == res["n_kept"]
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from otel2pv_spark import datagen
+from conftest import read_table, table_mtime_fingerprint
 from otel2pv_spark.plans import pipeline
 
 
@@ -56,22 +57,22 @@ def test_incremental_matches_full(spark, sf_dir, tmp_path):
         "conv_id", "turn_idx", "sink", "event_id", "previous_event_ids",
         "verified", "sequenceable", "is_duplicate",
     ]
-    a = spark.read.parquet(str(tmp_path / "incr" / "sequenced_events"))
-    b = spark.read.parquet(str(tmp_path / "full" / "sequenced_events"))
+    a = read_table(spark, tmp_path / "incr", "sequenced_events")
+    b = read_table(spark, tmp_path / "full", "sequenced_events")
     assert _rows(a, out_cols) == _rows(b, out_cols)
 
     rej_cols = ["conv_id", "turn_idx", "reject_reason"]
-    ra = spark.read.parquet(str(tmp_path / "incr" / "rejects"))
-    rb = spark.read.parquet(str(tmp_path / "full" / "rejects"))
+    ra = read_table(spark, tmp_path / "incr", "rejects")
+    rb = read_table(spark, tmp_path / "full", "rejects")
     assert _rows(ra, rej_cols) == _rows(rb, rej_cols)
 
     ma = {
         (r.sink, r.rows)
-        for r in spark.read.parquet(str(tmp_path / "incr" / "_metrics")).collect()
+        for r in read_table(spark, tmp_path / "incr", "_metrics").collect()
     }
     mb = {
         (r.sink, r.rows)
-        for r in spark.read.parquet(str(tmp_path / "full" / "_metrics")).collect()
+        for r in read_table(spark, tmp_path / "full", "_metrics").collect()
     }
     assert ma == mb
 
@@ -88,14 +89,14 @@ def test_incremental_idempotent_rerun(spark, sf_dir, tmp_path):
         spark, tr, pipeline.PipelineConfig(out_root=root, run_id="d1"), convs
     )
     first = _rows(
-        spark.read.parquet(f"{root}/sequenced_events"),
+        read_table(spark, root, "sequenced_events"),
         ["conv_id", "turn_idx", "sink", "event_id"],
     )
     pipeline.run_incremental(
         spark, tr, pipeline.PipelineConfig(out_root=root, run_id="d2"), convs
     )
     second = _rows(
-        spark.read.parquet(f"{root}/sequenced_events"),
+        read_table(spark, root, "sequenced_events"),
         ["conv_id", "turn_idx", "sink", "event_id"],
     )
     assert first == second
@@ -142,8 +143,8 @@ def test_refresh_dims_matches_full_recompute(spark, sf_dir, tmp_path):
         "conv_id", "turn_idx", "sink", "event_id", "previous_event_ids",
         "verified", "sequenceable", "is_duplicate",
     ]
-    a = spark.read.parquet(str(tmp_path / "dimr" / "sequenced_events"))
-    b = spark.read.parquet(str(tmp_path / "dimf" / "sequenced_events"))
+    a = read_table(spark, tmp_path / "dimr", "sequenced_events")
+    b = read_table(spark, tmp_path / "dimf", "sequenced_events")
     assert _rows(a, out_cols) == _rows(b, out_cols)
     # the refresh actually moved rows (non-vacuous)
     assert a.filter(
@@ -186,12 +187,12 @@ def test_refresh_dims_unreferenced_key_skips_rewrite(spark, sf_dir, tmp_path):
         spark, tr,
         pipeline.PipelineConfig(out_root=str(tmp_path / "dimg"), run_id="base"),
     )
-    seq_dir = str(tmp_path / "dimg" / "sequenced_events")
-    before = os.path.getmtime(seq_dir)
+    root = str(tmp_path / "dimg")
+    before = table_mtime_fingerprint(spark, root, "sequenced_events")
     res = pipeline.refresh_dims(
         spark, tr,
-        pipeline.PipelineConfig(out_root=str(tmp_path / "dimg"), run_id="ghost"),
+        pipeline.PipelineConfig(out_root=root, run_id="ghost"),
         old_dim, new_dim,
     )
     assert res == {"changed_dim_keys": 1, "recomputed_convs": 0}
-    assert os.path.getmtime(seq_dir) == before
+    assert table_mtime_fingerprint(spark, root, "sequenced_events") == before

@@ -8,6 +8,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from conftest import table_mtime_fingerprint
 from otel2pv_spark import datagen
 from otel2pv_spark.operators import aggregate as agg_op
 from otel2pv_spark.operators import pattern as pat_op
@@ -102,9 +103,9 @@ def test_resume_skips_committed_steps_mid_run(spark, tmp_path, sf_dir):
     assert res1["n_bursts"] >= 0
 
     out = str(tmp_path / "obs3")
-    mtime_before = os.path.getmtime(os.path.join(out, "obs_rollup"))
+    mtime_before = table_mtime_fingerprint(spark, out, "obs_rollup")
     res2 = obs.run_observability(spark, ev, cfg)
-    assert os.path.getmtime(os.path.join(out, "obs_rollup")) == mtime_before
+    assert table_mtime_fingerprint(spark, out, "obs_rollup") == mtime_before
     assert res2["committed"] == res1["committed"]
 
 

@@ -46,19 +46,22 @@ def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
     cfg = pipeline.PipelineConfig(out_root=str(tmp_path / "out"))
     res = pipeline.run_from_events(spark, sf_dir, cfg)
     assert res["rows"] > 0
-    out = spark.read.parquet(str(tmp_path / "out" / "sequenced_events"))
+    from otel2pv_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "out"))
+    out = cat.read("sequenced_events")
     # every routable row landed in exactly one sink partition
     assert out.count() == res["rows"]
     assert set(r.sink for r in out.select("sink").distinct().collect()) <= set(
         pipeline.KNOWN_SINKS
     )
     # metrics match the fanout
-    met = spark.read.parquet(str(tmp_path / "out" / "_metrics"))
+    met = cat.read("_metrics")
     agg = {r.sink: r.rows for r in met.collect()}
     actual = {r.sink: r["count"] for r in out.groupBy("sink").count().collect()}
     assert agg == actual
     # rejects hold the malformed rows
-    rej = spark.read.parquet(str(tmp_path / "out" / "rejects"))
+    rej = cat.read("rejects")
     assert rej.filter("reject_reason = 'invalid_parse'").count() > 0
     # parse + rejects partition the input
     assert res["rows"] + rej.count() == 1000
@@ -122,9 +125,12 @@ def test_tree_mode_matches_window_mode(spark, sf_dir):
 def test_tree_mode_run_end_to_end(spark, sf_dir, tmp_path):
     cfg = pipeline.PipelineConfig(out_root=str(tmp_path / "out"), tree_mode=True)
     res = pipeline.run_from_events(spark, sf_dir, cfg)
-    out = spark.read.parquet(str(tmp_path / "out" / "sequenced_events"))
+    from otel2pv_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "out"))
+    out = cat.read("sequenced_events")
     assert out.count() == res["rows"] > 0
-    rej = spark.read.parquet(str(tmp_path / "out" / "rejects"))
+    rej = cat.read("rejects")
     assert res["rows"] + rej.count() == 1000
 
 
@@ -151,19 +157,20 @@ def test_catalog_compact(spark, tmp_path):
         (F.col("id") % 4).cast("string").alias("sink"),
     )
     cat.write(df.repartition(32), "flat")
-    assert len(glob.glob(f"{tmp_path}/flat/*.parquet")) == 32
+    assert cat._table_file_stats("flat")[0] == 32
     stats = cat.compact("flat", target_file_mb=256)
     assert stats["files_before"] == 32 and stats["target_files"] == 1
-    assert len(glob.glob(f"{tmp_path}/flat/*.parquet")) == 1
+    assert cat._table_file_stats("flat")[0] == 1
+    if cat.strategy == "posix":
+        assert len(glob.glob(f"{tmp_path}/flat/*.parquet")) == 1
     assert cat.read("flat").count() == 10_000
     assert sorted(r["id"] for r in cat.read("flat").collect()) == list(range(10_000))
 
     cat.write(df.repartition(16), "parted", partition_by=["sink"])
-    before = len(glob.glob(f"{tmp_path}/parted/sink=*/*.parquet"))
-    assert before == 64  # 16 tasks x 4 partition values
+    assert cat._table_file_stats("parted")[0] == 64  # 16 tasks x 4 values
     cat.compact("parted", target_file_mb=256, partition_by=["sink"])
-    after = glob.glob(f"{tmp_path}/parted/sink=*/*.parquet")
-    assert len(after) == 4  # clustered: one file per partition value
+    after = cat._table_file_stats("parted")[0]
+    assert after == 4  # clustered: one file per partition value
     assert cat.read("parted").groupBy("sink").count().count() == 4
     assert cat.read("parted").count() == 10_000
 
@@ -177,8 +184,11 @@ def test_per_turn_text_equality_stable_order(spark, sf_dir, tmp_path):
     cfg = pipeline.PipelineConfig(out_root=str(tmp_path / "out"))
     pipeline.run_from_events(spark, sf_dir, cfg)
     inp = datagen.transcripts_from_events(spark, sf_dir)
-    out = spark.read.parquet(str(tmp_path / "out" / "sequenced_events"))
-    rej = spark.read.parquet(str(tmp_path / "out" / "rejects"))
+    from otel2pv_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "out"))
+    out = cat.read("sequenced_events")
+    rej = cat.read("rejects")
 
     in_rows = {(r.conv_id, r.turn_idx): r.text for r in inp.collect()}
     out_rows = [(r.conv_id, r.turn_idx, r.text) for r in out.collect()]

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from otel2pv_spark.plans import pipeline
+from otel2pv_spark.sources.catalog import Catalog
 from otel2pv_spark.sources.manifest import RunManifest
 
 SF = "/root/testdata/sf0.001"
@@ -20,6 +21,21 @@ def _mtimes(root: str) -> dict[str, float]:
         for f in files:
             p = os.path.join(dirpath, f)
             out[os.path.relpath(p, root)] = os.path.getmtime(p)
+    return out
+
+
+def _table_mtimes(spark, root: str, tbl: str) -> dict:
+    """Data-file mtimes of a committed table, strategy-agnostic (the
+    posix strategy keeps files under the table dir; the manifest
+    strategy under immutable staged dirs named by the manifest)."""
+    cat = Catalog(spark, root)
+    if cat.strategy == "posix":
+        return _mtimes(cat.path(tbl))
+    man = cat._load_manifest(tbl)
+    out = {}
+    for e in man["entries"]:
+        for rel, t in _mtimes(e["path"]).items():
+            out[(e["path"], rel)] = t
     return out
 
 
@@ -46,25 +62,25 @@ def test_resume_after_partial_commit(spark, tmp_path):
         del state["committed"][step]
     with open(man_path, "w") as f:
         json.dump(state, f)
-    import shutil
-
-    shutil.rmtree(os.path.join(out_b, "_metrics"))
-    shutil.rmtree(os.path.join(out_b, "_lineage"))
-    fanout_before = _mtimes(os.path.join(out_b, "sequenced_events"))
+    cat_b = Catalog(spark, out_b)
+    cat_b.drop("_metrics")
+    cat_b.drop("_lineage")
+    fanout_before = _table_mtimes(spark, out_b, "sequenced_events")
 
     res = pipeline.run_from_events(
         spark, SF, pipeline.PipelineConfig(out_root=out_b, run_id="crash")
     )
     assert res["rows"] == full["rows"]
     # committed stages were NOT rewritten
-    assert _mtimes(os.path.join(out_b, "sequenced_events")) == fanout_before
+    assert _table_mtimes(spark, out_b, "sequenced_events") == fanout_before
     # resumed outputs identical to the uninterrupted run
+    cat_a = Catalog(spark, out_a)
     for tbl in ("sequenced_events", "rejects"):
-        a = spark.read.parquet(os.path.join(out_a, tbl))
-        b = spark.read.parquet(os.path.join(out_b, tbl))
+        a = cat_a.read(tbl)
+        b = cat_b.read(tbl)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    ma = {(r.sink, r.rows) for r in spark.read.parquet(os.path.join(out_a, "_metrics")).collect()}
-    mb = {(r.sink, r.rows) for r in spark.read.parquet(os.path.join(out_b, "_metrics")).collect()}
+    ma = {(r.sink, r.rows) for r in cat_a.read("_metrics").collect()}
+    mb = {(r.sink, r.rows) for r in cat_b.read("_metrics").collect()}
     assert ma == mb
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import table_mtime_fingerprint
 from otel2pv_spark.entry_queries import BM25_QUERIES, _docs
 from otel2pv_spark.functions import rerank as rr
 from otel2pv_spark.functions import textstats as ts
@@ -57,10 +58,10 @@ def test_index_resume_skips_committed_steps(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     cfg = rtr.RetrievalConfig(out_root=str(tmp_path / "ridx2"), run_id="r2")
     first = rtr.run_index(spark, docs, cfg)
-    post_dir = str(tmp_path / "ridx2" / "postings")
-    before = os.path.getmtime(post_dir)
+    root = str(tmp_path / "ridx2")
+    before = table_mtime_fingerprint(spark, root, "postings")
     second = rtr.run_index(spark, docs, cfg)
-    assert os.path.getmtime(post_dir) == before
+    assert table_mtime_fingerprint(spark, root, "postings") == before
     assert second["chunks"] == first["chunks"]
     assert second["postings"] == first["postings"]
 

@@ -9,6 +9,7 @@ from datetime import datetime, timedelta
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import read_table
 from otel2pv_spark import datagen
 from otel2pv_spark.plans import pipeline
 
@@ -77,8 +78,8 @@ def test_incremental_reject_merge(spark, sf_dir, tmp_path):
     )
 
     rej_cols = ["conv_id", "turn_idx", "reject_reason"]
-    ra = spark.read.parquet(str(tmp_path / "incr" / "rejects"))
-    rb = spark.read.parquet(str(tmp_path / "full" / "rejects"))
+    ra = read_table(spark, tmp_path / "incr", "rejects")
+    rb = read_table(spark, tmp_path / "full", "rejects")
     assert _rows(ra, rej_cols) == _rows(rb, rej_cols)
     # the removed convs' old rejects are gone, the new one is present
     got_convs = {r.conv_id for r in ra.select("conv_id").distinct().collect()}
@@ -86,8 +87,8 @@ def test_incremental_reject_merge(spark, sf_dir, tmp_path):
     assert not (set(rej_convs) & got_convs)
     # _lineage was refreshed by the incremental run and reconciles with
     # the merged table
-    lin = spark.read.parquet(str(tmp_path / "incr" / "_lineage"))
-    ev = spark.read.parquet(str(tmp_path / "incr" / "sequenced_events"))
+    lin = read_table(spark, tmp_path / "incr", "_lineage")
+    ev = read_table(spark, tmp_path / "incr", "sequenced_events")
     assert sum(r.rows for r in lin.collect()) == ev.count()
     assert {r.run_id for r in lin.collect()} == {"delta"}
 
@@ -102,7 +103,7 @@ def test_empty_rejects_table_is_readable(spark, sf_dir, tmp_path):
         spark, tr,
         pipeline.PipelineConfig(out_root=str(tmp_path / "clean"), run_id="r1"),
     )
-    rej = spark.read.parquet(str(tmp_path / "clean" / "rejects"))
+    rej = read_table(spark, tmp_path / "clean", "rejects")
     assert rej.count() == 0
     assert "reject_reason" in rej.columns
 

@@ -293,3 +293,182 @@ def test_kmv_quantile_rank_floor_guard(spark):
     assert got[("a", 1)] == 10      # rank ceil(0.001*4)=1 -> min
     assert got[("a", 1000)] == 40   # rank 4 -> max
     assert got[("b", 1000)] == 80
+
+
+# --------------------------------------------------------- oracle drift gate
+# The HLL DuckDB oracle text shipped in __spark_entry__.py is STATIC
+# (hand-auditable, independent of engine code at import time). These
+# test-local generators re-derive it from the engine constants; the
+# drift test below asserts static == generated, so a change to the
+# engine estimator that forgets the oracle text fails loudly here
+# instead of silently weakening the parity gate.
+_TWO33 = 1 << 33
+
+
+def hll_estimate_oracle_sql(
+    inner_sql: str,
+    keys_sql: str,
+    value_sql: str,
+    p: int = 8,
+    salt: str = "hll-v1",
+    estimate_col: str = "n_distinct_est",
+) -> str:
+    """The DuckDB rendering of hll_state+hll_estimate over
+    ``inner_sql`` — generated next to the Spark code so the two
+    formulas cannot drift (same pattern as the histogram oracle)."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    trimmed = "trim(LEADING '0' FROM _whex)"
+    return f"""
+WITH _src AS ({inner_sql}),
+_h AS (
+  SELECT {keys_sql},
+         CAST(('0x' || substr(md5({value_sql} || '#{salt}'), 1, 8))::BIGINT % {m} AS INT) AS register,
+         substr(md5({value_sql} || '#{salt}'), 9, 8) AS _whex
+  FROM _src WHERE {value_sql} IS NOT NULL
+),
+_r AS (
+  SELECT {keys_sql}, register,
+         MAX(CAST(4 * (8 - length({trimmed})) + CASE substring({trimmed}, 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             ELSE 0 END + 1 AS INT)) AS rho
+  FROM _h GROUP BY {keys_sql}, register
+),
+_a AS (
+  SELECT {keys_sql},
+         CAST(COUNT(*) AS BIGINT) AS registers_present,
+         SUM(1::BIGINT << (33 - rho)) + ({m} - COUNT(*)) * {_TWO33} AS z_scaled
+  FROM _r GROUP BY {keys_sql}
+)
+SELECT {keys_sql}, registers_present, CAST(z_scaled AS BIGINT) AS z_scaled,
+       CAST(ROUND(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(_TWO33)!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE) <= CAST({2.5 * m!r} AS DOUBLE)
+                        AND {m} - registers_present > 0
+                  THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - registers_present))
+                  ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(_TWO33)!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE) END)
+            AS BIGINT) AS {estimate_col}
+FROM _a
+"""
+
+
+
+
+def hll_intersect_oracle_sql(
+    inner_a: str,
+    inner_b: str,
+    keys_sql: str,
+    value_sql: str,
+    p: int = 8,
+    salt: str = "hll-v1",
+) -> str:
+    """DuckDB rendering of hll_intersect_estimate over two inner
+    queries — generated next to the Spark formula (same no-drift rule
+    as hll_estimate_oracle_sql): register chains for A, B, and their
+    per-register MAX union, then the shared estimator + inclusion-
+    exclusion."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    trimmed = "trim(LEADING '0' FROM _whex)"
+
+    def chain(src: str, tag: str) -> str:
+        return f"""_h{tag} AS (
+  SELECT {keys_sql},
+         CAST(('0x' || substr(md5({value_sql} || '#{salt}'), 1, 8))::BIGINT % {m} AS INT) AS register,
+         substr(md5({value_sql} || '#{salt}'), 9, 8) AS _whex
+  FROM {src} WHERE {value_sql} IS NOT NULL
+),
+_r{tag} AS (
+  SELECT {keys_sql}, register,
+         MAX(CAST(4 * (8 - length({trimmed})) + CASE substring({trimmed}, 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             ELSE 0 END + 1 AS INT)) AS rho
+  FROM _h{tag} GROUP BY {keys_sql}, register
+)"""
+
+    def est(src: str, tag: str, out: str) -> str:
+        raw = (
+            f"CAST({alpha!r} AS DOUBLE) * {m} * {m} * "
+            f"CAST({float(_TWO33)!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE)"
+        )
+        return f"""_agg{tag} AS (
+  SELECT {keys_sql},
+         CAST(COUNT(*) AS BIGINT) AS registers_present,
+         SUM(1::BIGINT << (33 - rho)) + ({m} - COUNT(*)) * {_TWO33} AS z_scaled
+  FROM {src} GROUP BY {keys_sql}
+),
+_est{tag} AS (
+  SELECT {keys_sql},
+         CAST(ROUND(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+                          AND {m} - registers_present > 0
+                    THEN CAST({float(m)!r} AS DOUBLE)
+                         * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - registers_present))
+                    ELSE {raw} END) AS BIGINT) AS {out}
+  FROM _agg{tag}
+)"""
+
+    return f"""
+WITH _srca AS ({inner_a}),
+_srcb AS ({inner_b}),
+{chain("_srca", "a")},
+{chain("_srcb", "b")},
+_ru AS (
+  SELECT {keys_sql}, register, MAX(rho) AS rho
+  FROM (SELECT * FROM _ra UNION ALL SELECT * FROM _rb)
+  GROUP BY {keys_sql}, register
+),
+{est("_ra", "a", "n_a")},
+{est("_rb", "b", "n_b")},
+{est("_ru", "u", "n_union")}
+SELECT {keys_sql}, a.n_a, b.n_b, u.n_union,
+       GREATEST(CAST(0 AS BIGINT), a.n_a + b.n_b - u.n_union)
+         AS n_intersect_est
+FROM _esta a
+JOIN _estb b USING ({keys_sql})
+JOIN _estu u USING ({keys_sql})
+"""
+
+
+
+
+def _entry_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("_entry_drift", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_static_hll_oracles_match_engine_constants():
+    m = _entry_module()
+    oracles = m.oracle_sql()
+    assert oracles["events_hll_intersect"] == hll_intersect_oracle_sql(
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events"
+        " WHERE ts < TIMESTAMP '2024-01-16'",
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events"
+        " WHERE ts >= TIMESTAMP '2024-01-16'",
+        "event_type",
+        "u",
+    )
+    assert oracles["events_hll_users"] == hll_estimate_oracle_sql(
+        "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, "
+        "CAST(user_id AS VARCHAR) AS u FROM events",
+        "hour_us",
+        "u",
+        p=8,
+        estimate_col="n_users_hll",
+    )
+    grain = hll_estimate_oracle_sql(
+        "SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, "
+        "epoch_us(date_trunc('hour', ts)) + CAST(3600 AS BIGINT) * 1000000 "
+        "AS window_end_us, event_type, CAST(user_id AS VARCHAR) AS u FROM events",
+        "window_start_us, window_end_us, event_type",
+        "u",
+        p=8,
+        estimate_col="n_users_hll",
+    )
+    assert grain in oracles["events_rollup_hll"]

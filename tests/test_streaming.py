@@ -12,6 +12,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import read_table
 from otel2pv_spark import datagen
 from otel2pv_spark.plans import pipeline
 from otel2pv_spark.streaming import (
@@ -916,7 +917,7 @@ def test_stream_burn_rate_alerts_match_batch(spark, tmp_path):
     }
     state_windows = {
         (r.svc, r.window_start_us)
-        for r in spark.read.parquet(f"{state}/short_rollup").collect()
+        for r in read_table(spark, state, "short_rollup").collect()
     }
     # batch recompute over the SAME finalized short windows
     ev = spark.read.parquet(src).withColumn("svc", F.lit("api"))
@@ -991,7 +992,7 @@ def test_stream_burn_rate_state_retention_bounded(spark, tmp_path):
 
     kept = {
         r.window_start_us
-        for r in spark.read.parquet(f"{state}/short_rollup").collect()
+        for r in read_table(spark, state, "short_rollup").collect()
     }
     jan5 = pd.Timestamp("2026-01-05 00:00:00").value // 1000
     # the Jan-1 windows fell out of the retention horizon (Jan-3) when
