@@ -511,6 +511,17 @@ def q_ann_pq_topk(spark, sf_dir):
     return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), cb, k=5)
 
 
+def q_ann_pq_refined(spark, sf_dir):
+    """ADC shortlist (R=20) -> exact-distance re-rank of only those
+    candidates against true vectors -> top-5 (IVFADC+refine recall
+    fix; the exact math touches |Q|x20 rows, never the corpus)."""
+    emb = _emb(spark, sf_dir)
+    cb = sim.pq_train(emb, m=4, ksub=4, iters=2)
+    return sim.pq_refine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), cb, k=5, refine_r=20
+    )
+
+
 def q_embedding_pca_cov(spark, sf_dir):
     """Distributed half of PCA: the d x d covariance from one pass of
     integer-exact quantized moments (map-side-combined; only
@@ -1056,6 +1067,7 @@ QUERIES = {
     "ann_pq_codebooks": q_ann_pq_codebooks,
     "ann_pq_codes": q_ann_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_refined": q_ann_pq_refined,
     "embedding_neardup": q_embedding_neardup,
     "embedding_pca_cov": q_embedding_pca_cov,
     "embedding_jl_project": q_embedding_jl_project,
@@ -3127,6 +3139,41 @@ ad AS (
 )
 SELECT qid AS query_id, vec_id AS neighbor_id, su / 1000000.0 AS adist, rank
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY su, vec_id) AS INT) AS rank FROM ad)
+WHERE rank <= 5"""
+
+# refine oracle: the SAME ADC chain shortlists R=20, then the exact
+# three-dot squared-L2 over full vectors re-ranks ONLY the shortlist —
+# the oracle's own shortlist, so it verifies the refine semantics, not
+# a restatement of brute force.
+ORACLES["ann_pq_refined"] = f"""WITH {_PQ_CTES},
+lut AS (
+{_PQ_LUT_UNION}
+),
+ad AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.du) AS BIGINT) AS su
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  WHERE e.vec_id <> l.qid
+  GROUP BY l.qid, e.vec_id
+),
+short AS (
+  SELECT qid, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY su, vec_id)
+          AS r FROM ad)
+  WHERE r <= 20
+),
+fv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ex AS (
+  SELECT s.qid, s.vec_id,
+         CAST(round((list_dot_product(q.e, q.e)
+                     - 2 * list_dot_product(q.e, v.e)
+                     + list_dot_product(v.e, v.e)) * 1000000) AS BIGINT) AS du
+  FROM short s
+  JOIN fv q ON q.vec_id = s.qid
+  JOIN fv v ON v.vec_id = s.vec_id
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, du / 1000000.0 AS dist, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY du, vec_id)
+        AS INT) AS rank FROM ex)
 WHERE rank <= 5"""
 
 # near-dup runs over the seeded fixture (scaled/shifted copies), not

@@ -575,6 +575,63 @@ def pq_adc_topk(
     )
 
 
+def pq_refine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    refine_r: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC + refine (the standard ADC recall fix, Jégou et al. PAMI
+    2011 §V): ADC shortlists ``refine_r`` candidates per query from PQ
+    codes only, then ONLY those |Q|·R rows are re-ranked by the exact
+    squared-L2 against the true vectors, returning the top ``k``.
+    Quantization error can reorder near-ties inside the shortlist; the
+    exact re-rank restores the true order there, so recall@k is ≥ plain
+    ADC whenever the true neighbors reach the shortlist.
+
+    Scale shape: the exact math touches |Q|·R vectors, never the
+    corpus — the true-vector fetch is an equi-join on id (the
+    config-sized shortlist broadcasts against the corpus scan), and the
+    final per-query sort ranks R rows. Distances are micro-unit BIGINTs
+    (round(d·1e6)) over the FIXED three-dot formula so the DuckDB
+    oracle is bit-identical."""
+    if refine_r < k:
+        raise ValueError(f"refine_r ({refine_r}) must be >= k ({k})")
+    short = pq_adc_topk(
+        df, queries, codebooks, k=refine_r, id_col=id_col, vec_col=vec_col
+    )
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double.alias("_qv")
+    )
+    dv = df.select(
+        F.col(id_col).alias("neighbor_id"), as_double.alias("_dv")
+    )
+    ex = (
+        short.select("query_id", "neighbor_id")
+        .join(dv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    du = F.round(_sq_l2(F.col("_qv"), F.col("_dv")) * 1e6).cast("bigint")
+    ranked = ex.select("query_id", "neighbor_id", du.alias("_du"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_du"), F.col("neighbor_id")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("_du") / F.lit(1000000.0)).alias("dist"),
+            "rank",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     anchors: DataFrame,

@@ -1195,3 +1195,50 @@ def test_pair_lift_rank_and_bounds(spark):
     for r in rows:
         assert r.pair_count <= min(r.x_count, r.y_count)
         assert r.lift_micro > 0
+
+
+def test_pq_refine_improves_or_matches_adc_recall(spark, sf_dir):
+    """IVFADC+refine: exact re-rank of the ADC shortlist. On the seeded
+    near-dup fixture, recall@1 (copy -> its source) must be >= plain
+    ADC's, and wherever the true neighbor made the shortlist the
+    refined top-1 must BE it (exact distances cannot rank the ~100x
+    closer source below an unrelated vector)."""
+    from otel2pv_spark.entry_queries import emb_fixture
+
+    fix = emb_fixture(spark, sf_dir)
+    cb8 = sim.pq_train(fix, m=8, ksub=8, iters=2)
+    copies = fix.filter(
+        (F.col("vec_id") >= 100000) & (F.col("vec_id") < 200000)
+    )
+    n = copies.count()
+    adc_top1 = {
+        r.query_id: r.neighbor_id
+        for r in sim.pq_adc_topk(fix, copies, cb8, k=1).collect()
+    }
+    refined = sim.pq_refine_topk(fix, copies, cb8, k=1, refine_r=20)
+    ref_top1 = {r.query_id: r.neighbor_id for r in refined.collect()}
+    shortlist = {
+        qid: {r.neighbor_id for r in rows}
+        for qid, rows in __import__("itertools").groupby(
+            sorted(
+                sim.pq_adc_topk(fix, copies, cb8, k=20).collect(),
+                key=lambda r: r.query_id,
+            ),
+            key=lambda r: r.query_id,
+        )
+    }
+    adc_hits = sum(1 for q, nid in adc_top1.items() if nid == q - 100000)
+    ref_hits = sum(1 for q, nid in ref_top1.items() if nid == q - 100000)
+    assert ref_hits >= adc_hits, (ref_hits, adc_hits)
+    assert ref_hits >= int(0.8 * n)
+    for q, short in shortlist.items():
+        if q - 100000 in short:
+            assert ref_top1[q] == q - 100000, q
+
+    # contract checks: rank ordering by exact dist, refine_r >= k guard
+    rows = refined.collect()
+    assert all(r.rank == 1 and r.dist >= 0 for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refine_r"):
+        sim.pq_refine_topk(fix, copies, cb8, k=5, refine_r=3)
