@@ -14,6 +14,7 @@ from .stream_pipeline import (  # noqa: F401
     run_stream_anomaly,
     run_stream_dedup,
     run_stream_pipeline,
+    run_stream_pipeline_keyed,
     stateful_group_verify,
     stream_correlate,
     stream_exact_dedup,

@@ -1143,3 +1143,76 @@ def test_stream_rate_limit_all_null_ts_batch_keeps_state(spark, tmp_path):
     assert kept.count() == 3
     assert sorted(r.event_id for r in kept.collect()) == [0, 1, 2]
     assert kept.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_stream_keyed_pipeline_matches_batch_run_with_split_convs(spark, tmp_path):
+    """The full-DAG streaming parity gate: conversations split
+    MID-conversation across three micro-batches (turns [0,4), [4,8),
+    [8,12) of EVERY conversation per file), processed by the keyed
+    foreachBatch twin — final sequenced_events / rejects / _metrics
+    must equal the batch run() over the same transcripts row-for-row,
+    and a second availableNow run over the same checkpoint must change
+    nothing (replay idempotence)."""
+    from conftest import read_table
+
+    tr = datagen.transcripts_from_events(spark, SF)
+    src = str(tmp_path / "keyed_src")
+    os.makedirs(src, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 4), (4, 8), (8, 12)]):
+        tr.filter(
+            (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
+        ).toPandas().to_parquet(
+            f"{src}/part_{i}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(f"{src}/part_{i}.parquet", (time.time() + i,) * 2)
+
+    out = str(tmp_path / "keyed_out")
+    from otel2pv_spark.streaming import run_stream_pipeline_keyed
+
+    q = run_stream_pipeline_keyed(
+        read_transcripts_stream(spark, src, max_files_per_trigger=1),
+        datagen.tool_meta(spark), datagen.role_meta(spark),
+        out, str(tmp_path / "keyed_ckpt"), available_now=True,
+    )
+    q.awaitTermination(600)
+
+    batch_out = str(tmp_path / "batch_out")
+    pipeline.run(
+        spark, tr, pipeline.PipelineConfig(out_root=batch_out, run_id="ref")
+    )
+
+    cols = [
+        "conv_id", "turn_idx", "sink", "event_id", "previous_event_ids",
+        "verified", "sequenceable", "is_duplicate", "text",
+    ]
+
+    def _rows(df, cs):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in
+                  (r[c] for c in cs))
+            for r in df.select(*cs).collect()
+        )
+
+    got = read_table(spark, out, "sequenced_events")
+    want = read_table(spark, batch_out, "sequenced_events")
+    assert _rows(got, cols) == _rows(want, cols)
+    rej_cols = ["conv_id", "turn_idx", "reject_reason"]
+    assert _rows(read_table(spark, out, "rejects"), rej_cols) == _rows(
+        read_table(spark, batch_out, "rejects"), rej_cols
+    )
+    got_m = {(r.sink, r.rows)
+             for r in read_table(spark, out, "_metrics").collect()}
+    want_m = {(r.sink, r.rows)
+              for r in read_table(spark, batch_out, "_metrics").collect()}
+    assert got_m == want_m
+
+    # replay: same checkpoint, no new files -> nothing changes
+    before = _rows(got, cols)
+    q2 = run_stream_pipeline_keyed(
+        read_transcripts_stream(spark, src, max_files_per_trigger=1),
+        datagen.tool_meta(spark), datagen.role_meta(spark),
+        out, str(tmp_path / "keyed_ckpt"), available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert _rows(read_table(spark, out, "sequenced_events"), cols) == before
