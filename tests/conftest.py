@@ -54,3 +54,21 @@ def table_mtime_fingerprint(spark, root, tbl):
                 p = os.path.join(dp, f)
                 out[p] = os.path.getmtime(p)
     return out
+
+
+def table_parquet_globs(root, tbl):
+    """Physical parquet globs of a committed table resolved WITHOUT
+    Spark (for independent DuckDB verification), strategy-agnostic:
+    posix reads the table dir; manifest resolves the pointer + manifest
+    JSON exactly as a non-Spark consumer of the table format would."""
+    import json
+
+    root = str(root)
+    if os.environ.get("SPARK_GRAFT_CATALOG", "posix") != "manifest":
+        return [f"{root}/{tbl}/**/*.parquet"]
+    meta = os.path.join(root, "_meta", tbl)
+    with open(os.path.join(meta, "VERSION")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta, f"v{v}.json")) as fh:
+        man = json.load(fh)
+    return [os.path.join(e["path"], "**", "*.parquet") for e in man["entries"]]

@@ -11,6 +11,7 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
 
+from conftest import read_table
 from otel2pv_spark import job
 from otel2pv_spark.sources.http_sink import HTTPSendError, write_http
 
@@ -37,7 +38,7 @@ def test_job_end_to_end(spark, tmp_path):
     res = job.main(["--config", _write_cfg(tmp_path)])
     assert res["rows"] == 989
     assert sorted(res["committed"]) == ["fanout", "lineage", "metrics", "rejects"]
-    out = spark.read.parquet(str(tmp_path / "out" / "sequenced_events"))
+    out = read_table(spark, tmp_path / "out", "sequenced_events")
     assert out.count() == 989
 
 
@@ -207,7 +208,7 @@ def test_curation_job_end_to_end(spark, tmp_path):
     res = job.main(["--config", str(cfgp)])
     assert res["committed"] == ["audit", "clean", "stats"]
     assert res["n_in"] == 500 and 0 < res["n_kept"] < 500
-    assert spark.read.parquet(str(tmp_path / "out" / "clean_docs")).count() == res["n_kept"]
+    assert read_table(spark, tmp_path / "out", "clean_docs").count() == res["n_kept"]
 
 
 def test_curation_job_config_validation(tmp_path):
@@ -262,7 +263,7 @@ def test_observability_job_end_to_end(spark, tmp_path):
     out = tmp_path / "obs_out"
     for t in ("obs_rollup", "obs_anomalies", "obs_sessions",
               "obs_funnel", "obs_bursts"):
-        assert spark.read.parquet(str(out / t)).count() >= 0
+        assert read_table(spark, out, t).count() >= 0
 
 
 def test_observability_job_config_validation(tmp_path):
@@ -296,6 +297,8 @@ def test_stream_job_drains_and_matches_batch_counts(spark, tmp_path):
     }))
     res = job.main(["--config", str(cfgp)])
     assert res["stopped"]
+    # mode-1 streaming appends RAW parquet dirs (not Catalog tables) —
+    # physical reads are correct here under either strategy
     seq = spark.read.parquet(str(tmp_path / "st_out" / "sequenced_events"))
     rej = spark.read.parquet(str(tmp_path / "st_out" / "rejects"))
     assert seq.count() + rej.count() == tr.count()

@@ -40,12 +40,16 @@ def test_spark_submit_pyfiles(tmp_path, sf_dir):
     )
     assert res["committed"] == ["fanout", "lineage", "metrics", "rejects"]
 
+    from conftest import table_parquet_globs
+
     con = duckdb.connect()
     rows = con.execute(
-        f"select count(*) from read_parquet('{out_root}/sequenced_events/sink=*/*.parquet')"
+        "select count(*) from read_parquet(?, hive_partitioning=true)",
+        [table_parquet_globs(out_root, "sequenced_events")],
     ).fetchone()[0]
     rej = con.execute(
-        f"select count(*) from read_parquet('{out_root}/rejects/**/*.parquet')"
+        "select count(*) from read_parquet(?, hive_partitioning=true)",
+        [table_parquet_globs(out_root, "rejects")],
     ).fetchone()[0]
     n_input = con.execute(
         f"select count(*) from read_parquet('{sf_dir}/events.parquet')"
