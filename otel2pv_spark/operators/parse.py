@@ -205,6 +205,23 @@ def parse(
     """Apply all extraction rules; adds one column per rule plus
     ``parse_ok`` (all required rules matched)."""
     rules = rules if rules is not None else default_rules()
+    # an expr rule may reference only EARLIER rules' outputs (plus
+    # input columns). In the native path a forward reference would bind
+    # to a pre-existing input column of that name; in the pandas path
+    # the expr evaluates AFTER the UDF computed every capture and would
+    # bind to the capture — same rule set, different semantics per
+    # path. Rejected up front (word-boundary scan; a later rule's name
+    # inside a string literal is also rejected — conservative, loud).
+    for i, r in enumerate(rules):
+        if r.kind != "expr":
+            continue
+        for later in rules[i + 1 :]:
+            if _re.search(rf"\b{_re.escape(later.name)}\b", r.pattern):
+                raise ValueError(
+                    f"expr rule {r.name!r} references later rule "
+                    f"{later.name!r} — expr rules may use only earlier "
+                    "captures (reorder the rules)"
+                )
     if use_pandas:
         # expr rules stay JVM-side in BOTH paths: here they are native
         # F.expr over the UDF's capture struct — Catalyst collapses the

@@ -137,14 +137,28 @@ def _schema_checks(schema: dict, path: str) -> list:
     is a failure, never a silent pass)."""
     checks: list = []
 
-    def emit(desc: str, inner):
-        checks.append(
-            (
-                desc,
-                lambda n, _f=inner: n.isNull()
-                | F.coalesce(_f(n), F.lit(False)),
-            )
-        )
+    # JSON-Schema keyword independence: a value keyword constrains only
+    # nodes of ITS type family — {"minimum": 5} on a string node is
+    # VALID (only "type" polices types). Each keyword therefore carries
+    # an applicability predicate; inapplicable nodes pass.
+    def _is_str(n):
+        return F.schema_of_variant(n) == "STRING"
+
+    def _is_num(n):
+        t = F.schema_of_variant(n)
+        return (t == "BIGINT") | (t == "DOUBLE") | t.startswith("DECIMAL")
+
+    def _is_arr(n):
+        return F.schema_of_variant(n).startswith("ARRAY")
+
+    def emit(desc: str, inner, applies=None):
+        def pred(n, _f=inner, _a=applies):
+            ok = F.coalesce(_f(n), F.lit(False))
+            if _a is not None:
+                ok = ~F.coalesce(_a(n), F.lit(False)) | ok
+            return n.isNull() | ok
+
+        checks.append((desc, pred))
 
     t = schema.get("type")
     if t is not None:
@@ -152,6 +166,8 @@ def _schema_checks(schema: dict, path: str) -> list:
     for k in schema.get("required", ()):
         emit(f"{path}: required:{k}", lambda n, _k=k: _sub(n, _k).isNotNull())
     if "enum" in schema:
+        # enum is value equality across ALL types (string-form compare,
+        # documented subset) — no applicability guard by design
         vals = [str(v) for v in schema["enum"]]
         emit(f"{path}: enum", lambda n: n.cast("string").isin(vals))
     if "pattern" in schema:
@@ -159,30 +175,41 @@ def _schema_checks(schema: dict, path: str) -> list:
         emit(
             f"{path}: pattern",
             lambda n: n.cast("string").rlike(f"^(?:{pat})$"),
+            applies=_is_str,
         )
     if "minLength" in schema:
         m = int(schema["minLength"])
-        emit(f"{path}: minLength", lambda n: F.length(n.cast("string")) >= m)
+        emit(
+            f"{path}: minLength",
+            lambda n: F.length(n.cast("string")) >= m,
+            applies=_is_str,
+        )
     if "maxLength" in schema:
         m = int(schema["maxLength"])
-        emit(f"{path}: maxLength", lambda n: F.length(n.cast("string")) <= m)
+        emit(
+            f"{path}: maxLength",
+            lambda n: F.length(n.cast("string")) <= m,
+            applies=_is_str,
+        )
     if "minimum" in schema:
         m = float(schema["minimum"])
-        emit(f"{path}: minimum", lambda n: n.cast("double") >= m)
+        emit(f"{path}: minimum", lambda n: n.cast("double") >= m, applies=_is_num)
     if "maximum" in schema:
         m = float(schema["maximum"])
-        emit(f"{path}: maximum", lambda n: n.cast("double") <= m)
+        emit(f"{path}: maximum", lambda n: n.cast("double") <= m, applies=_is_num)
     if "minItems" in schema:
         m = int(schema["minItems"])
         emit(
             f"{path}: minItems",
             lambda n: F.array_size(n.cast("array<variant>")) >= m,
+            applies=_is_arr,
         )
     if "maxItems" in schema:
         m = int(schema["maxItems"])
         emit(
             f"{path}: maxItems",
             lambda n: F.array_size(n.cast("array<variant>")) <= m,
+            applies=_is_arr,
         )
     if "items" in schema:
         for desc, fn in _schema_checks(schema["items"], f"{path}[]"):
@@ -191,6 +218,7 @@ def _schema_checks(schema: dict, path: str) -> list:
                 lambda n, _fn=fn: F.forall(
                     n.cast("array<variant>"), lambda e: _fn(e)
                 ),
+                applies=_is_arr,
             )
     for k, sub_schema in schema.get("properties", {}).items():
         for desc, fn in _schema_checks(sub_schema, f"{path}.{k}"):

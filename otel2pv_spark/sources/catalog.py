@@ -187,14 +187,18 @@ class _CatalogBase:
 
     def _validate_append(
         self, df: DataFrame, table: str, merge_schema: bool
-    ) -> bool:
+    ):
         """Shared append-time schema validation (Iceberg write-schema
-        check). Returns whether this batch EVOLVES the schema. A
-        column present on both sides must keep its exact type except
-        the Iceberg-safe widenings (see ``_SAFE_WIDENINGS``): with
-        ``merge_schema=True`` an int→long / float→double batch column
-        is accepted and read back widened; everything else raises."""
-        cur_types = {f.name: f.dataType for f in self.read(table).schema.fields}
+        check). Returns (evolves, current_table_schema) — the schema is
+        resolved ONCE here and reused by the caller for the union
+        schema (appends run per micro-batch; resolving manifests or
+        parquet footers twice per call is waste). A column present on
+        both sides must keep its exact type except the Iceberg-safe
+        widenings (see ``_SAFE_WIDENINGS``): with ``merge_schema=True``
+        an int→long / float→double batch column is accepted and read
+        back widened; everything else raises."""
+        cur_schema = self.read(table).schema
+        cur_types = {f.name: f.dataType for f in cur_schema.fields}
         new_types = {f.name: f.dataType for f in df.schema.fields}
         shared = cur_types.keys() & new_types.keys()
         conflicts = {c for c in shared if cur_types[c] != new_types[c]}
@@ -226,7 +230,7 @@ class _CatalogBase:
                 f"widens {sorted(conflicts)}); "
                 "pass merge_schema=True to evolve"
             )
-        return evolves
+        return evolves, cur_schema
 
     # ------------------------------------------------- strategy hooks
     def exists(self, table: str) -> bool:  # pragma: no cover - abstract
@@ -507,9 +511,11 @@ class PosixCatalog(_CatalogBase):
         The table is marked evolved so ``read`` merges parquet footers
         (unevolved tables keep the cheap single-footer read). A column
         present on both sides must keep its exact type except the
-        Iceberg-safe widenings (int→long, float→double, date→timestamp
-        — accepted with ``merge_schema=True``; parquet's merged read
-        resolves them footer-side). Without ``merge_schema``, any
+        Iceberg-safe widenings int→long and float→double (accepted
+        with ``merge_schema=True``; the persisted union schema
+        promotes narrow files at read — date→timestamp is NOT
+        supported: Spark's vectorized parquet reader refuses that
+        promotion). Without ``merge_schema``, any
         schema difference raises, mirroring Iceberg's write-schema
         validation.
 
@@ -528,8 +534,8 @@ class PosixCatalog(_CatalogBase):
                 f"append targets unpartitioned tables; {table!r} is "
                 "hive-partitioned (use replace_keys/commit_fanout_split)"
             )
-        evolves = self._validate_append(df, table, merge_schema)
-        union = _union_schema(self.read(table).schema, df.schema)
+        evolves, cur_schema = self._validate_append(df, table, merge_schema)
+        union = _union_schema(cur_schema, df.schema)
 
         self._sweep_stale(table)
         batch_tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
@@ -637,6 +643,12 @@ class PosixCatalog(_CatalogBase):
             # any later read would fail schema inference). limit(0) is
             # optimized to an empty relation, so this is a no-scan job.
             routed_all.limit(0).write.mode("overwrite").parquet(rej_tmp)
+        if not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(tmp) for f in fs
+        ):
+            # mirror case — EVERY row routed to a reject sink: the main
+            # table must still commit readable (empty, full schema)
+            routed_all.limit(0).write.mode("overwrite").parquet(tmp)
 
         self._swap_in(rej_tmp, rejects_table)
         self._swap_in(tmp, table)
@@ -787,6 +799,27 @@ class ManifestCatalog(_CatalogBase):
         with open(p) as fh:
             return json.load(fh)
 
+    # Manifests store paths RELATIVE TO THE CATALOG ROOT (like Iceberg
+    # metadata): the catalog stays valid if the root is mounted at a
+    # different absolute path, opened via a different cwd-relative
+    # spelling, or moved wholesale — and GC reference comparison can
+    # never be defeated by two spellings of the same root (absolute vs
+    # relative vs symlinked), which would otherwise delete live data.
+    def _rel(self, p: str) -> str:
+        if not os.path.isabs(p):
+            # already root-relative (entries re-committed by append /
+            # overwrite / rollback) — NEVER resolve via the process
+            # cwd, that is the bug class this helper exists to prevent
+            return os.path.normpath(p)
+        ap = os.path.abspath(p)
+        rroot = os.path.abspath(self.root)
+        if ap == rroot or ap.startswith(rroot + os.sep):
+            return os.path.relpath(ap, rroot)
+        return ap  # outside the root (never produced by this class)
+
+    def _abs(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.root, p)
+
     def _commit(
         self,
         table: str,
@@ -802,6 +835,14 @@ class ManifestCatalog(_CatalogBase):
         meta = self._meta_dir(table)
         os.makedirs(meta, exist_ok=True)
         nxt = (self._current_version(table) or 0) + 1
+        entries = [
+            {
+                **e,
+                "path": self._rel(e["path"]),
+                **({"base": self._rel(e["base"])} if e.get("base") else {}),
+            }
+            for e in entries
+        ]
         man = {
             "version": nxt,
             "entries": entries,
@@ -822,22 +863,39 @@ class ManifestCatalog(_CatalogBase):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(ptr_tmp, self._pointer(table))  # THE commit point
+        # a crash between a previous attempt's manifest write and its
+        # pointer swap leaves an orphan v>current manifest; it was
+        # never committed, so drop it (snapshots() also ignores
+        # above-pointer versions, but the file should not linger)
+        for v in self._manifest_versions(table):
+            if v > nxt:
+                try:
+                    os.remove(self._manifest_path(table, v))
+                except OSError:
+                    pass
         self.expire_snapshots(table)
 
     # ------------------------------------------------ snapshot history
-    def snapshots(self, table: str) -> list[int]:
-        """Retained PREVIOUS versions, oldest first (the current
-        version is not listed — same contract as the posix strategy)."""
+    def _manifest_versions(self, table: str) -> list[int]:
         d = self._meta_dir(table)
         if not os.path.isdir(d):
             return []
-        cur = self._current_version(table)
         return sorted(
             int(v[1:-5])
             for v in os.listdir(d)
             if v.startswith("v") and v.endswith(".json") and v[1:-5].isdigit()
-            and int(v[1:-5]) != cur
         )
+
+    def snapshots(self, table: str) -> list[int]:
+        """Retained PREVIOUS versions, oldest first (the current
+        version is not listed — same contract as the posix strategy).
+        Versions ABOVE the pointer are crash orphans (manifest written,
+        never committed) — excluded, so expiry can neither retain an
+        uncommitted snapshot nor expire real history in its favor."""
+        cur = self._current_version(table)
+        if cur is None:
+            return list(self._manifest_versions(table))
+        return [v for v in self._manifest_versions(table) if v < cur]
 
     def expire_snapshots(self, table: str, keep: int | None = None) -> list[int]:
         """Delete all but the newest ``keep`` previous manifests, then
@@ -856,9 +914,17 @@ class ManifestCatalog(_CatalogBase):
         return expired
 
     def _stage_roots(self, man: dict) -> set[str]:
+        """Root-RELATIVE stage roots referenced by a manifest (legacy
+        absolute entries are relativized for comparison)."""
         roots = set()
         for e in man["entries"]:
             p = e.get("base") or e["path"]
+            # stored entries are already root-relative; only a legacy
+            # absolute entry needs relativizing (never pass a relative
+            # path through _rel — abspath would resolve it against the
+            # process cwd, not the catalog root)
+            if os.path.isabs(p):
+                p = self._rel(p)
             roots.add(os.path.normpath(p))
         return roots
 
@@ -883,9 +949,9 @@ class ManifestCatalog(_CatalogBase):
                         continue
                     referenced |= self._stage_roots(man)
         for d in os.listdir(data):
-            full = os.path.normpath(os.path.join(data, d))
-            if full not in referenced:
-                shutil.rmtree(full, ignore_errors=True)
+            rel = os.path.normpath(self._rel(os.path.join(data, d)))
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data, d), ignore_errors=True)
 
     def rollback(self, table: str, version: int) -> None:
         """Make ``version`` current again: a NEW manifest referencing
@@ -913,9 +979,16 @@ class ManifestCatalog(_CatalogBase):
         Evolved tables read with footer merging / missing-column
         NULLs, exactly Iceberg's read-time projection."""
         man = self._load_manifest(table, version)
+        if not man["entries"]:
+            # commits guarantee >=1 entry (empty tables get a limit(0)
+            # schema file); fail loud if an external tool wrote one
+            raise ValueError(f"manifest of {table!r} has no data entries")
         groups: dict[str | None, list[str]] = {}
         for e in man["entries"]:
-            groups.setdefault(e.get("base"), []).append(e["path"])
+            base = e.get("base")
+            groups.setdefault(
+                self._abs(base) if base else None, []
+            ).append(self._abs(e["path"]))
         schema = None
         if man.get("schema") is not None:
             # evolved table: the manifest's union schema is the read
@@ -985,8 +1058,8 @@ class ManifestCatalog(_CatalogBase):
                 f"append targets unpartitioned tables; {table!r} is "
                 "hive-partitioned (use replace_keys/commit_fanout_split)"
             )
-        evolves = self._validate_append(df, table, merge_schema)
-        union = _union_schema(self.read(table).schema, df.schema)
+        evolves, cur_schema = self._validate_append(df, table, merge_schema)
+        union = _union_schema(cur_schema, df.schema)
         stage = self._new_stage(table)
         df.write.mode("overwrite").parquet(stage)
         entries = list(man["entries"]) + [{"path": stage, "base": None}]
@@ -1034,7 +1107,15 @@ class ManifestCatalog(_CatalogBase):
             self._commit(
                 rejects_table, [{"path": rstage, "base": None}], False, None
             )
-        self._commit(table, main_entries, False, ["sink"])
+        if not main_entries:
+            # every row routed to a reject sink: commit an EMPTY main
+            # table with the full schema (a zero-entry manifest would
+            # be unreadable), mirroring the empty-rejects case
+            mstage = self._new_stage(table)
+            routed_all.limit(0).write.mode("overwrite").parquet(mstage)
+            self._commit(table, [{"path": mstage, "base": None}], False, None)
+        else:
+            self._commit(table, main_entries, False, ["sink"])
 
     def overwrite_partitions(
         self, df: DataFrame, table: str, partition_by: list[str]
@@ -1077,7 +1158,7 @@ class ManifestCatalog(_CatalogBase):
         files = 0
         total = 0
         for e in man["entries"]:
-            for dirpath, _dirnames, filenames in os.walk(e["path"]):
+            for dirpath, _dirnames, filenames in os.walk(self._abs(e["path"])):
                 for f in filenames:
                     if f.endswith(".parquet"):
                         files += 1

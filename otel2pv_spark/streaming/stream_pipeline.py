@@ -152,8 +152,26 @@ def run_stream_pipeline_keyed(
     from ..sources.catalog import Catalog
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         spark = batch.sparkSession
-        batch = batch.transform(snapshot)
+        # in-batch duplicates (producer retries landing in ONE trigger)
+        # must collapse too, or the turns table holds two copies of a
+        # key forever and every recompute diverges from the batch twin;
+        # (ts, text) tiebreak keeps the dedup deterministic
+        batch = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("conv_id", "turn_idx").orderBy(
+                        F.col("ts"), F.col("text")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .transform(snapshot)
+        )
         if batch.isEmpty():
             return
         cat = Catalog(spark, out_root)

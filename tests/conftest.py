@@ -71,4 +71,12 @@ def table_parquet_globs(root, tbl):
         v = int(fh.read().strip())
     with open(os.path.join(meta, f"v{v}.json")) as fh:
         man = json.load(fh)
-    return [os.path.join(e["path"], "**", "*.parquet") for e in man["entries"]]
+    # manifest entries are root-relative (portable catalog)
+    return [
+        os.path.join(
+            e["path"] if os.path.isabs(e["path"]) else os.path.join(root, e["path"]),
+            "**",
+            "*.parquet",
+        )
+        for e in man["entries"]
+    ]

@@ -557,3 +557,66 @@ class TestManifestPurity:
         # above the pointer; a fresh commit supersedes it
         cat.write(_df(spark, "b", 2), "t")
         assert {r.tag for r in cat.read("t").collect()} == {"b"}
+
+
+class TestReviewFindings:
+    """Regressions for the round-3 code-review findings."""
+
+    def test_all_rejects_fanout_commits_readable_empty_main(self, spark, mkcat):
+        """Every row routed to a reject sink: the MAIN table must still
+        commit readable (empty, full schema) — a zero-entry manifest /
+        empty directory would break every downstream readback."""
+        cat = mkcat()
+        routed = spark.range(4).select(
+            F.col("id"), F.lit("__reject_parse__").alias("sink")
+        )
+        cat.commit_fanout_split(routed, "main", "rej")
+        assert cat.read("main").count() == 0
+        assert set(cat.read("main").columns) >= {"id"}
+        assert cat.read("rej").count() == 4
+
+    def test_orphan_manifest_above_pointer_not_retained(self, spark, tmp_path):
+        """A crash between manifest write and pointer swap leaves an
+        orphan v>current manifest: snapshots()/expiry must IGNORE it
+        (never expire real history in its favor, never serve it), and
+        the next commit cleans it up."""
+        import json as _json
+
+        cat = Catalog(
+            spark, str(tmp_path / "cat"), keep_snapshots=1, strategy="manifest"
+        )
+        cat.write(_df(spark, "a"), "t")   # v1
+        cat.write(_df(spark, "b"), "t")   # v2 current, v1 retained
+        # orphan v9 (manifest written, pointer swap never happened)
+        stage = cat._new_stage("t")
+        _df(spark, "ghost").write.mode("overwrite").parquet(stage)
+        with open(cat._manifest_path("t", 9), "w") as fh:
+            _json.dump(
+                {"version": 9, "entries": [{"path": stage, "base": None}],
+                 "evolved": False, "partition_by": None, "schema": None},
+                fh,
+            )
+        assert cat.snapshots("t") == [1]          # orphan not listed
+        cat.expire_snapshots("t")
+        assert cat.snapshots("t") == [1]          # v1 survives expiry
+        assert {r.tag for r in cat.read("t", version=1).collect()} == {"a"}
+        cat.write(_df(spark, "c"), "t")           # v3; orphan removed
+        assert 9 not in cat._manifest_versions("t")
+        assert cat.snapshots("t") == [2]
+
+    def test_gc_safe_under_different_root_spelling(self, spark, tmp_path):
+        """Manifests store root-RELATIVE paths, so a catalog opened via
+        a different spelling of the same root (absolute vs
+        dot-relative) must neither GC live data nor fail to read."""
+        root = str(tmp_path / "cat")
+        cat_abs = Catalog(spark, root, strategy="manifest")
+        cat_abs.write(_df(spark, "a", 4), "t")
+        # same root via an equivalent but differently-spelled path
+        alias = str(tmp_path / "." / "cat")
+        cat_alias = Catalog(spark, alias, keep_snapshots=0, strategy="manifest")
+        cat_alias.write(_df(spark, "b", 4), "other")  # triggers GC sweep
+        assert {r.tag for r in cat_abs.read("t").collect()} == {"a"}
+        assert {r.tag for r in cat_alias.read("t").collect()} == {"a"}
+        # manifest entries are relative — portable if the root moves
+        man = cat_abs._load_manifest("t")
+        assert all(not os.path.isabs(e["path"]) for e in man["entries"])

@@ -220,3 +220,22 @@ class TestExprRules:
             parse_op.parse(
                 self._fixture(spark), rules=rules, use_pandas=True
             ).collect()
+
+
+def test_expr_forward_reference_rejected(spark):
+    """An expr rule referencing a LATER rule's name is rejected up
+    front — in the pandas path it would bind to the capture while the
+    native path binds to a pre-existing input column (cross-path
+    drift; review-finding regression)."""
+    import pytest
+
+    from otel2pv_spark.operators import parse as parse_op
+
+    df = spark.createDataFrame([(1, "a=x")], "id int, text string")
+    rules = [
+        parse_op.ExtractionRule("lab", "concat('t:', a)", kind="expr"),
+        parse_op.ExtractionRule("a", r"a=(\w+)"),
+    ]
+    for up in (False, True):
+        with pytest.raises(ValueError, match="later rule"):
+            parse_op.parse(df, rules=rules, use_pandas=up).collect()

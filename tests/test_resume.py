@@ -34,8 +34,9 @@ def _table_mtimes(spark, root: str, tbl: str) -> dict:
     man = cat._load_manifest(tbl)
     out = {}
     for e in man["entries"]:
-        for rel, t in _mtimes(e["path"]).items():
-            out[(e["path"], rel)] = t
+        p = cat._abs(e["path"])
+        for rel, t in _mtimes(p).items():
+            out[(p, rel)] = t
     return out
 
 

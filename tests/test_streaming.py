@@ -1216,3 +1216,45 @@ def test_stream_keyed_pipeline_matches_batch_run_with_split_convs(spark, tmp_pat
     )
     q2.awaitTermination(300)
     assert _rows(read_table(spark, out, "sequenced_events"), cols) == before
+
+
+def test_stream_keyed_pipeline_dedups_in_batch_duplicates(spark, tmp_path):
+    """Producer-retry duplicates landing in the SAME micro-batch must
+    collapse (first by (ts, text)) — otherwise the turns table carries
+    two copies of a key forever and every recompute diverges from the
+    batch twin."""
+    import pandas as pd
+
+    from conftest import read_table
+    from otel2pv_spark.streaming import run_stream_pipeline_keyed
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src, exist_ok=True)
+    rows = []
+    for k in range(3):
+        r = {"conv_id": "A", "turn_idx": k, "role": "user",
+             "text": f"event=view id=A:{k} parent="
+                     + ("-" if k == 0 else f"A:{k-1}")
+                     + ' job=job-1 app=app-1 :: {"k": 1}',
+             "tool": "", "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=k)}
+        rows.append(r)
+        if k == 1:
+            rows.append(dict(r))  # exact in-batch duplicate delivery
+    dup_df = pd.DataFrame(rows)
+    dup_df["turn_idx"] = dup_df["turn_idx"].astype("int32")
+    dup_df.to_parquet(f"{src}/b0.parquet", index=False,
+                      coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+
+    out = str(tmp_path / "dup_out")
+    q = run_stream_pipeline_keyed(
+        read_transcripts_stream(spark, src),
+        datagen.tool_meta(spark), datagen.role_meta(spark),
+        out, str(tmp_path / "dup_ckpt"), available_now=True,
+    )
+    q.awaitTermination(300)
+    turns = read_table(spark, out, "turns")
+    assert turns.count() == 3
+    seq = read_table(spark, out, "sequenced_events")
+    assert seq.count() == 3
+    assert seq.filter(F.col("is_duplicate")).count() == 0

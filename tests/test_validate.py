@@ -155,3 +155,39 @@ class TestNestedJsonSchema:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "BatchEvalPython" not in plan
         assert "Exchange" not in plan  # pure per-row projection
+
+
+class TestKeywordIndependence:
+    """JSON-Schema value keywords constrain only nodes of their type
+    family — {'minimum': 5} on a string is VALID (only 'type' polices
+    types). Review-finding regression."""
+
+    def test_value_keywords_pass_on_other_types(self, spark):
+        schema = {
+            "type": "object",
+            "properties": {
+                "a": {"minimum": 5},            # no type keyword
+                "b": {"minLength": 3},
+                "c": {"minItems": 2, "items": {"type": "string"}},
+                "d": {"pattern": "x+"},
+            },
+        }
+        rows = [
+            (1, '{"a": "abc", "b": 7, "c": "nope", "d": 9}'),   # all inapplicable -> valid
+            (2, '{"a": 3, "b": "ab", "c": [1], "d": "yy"}'),    # all applicable -> each fails
+        ]
+        df = spark.createDataFrame(rows, "id int, payload string")
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got[1] is None
+        assert got[2] == "$.a: minimum"  # first failing in order
+
+    def test_enum_stays_type_generic(self, spark):
+        # enum is value equality across types: a number not in the set fails
+        schema = {"properties": {"x": {"enum": ["a", "b"]}}}
+        df = spark.createDataFrame(
+            [(1, '{"x": "a"}'), (2, '{"x": 5}')], "id int, payload string"
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: None, 2: "$.x: enum"}
