@@ -35,6 +35,8 @@ HEADLINE = [
     "parse_extract",
     "parse_extract_json",
     "parse_extract_grok",
+    "parse_extract_expr",
+    "validate_nested",
     "extract_fanout",
     "validate_events",
     "enrich_route",
@@ -65,6 +67,7 @@ HEADLINE = [
     "prep_shuffle",
     "prep_chunks",
     "ann_pq_topk",
+    "ann_pq_refined",
     "text_quality",
     "text_classifier",
     "classifier_auc",

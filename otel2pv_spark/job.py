@@ -220,6 +220,13 @@ def validate_stream_config(raw) -> dict:
     available_now=true drains what exists and stops (backfill /
     catch-up); false runs until terminated (the service mode —
     consumer loop analog, Server/consumers.go:618-654).
+
+    ``"stream": {"keyed": true}`` selects the cross-batch keyed mode
+    (``run_stream_pipeline_keyed``): conversations may split
+    mid-conversation across micro-batches; the sinks are Catalog
+    tables kept row-for-row equal to the batch ``run()`` by per-batch
+    keyed recompute + merge. Default (keyed=false) is the append-only
+    mode, which assumes whole conversations per file.
     """
     if not isinstance(raw, dict) or raw.get("job") != "stream":
         raise ConfigError("stream config must set job = 'stream'")
@@ -236,7 +243,11 @@ def validate_stream_config(raw) -> dict:
 def _run_stream_job(raw: dict):
     from . import datagen
     from .session import get_spark
-    from .streaming import read_transcripts_stream, run_stream_pipeline
+    from .streaming import (
+        read_transcripts_stream,
+        run_stream_pipeline,
+        run_stream_pipeline_keyed,
+    )
 
     sp = raw.get("spark", {})
     spark = get_spark(
@@ -251,7 +262,10 @@ def _run_stream_job(raw: dict):
         raw["input"]["transcripts_dir"],
         max_files_per_trigger=st.get("max_files_per_trigger"),
     )
-    q = run_stream_pipeline(
+    runner = (
+        run_stream_pipeline_keyed if st.get("keyed") else run_stream_pipeline
+    )
+    q = runner(
         stream,
         datagen.tool_meta(spark),
         datagen.role_meta(spark),
@@ -260,7 +274,11 @@ def _run_stream_job(raw: dict):
         available_now=bool(st.get("available_now", False)),
     )
     q.awaitTermination()
-    res = {"out_root": raw["out_root"], "stopped": True}
+    res = {
+        "out_root": raw["out_root"],
+        "stopped": True,
+        "mode": "keyed" if st.get("keyed") else "append",
+    }
     print(json.dumps(res))
     return res
 

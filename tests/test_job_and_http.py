@@ -323,3 +323,31 @@ def test_observability_int_knobs_validated():
             "out_root": "x", "observability": {"trail": "four"}})
     cfg = job.to_observability_config({"out_root": "x", "observability": {}})
     assert cfg.width_sec is None and cfg.nsigma == 3
+
+
+def test_stream_job_keyed_mode(spark, tmp_path):
+    """job='stream' with stream.keyed=true runs the cross-batch keyed
+    pipeline: Catalog sink tables, batch-equal even though this config
+    path is exercised over one whole file."""
+    from otel2pv_spark import datagen
+
+    tr = datagen.transcripts_from_events(spark, SF)
+    src = tmp_path / "kj_src"
+    src.mkdir()
+    tr.toPandas().to_parquet(str(src / "all.parquet"), index=False,
+                             coerce_timestamps="us",
+                             allow_truncated_timestamps=True)
+    cfgp = tmp_path / "kj.json"
+    cfgp.write_text(json.dumps({
+        "job": "stream",
+        "input": {"transcripts_dir": str(src)},
+        "out_root": str(tmp_path / "kj_out"),
+        "checkpoint": str(tmp_path / "kj_ckpt"),
+        "stream": {"available_now": True, "keyed": True},
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }))
+    res = job.main(["--config", str(cfgp)])
+    assert res["stopped"] and res["mode"] == "keyed"
+    seq = read_table(spark, tmp_path / "kj_out", "sequenced_events")
+    rej = read_table(spark, tmp_path / "kj_out", "rejects")
+    assert seq.count() + rej.count() == tr.count()
