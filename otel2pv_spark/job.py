@@ -283,6 +283,86 @@ def _run_stream_job(raw: dict):
     return res
 
 
+def validate_maintenance_config(raw) -> dict:
+    """Validate the ``"job": "maintenance"`` variant — the Iceberg
+    maintenance-actions analog (rewrite_data_files + expire_snapshots
+    as one scheduled job)::
+
+        {
+          "job": "maintenance",
+          "root": "/data/otel2pv_out",
+          "tables": [
+            {"name": "sequenced_events",
+             "compact": {"target_file_mb": 256, "partition_by": ["sink"]},
+             "expire_snapshots": 2},
+            {"name": "rejects", "compact": {}}
+          ],
+          "spark": {...}
+        }
+
+    Per table: optional compaction (bin-pack small files), optional
+    snapshot expiry (keep newest N previous versions; the manifest
+    strategy also GCs unreferenced staged dirs). Works under either
+    catalog strategy."""
+    if not isinstance(raw, dict) or raw.get("job") != "maintenance":
+        raise ConfigError("maintenance config must set job = 'maintenance'")
+    if not raw.get("root"):
+        raise ConfigError("root is required")
+    tables = raw.get("tables")
+    if not isinstance(tables, list) or not tables:
+        raise ConfigError("tables must be a non-empty list")
+    for t in tables:
+        if not isinstance(t, dict) or not t.get("name"):
+            raise ConfigError("each tables[] entry needs a name")
+        if "compact" in t and not isinstance(t["compact"], dict):
+            raise ConfigError("tables[].compact must be an object")
+        if "expire_snapshots" in t and (
+            not isinstance(t["expire_snapshots"], int)
+            or t["expire_snapshots"] < 0
+        ):
+            raise ConfigError("tables[].expire_snapshots must be an int >= 0")
+    return raw
+
+
+def _run_maintenance_job(raw: dict):
+    from .session import get_spark
+    from .sources.catalog import Catalog
+
+    sp = raw.get("spark", {})
+    spark = get_spark(
+        master=sp.get("master"),
+        shuffle_partitions=sp.get("shuffle_partitions"),
+        extra=sp.get("extra"),
+        app_name="otel2pv-maintenance",
+    )
+    cat = Catalog(spark, raw["root"])
+    report = []
+    for t in raw["tables"]:
+        name = t["name"]
+        entry: dict = {"table": name}
+        if not cat.exists(name):
+            entry["skipped"] = "absent"
+            report.append(entry)
+            continue
+        if "compact" in t:
+            c = t["compact"]
+            entry["compact"] = cat.compact(
+                name,
+                target_file_mb=int(c.get("target_file_mb", 256)),
+                partition_by=c.get("partition_by"),
+            )
+        if "expire_snapshots" in t:
+            entry["expired"] = cat.expire_snapshots(
+                name, keep=t["expire_snapshots"]
+            )
+        f, b = cat._table_file_stats(name)
+        entry["n_files"], entry["bytes"] = f, b
+        report.append(entry)
+    res = {"root": raw["root"], "tables": report}
+    print(json.dumps(res))
+    return res
+
+
 def to_pipeline_config(raw: dict) -> PipelineConfig:
     seq = raw.get("sequence", {})
     return PipelineConfig(
@@ -360,6 +440,8 @@ def main(argv: list[str] | None = None) -> dict:
         return _run_observability_job(validate_observability_config(head))
     if kind == "stream":
         return _run_stream_job(validate_stream_config(head))
+    if kind == "maintenance":
+        return _run_maintenance_job(validate_maintenance_config(head))
 
     raw = validate_config(head)
     cfg = to_pipeline_config(raw)

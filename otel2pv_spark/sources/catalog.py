@@ -185,6 +185,35 @@ class _CatalogBase:
             "bytes": total_bytes,
         }
 
+    # ------------------------------------------------ metadata tables
+    def history(self, table: str) -> DataFrame:
+        """Iceberg's ``<table>.history`` metadata table as a DataFrame:
+        one row per retained version (current included, flagged) with
+        file count and byte size. Config-sized by construction —
+        retained versions are bounded by ``keep_snapshots``."""
+        rows = []
+        for v in self.snapshots(table):
+            f, b = self._version_file_stats(table, v)
+            rows.append((v, False, f, b))
+        if self.exists(table):
+            f, b = self._table_file_stats(table)
+            rows.append((self._current_version_number(table), True, f, b))
+        return self.spark.createDataFrame(
+            rows, "version int, is_current boolean, n_files bigint, bytes bigint"
+        )
+
+    def files(self, table: str, version: int | None = None) -> DataFrame:
+        """Iceberg's ``<table>.files`` metadata table: one row per data
+        file of a version (default current) with its size — the input
+        to compaction policy and audit tooling. Listing happens on the
+        driver over table metadata (file counts, not data)."""
+        rows = [
+            (p, sz) for p, sz in self._data_files(table, version)
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, bytes bigint"
+        )
+
     def _validate_append(
         self, df: DataFrame, table: str, merge_schema: bool
     ):
@@ -715,6 +744,35 @@ class PosixCatalog(_CatalogBase):
                     total += os.path.getsize(os.path.join(dirpath, f))
         return files, total
 
+    def _current_version_number(self, table: str) -> int:
+        versions = self.snapshots(table)
+        return (versions[-1] + 1) if versions else 1
+
+    def _version_file_stats(self, table: str, version: int) -> tuple[int, int]:
+        files = 0
+        total = 0
+        src = os.path.join(self._snap_dir(table), f"v{version}")
+        for dirpath, _dirnames, filenames in os.walk(src):
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    files += 1
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return files, total
+
+    def _data_files(self, table: str, version: int | None = None):
+        src = (
+            self.path(table)
+            if version is None
+            else os.path.join(self._snap_dir(table), f"v{version}")
+        )
+        if version is not None and not os.path.isdir(src):
+            raise ValueError(f"no snapshot v{version} of table {table!r}")
+        for dirpath, _dirnames, filenames in os.walk(src):
+            for f in sorted(filenames):
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    yield p, os.path.getsize(p)
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
@@ -1154,7 +1212,18 @@ class ManifestCatalog(_CatalogBase):
         )
 
     def _table_file_stats(self, table: str) -> tuple[int, int]:
-        man = self._load_manifest(table)
+        return self._version_file_stats(table, None)
+
+    def _current_version_number(self, table: str) -> int:
+        v = self._current_version(table)
+        if v is None:
+            raise ValueError(f"table {table!r} does not exist")
+        return v
+
+    def _version_file_stats(
+        self, table: str, version: int | None
+    ) -> tuple[int, int]:
+        man = self._load_manifest(table, version)
         files = 0
         total = 0
         for e in man["entries"]:
@@ -1164,6 +1233,15 @@ class ManifestCatalog(_CatalogBase):
                         files += 1
                         total += os.path.getsize(os.path.join(dirpath, f))
         return files, total
+
+    def _data_files(self, table: str, version: int | None = None):
+        man = self._load_manifest(table, version)
+        for e in man["entries"]:
+            for dirpath, _dirnames, filenames in os.walk(self._abs(e["path"])):
+                for f in sorted(filenames):
+                    if f.endswith(".parquet"):
+                        p = os.path.join(dirpath, f)
+                        yield p, os.path.getsize(p)
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._meta_dir(table), ignore_errors=True)

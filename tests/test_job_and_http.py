@@ -351,3 +351,74 @@ def test_stream_job_keyed_mode(spark, tmp_path):
     seq = read_table(spark, tmp_path / "kj_out", "sequenced_events")
     rej = read_table(spark, tmp_path / "kj_out", "rejects")
     assert seq.count() + rej.count() == tr.count()
+
+
+def test_maintenance_job_compacts_and_expires(spark, tmp_path):
+    """job='maintenance': per-table compaction + snapshot expiry — the
+    Iceberg maintenance-actions analog as one scheduled job."""
+    from pyspark.sql import functions as F
+
+    from otel2pv_spark.sources.catalog import Catalog
+
+    root = str(tmp_path / "mroot")
+    cat = Catalog(spark, root, keep_snapshots=5)
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("sink")
+    )
+    for _ in range(3):                      # builds version history
+        cat.write(df.repartition(16), "t")
+    assert len(cat.snapshots("t")) == 2
+
+    cfgp = tmp_path / "m.json"
+    cfgp.write_text(json.dumps({
+        "job": "maintenance",
+        "root": root,
+        "tables": [
+            {"name": "t", "compact": {"target_file_mb": 256},
+             "expire_snapshots": 0},
+            {"name": "ghost", "compact": {}},
+        ],
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }))
+    res = job.main(["--config", str(cfgp)])
+    by = {t["table"]: t for t in res["tables"]}
+    assert by["t"]["compact"]["files_before"] == 16
+    assert by["t"]["n_files"] == 1
+    assert by["ghost"]["skipped"] == "absent"
+    # expiry happened (compaction itself added one more version first)
+    cat2 = Catalog(spark, root, keep_snapshots=5)
+    assert cat2.snapshots("t") == []
+    assert cat2.read("t").count() == 2000
+
+
+def test_maintenance_config_validation(tmp_path):
+    for bad in (
+        {"job": "maintenance"},                                # no root
+        {"job": "maintenance", "root": "/x", "tables": []},    # empty
+        {"job": "maintenance", "root": "/x", "tables": [{}]},  # no name
+        {"job": "maintenance", "root": "/x",
+         "tables": [{"name": "t", "expire_snapshots": -1}]},
+    ):
+        with pytest.raises(job.ConfigError):
+            job.validate_maintenance_config(bad)
+
+
+def test_catalog_metadata_tables(spark, tmp_path):
+    """history()/files() — the Iceberg metadata-table analog, both
+    strategies."""
+    from otel2pv_spark.sources.catalog import Catalog
+
+    for strategy in ("posix", "manifest"):
+        cat = Catalog(spark, str(tmp_path / strategy), keep_snapshots=3,
+                      strategy=strategy)
+        cat.write(spark.range(10).repartition(2), "t")
+        cat.write(spark.range(20).repartition(3), "t")
+        h = {r.version: r for r in cat.history("t").collect()}
+        assert len(h) == 2
+        cur = [r for r in h.values() if r.is_current]
+        assert len(cur) == 1 and cur[0].n_files == 3
+        prev = [r for r in h.values() if not r.is_current][0]
+        assert prev.n_files == 2
+        f = cat.files("t").collect()
+        assert len(f) == 3 and all(r.bytes > 0 for r in f)
+        assert len(cat.files("t", version=prev.version).collect()) == 2
