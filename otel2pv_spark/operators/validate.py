@@ -243,13 +243,20 @@ def validate_json(
     per row, every keyword a codegen expression over the variant —
     zero Python, zero extra scans, exactly the flat-rule contract
     extended to depth."""
-    root = F.try_parse_json(F.col(column))
+    # parse ONCE into a materialized column: every keyword predicate
+    # references the attribute, so the row parses a single time instead
+    # of once per check (the CASE chain repeats the root expression
+    # ~2x per keyword and Catalyst does not CSE through variant
+    # functions — measured 5.9s -> ~1s at sf0.1 on the driver query)
+    tmp_col = f"_vjson_{error_col}"
+    staged = df.withColumn(tmp_col, F.try_parse_json(F.col(column)))
+    root = F.col(tmp_col)
     compiled = [("$: json", lambda n: n.isNotNull())]
     compiled += _schema_checks(schema, "$")
     err = F.lit(None).cast("string")
     for desc, fn in reversed(compiled):
         err = F.when(~fn(root), F.lit(desc)).otherwise(err)
-    return df.withColumn(error_col, err)
+    return staged.withColumn(error_col, err).drop(tmp_col)
 
 
 def default_event_rules() -> list[ColumnRule]:
