@@ -267,6 +267,38 @@ def main_e2e_once() -> None:
     spark.stop()
 
 
+def main_probe_once() -> None:
+    """Subprocess worker for --scaling: the pure-CPU guest-ceiling
+    probe at $SPARK_GRAFT_CPUS — 24B-row xxhash64 max, zero shuffle,
+    zero disk, embarrassingly parallel. Whatever 4N/N speedup THIS
+    fails to reach is the host's ceiling (few-core turbo boost /
+    hypervisor scheduling), not pipeline serialization; the scaling
+    report normalizes against it."""
+    from pyspark.sql import functions as F
+
+    from otel2pv_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-probe-{os.environ.get('SPARK_GRAFT_CPUS')}")
+    n = 24_000_000_000
+
+    def probe():
+        spark.range(n, numPartitions=64).select(
+            F.max(F.xxhash64("id"))
+        ).collect()
+
+    spark.range(n // 24, numPartitions=64).select(
+        F.max(F.xxhash64("id"))
+    ).collect()  # warmup
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        probe()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print("PROBE_RESULT " + json.dumps({"wall_sec": best}))
+    spark.stop()
+
+
 # N and 4N parallelism levels for the scaling evidence. Default 4 vs 16:
 # a pure-CPU probe (8B-row xxhash sum, fresh plan per rep) shows this
 # guest scales cleanly only up to 16 threads (4->16 = 4.26x) and flattens
@@ -284,26 +316,36 @@ def main_scaling() -> None:
     # (N, 4N, N, 4N, ...) and keep each level's best round: hypervisor
     # noise bursts last minutes, so back-to-back single measurements
     # can bias one level arbitrarily; interleaving + min rejects that.
+    def _sub(mode: str, cpus: int, marker: str) -> dict:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = next(
+            (ln for ln in p.stdout.splitlines() if ln.startswith(marker)), None)
+        if line is None:
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+            raise RuntimeError(f"{mode} run at local[{cpus}] failed")
+        return json.loads(line[len(marker):])
+
     levels: dict[int, dict] = {}
+    probes: dict[int, float] = {}
     for _ in range(SCALE_ROUNDS):
         for cpus in SCALE_LEVELS:
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--e2e-once"],
-                env=env, capture_output=True, text=True, timeout=3600,
-            )
-            line = next(
-                (ln for ln in p.stdout.splitlines() if ln.startswith("E2E_RESULT ")), None)
-            if line is None:
-                sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
-                raise RuntimeError(f"scaling run at local[{cpus}] failed")
-            res = json.loads(line[len("E2E_RESULT "):])
+            res = _sub("--e2e-once", cpus, "E2E_RESULT ")
             if cpus not in levels or res["wall_sec"] < levels[cpus]["wall_sec"]:
                 levels[cpus] = res
+        # same-round guest-ceiling probe per level (see main_probe_once)
+        for cpus in SCALE_LEVELS:
+            pr = _sub("--probe-once", cpus, "PROBE_RESULT ")["wall_sec"]
+            probes[cpus] = min(probes.get(cpus, pr), pr)
 
     n1, n4 = SCALE_LEVELS
     tp1, tp4 = levels[n1]["turns_per_sec"], levels[n4]["turns_per_sec"]
     eff = (tp4 / tp1) / (n4 / n1) if tp1 > 0 else 0.0
+    ceiling = (probes[n1] / probes[n4]) / (n4 / n1) if probes.get(n4) else None
+    rel = eff / ceiling if ceiling else None
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling evidence
@@ -326,15 +368,32 @@ swings from hypervisor neighbors lasting minutes; interleaving + min
 rejects that noise). Input sized so parallel work dominates driver
 fixed overheads, as on a real cluster partition of the full table.
 
-| parallelism | rows (turns) | wall sec | turns/sec |
-|---|---|---|---|
-| local[{n1}]  (N)  | {levels[n1]['rows']} | {levels[n1]['wall_sec']:.2f} | {tp1:,.0f} |
-| local[{n4}] (4N) | {levels[n4]['rows']} | {levels[n4]['wall_sec']:.2f} | {tp4:,.0f} |
+| parallelism | rows (turns) | wall sec | turns/sec | cpu-probe sec |
+|---|---|---|---|---|
+| local[{n1}]  (N)  | {levels[n1]['rows']} | {levels[n1]['wall_sec']:.2f} | {tp1:,.0f} | {probes.get(n1, float('nan')):.2f} |
+| local[{n4}] (4N) | {levels[n4]['rows']} | {levels[n4]['wall_sec']:.2f} | {tp4:,.0f} | {probes.get(n4, float('nan')):.2f} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
 (target ≥ 0.8 per BASELINE.json north rule).
+
+**Same-session guest ceiling**: the pure-CPU probe (24B-row xxhash64
+max — zero shuffle, zero disk, embarrassingly parallel; see
+bench.py main_probe_once) measured a 4N/N speedup of
+{(probes[n1] / probes[n4]):.2f}x, i.e. a HARDWARE scaling ceiling of
+{ceiling:.3f} in this guest state (few-core turbo boost / hypervisor
+scheduling make low-thread runs disproportionately fast). The
+pipeline's efficiency relative to that same-session ceiling is
+**{rel:.3f}** — the number that actually isolates pipeline
+serialization from host behavior. Both are reported; when the raw
+efficiency is below target but the relative efficiency is ~1.0, the
+gap is the host's, not the plan's.
 """)
-    print(json.dumps({"levels": levels, "efficiency": round(eff, 3)}))
+    print(json.dumps({
+        "levels": levels,
+        "efficiency": round(eff, 3),
+        "cpu_ceiling": round(ceiling, 3) if ceiling else None,
+        "efficiency_vs_ceiling": round(rel, 3) if rel else None,
+    }))
 
 
 if __name__ == "__main__":
@@ -342,5 +401,7 @@ if __name__ == "__main__":
         main_scaling()
     elif "--e2e-once" in sys.argv:
         main_e2e_once()
+    elif "--probe-once" in sys.argv:
+        main_probe_once()
     else:
         main_bench()
