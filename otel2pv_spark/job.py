@@ -237,6 +237,11 @@ def validate_stream_config(raw) -> dict:
         raise ConfigError("out_root is required")
     if not raw.get("checkpoint"):
         raise ConfigError("checkpoint is required (exactly-once offsets)")
+    st = raw.get("stream", {})
+    if "keyed" in st and not isinstance(st["keyed"], bool):
+        raise ConfigError(
+            "stream.keyed must be a JSON boolean (a string would be truthy)"
+        )
     return raw
 
 
@@ -303,7 +308,15 @@ def validate_maintenance_config(raw) -> dict:
     Per table: optional compaction (bin-pack small files), optional
     snapshot expiry (keep newest N previous versions; the manifest
     strategy also GCs unreferenced staged dirs). Works under either
-    catalog strategy."""
+    catalog strategy.
+
+    History preservation: maintenance PRESERVES existing snapshot
+    history by default — each table's catalog handle is given a
+    retention at least as large as its current retained count (+1 for
+    the version compaction itself creates), so a compact-only run can
+    never silently destroy time-travel history. Pass top-level
+    ``keep_snapshots`` to pin a different retention, or per-table
+    ``expire_snapshots`` to trim explicitly."""
     if not isinstance(raw, dict) or raw.get("job") != "maintenance":
         raise ConfigError("maintenance config must set job = 'maintenance'")
     if not raw.get("root"):
@@ -311,16 +324,22 @@ def validate_maintenance_config(raw) -> dict:
     tables = raw.get("tables")
     if not isinstance(tables, list) or not tables:
         raise ConfigError("tables must be a non-empty list")
+    def _is_count(v) -> bool:
+        # bool is an int subclass: "expire_snapshots": true would
+        # silently mean keep=1 — reject the type confusion loudly
+        return isinstance(v, int) and not isinstance(v, bool) and v >= 0
+
+    if "keep_snapshots" in raw and not _is_count(raw["keep_snapshots"]):
+        raise ConfigError("keep_snapshots must be an int >= 0 (not a bool)")
     for t in tables:
         if not isinstance(t, dict) or not t.get("name"):
             raise ConfigError("each tables[] entry needs a name")
         if "compact" in t and not isinstance(t["compact"], dict):
             raise ConfigError("tables[].compact must be an object")
-        if "expire_snapshots" in t and (
-            not isinstance(t["expire_snapshots"], int)
-            or t["expire_snapshots"] < 0
-        ):
-            raise ConfigError("tables[].expire_snapshots must be an int >= 0")
+        if "expire_snapshots" in t and not _is_count(t["expire_snapshots"]):
+            raise ConfigError(
+                "tables[].expire_snapshots must be an int >= 0 (not a bool)"
+            )
     return raw
 
 
@@ -336,6 +355,7 @@ def _run_maintenance_job(raw: dict):
         app_name="otel2pv-maintenance",
     )
     cat = Catalog(spark, raw["root"])
+    keep_cfg = raw.get("keep_snapshots")
     report = []
     for t in raw["tables"]:
         name = t["name"]
@@ -344,6 +364,13 @@ def _run_maintenance_job(raw: dict):
             entry["skipped"] = "absent"
             report.append(entry)
             continue
+        # preserve-by-default: the commit inside compact() expires with
+        # the HANDLE's retention, and this handle knows nothing of the
+        # writer's policy — so pin it to at least the currently
+        # retained history (+1 for the compaction's own version)
+        cat.keep_snapshots = (
+            keep_cfg if keep_cfg is not None else len(cat.snapshots(name)) + 1
+        )
         if "compact" in t:
             c = t["compact"]
             entry["compact"] = cat.compact(

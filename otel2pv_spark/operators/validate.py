@@ -151,6 +151,10 @@ def _schema_checks(schema: dict, path: str) -> list:
     def _is_arr(n):
         return F.schema_of_variant(n).startswith("ARRAY")
 
+    def _is_obj(n):
+        t = F.schema_of_variant(n)
+        return t.startswith("OBJECT") | t.startswith("STRUCT")
+
     def emit(desc: str, inner, applies=None):
         def pred(n, _f=inner, _a=applies):
             ok = F.coalesce(_f(n), F.lit(False))
@@ -164,7 +168,13 @@ def _schema_checks(schema: dict, path: str) -> list:
     if t is not None:
         emit(f"{path}: type", lambda n: _TYPE_PREDS[t](F.schema_of_variant(n)))
     for k in schema.get("required", ()):
-        emit(f"{path}: required:{k}", lambda n, _k=k: _sub(n, _k).isNotNull())
+        # required applies only to OBJECT instances (JSON-Schema
+        # keyword independence, same as the value keywords below)
+        emit(
+            f"{path}: required:{k}",
+            lambda n, _k=k: _sub(n, _k).isNotNull(),
+            applies=_is_obj,
+        )
     if "enum" in schema:
         # enum is value equality across ALL types (string-form compare,
         # documented subset) — no applicability guard by design

@@ -62,6 +62,20 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.route import REJECT_SINK_PREFIX
 
 
+def _has_parquet(d: str) -> bool:
+    return any(
+        f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
+    )
+
+
+def _commit_empty_schema_file(df: DataFrame, d: str) -> None:
+    """Commit an EMPTY table with the full schema into ``d`` — an empty
+    directory is not a readable parquet table (schema inference fails).
+    limit(0) optimizes to an empty relation: a no-scan job. ONE shared
+    helper so the three empty-commit sites cannot drift."""
+    df.limit(0).write.mode("overwrite").parquet(d)
+
+
 class _CatalogBase:
     """API + strategy-independent pieces. Everything that only needs
     ``read``/``write`` (diff, keyed merge, compaction, bucketing) lives
@@ -83,10 +97,16 @@ class _CatalogBase:
         ``expire_snapshots``) — the stand-in for Iceberg's snapshot
         log."""
         self.spark = spark
-        self.root = root
+        # the root is pinned ABSOLUTE at construction: the manifest
+        # strategy stores root-relative entry paths, and a cwd-relative
+        # root would make freshly staged paths ambiguous with stored
+        # relative entries (review finding: reads double-joined the
+        # root). abspath also makes path() stable if the caller later
+        # chdirs.
+        self.root = os.path.abspath(root)
         self.fmt = fmt
         self.keep_snapshots = keep_snapshots
-        os.makedirs(root, exist_ok=True)
+        os.makedirs(self.root, exist_ok=True)
 
     def path(self, table: str) -> str:
         """Logical path of the table under the catalog root. For the
@@ -610,15 +630,20 @@ class PosixCatalog(_CatalogBase):
         retention on, the outgoing version is archived (and history
         trimmed) instead of dropped."""
         final = self.path(table)
+        existed = os.path.exists(final)
         if self.keep_snapshots > 0:
             self._archive_current(table)
             os.rename(new_dir, final)
+            if existed:
+                self._bump_version_counter(table)
             self.expire_snapshots(table)
             return
         old = final + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(final):
+        if existed:
             os.rename(final, old)
         os.rename(new_dir, final)
+        if existed:
+            self._bump_version_counter(table)
         shutil.rmtree(old, ignore_errors=True)
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
@@ -629,14 +654,10 @@ class PosixCatalog(_CatalogBase):
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        if partition_by and not any(
-            f.endswith(".parquet") for _, _, fs in os.walk(tmp) for f in fs
-        ):
+        if partition_by and not _has_parquet(tmp):
             # a partitioned write of an EMPTY DataFrame emits only
-            # _SUCCESS — an unreadable table (schema inference fails).
-            # Re-commit as an unpartitioned empty file with the schema
-            # (limit(0) optimizes to an empty relation: no-scan job).
-            df.limit(0).write.mode("overwrite").parquet(tmp)
+            # _SUCCESS — re-commit as an unpartitioned schema file
+            _commit_empty_schema_file(df, tmp)
         self._swap_in(tmp, table)
 
     def commit_fanout_split(
@@ -667,17 +688,12 @@ class PosixCatalog(_CatalogBase):
                 os.rename(os.path.join(tmp, d), os.path.join(rej_tmp, d))
                 moved = True
         if not moved:
-            # zero rejects: commit an EMPTY table with the full schema
-            # (an empty directory is not a readable parquet table —
-            # any later read would fail schema inference). limit(0) is
-            # optimized to an empty relation, so this is a no-scan job.
-            routed_all.limit(0).write.mode("overwrite").parquet(rej_tmp)
-        if not any(
-            f.endswith(".parquet") for _, _, fs in os.walk(tmp) for f in fs
-        ):
+            # zero rejects: commit an empty-but-readable rejects table
+            _commit_empty_schema_file(routed_all, rej_tmp)
+        if not _has_parquet(tmp):
             # mirror case — EVERY row routed to a reject sink: the main
             # table must still commit readable (empty, full schema)
-            routed_all.limit(0).write.mode("overwrite").parquet(tmp)
+            _commit_empty_schema_file(routed_all, tmp)
 
         self._swap_in(rej_tmp, rejects_table)
         self._swap_in(tmp, table)
@@ -744,9 +760,30 @@ class PosixCatalog(_CatalogBase):
                     total += os.path.getsize(os.path.join(dirpath, f))
         return files, total
 
-    def _current_version_number(self, table: str) -> int:
-        versions = self.snapshots(table)
-        return (versions[-1] + 1) if versions else 1
+    def _counter_path(self, table: str) -> str:
+        return self.path(table) + ".version"
+
+    def _bump_version_counter(self, table: str) -> int:
+        nxt = self._current_version_number(table, bumped=True)
+        tmp = self._counter_path(table) + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as fh:
+            fh.write(str(nxt))
+        os.replace(tmp, self._counter_path(table))
+        return nxt
+
+    def _current_version_number(self, table: str, bumped: bool = False) -> int:
+        """The posix strategy persists a monotonic commit counter next
+        to the table (the manifest strategy reads its pointer) so
+        ``history()`` labels the current version truthfully even after
+        snapshots expire — deriving it from retained snapshots would
+        reuse version numbers once history is trimmed."""
+        try:
+            with open(self._counter_path(table)) as fh:
+                cur = int(fh.read().strip())
+        except (OSError, ValueError):
+            versions = self.snapshots(table)
+            cur = versions[-1] if versions else 0
+        return cur + 1 if bumped else max(cur, 1)
 
     def _version_file_stats(self, table: str, version: int) -> tuple[int, int]:
         files = 0
@@ -775,6 +812,10 @@ class PosixCatalog(_CatalogBase):
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
+        try:
+            os.remove(self._counter_path(table))
+        except OSError:
+            pass
 
 
 def _leaf_partitions(root: str, depth: int, rel: str = ""):
@@ -1082,12 +1123,10 @@ class ManifestCatalog(_CatalogBase):
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(stage)
-        if partition_by and not any(
-            f.endswith(".parquet") for _, _, fs in os.walk(stage) for f in fs
-        ):
+        if partition_by and not _has_parquet(stage):
             # empty partitioned write: commit an unpartitioned empty
             # file with the schema (same reasoning as the posix path)
-            df.limit(0).write.mode("overwrite").parquet(stage)
+            _commit_empty_schema_file(df, stage)
             partition_by = None
         if partition_by:
             entries = [
@@ -1161,7 +1200,7 @@ class ManifestCatalog(_CatalogBase):
             self._commit(rejects_table, rej_entries, False, ["sink"])
         else:
             rstage = self._new_stage(rejects_table)
-            routed_all.limit(0).write.mode("overwrite").parquet(rstage)
+            _commit_empty_schema_file(routed_all, rstage)
             self._commit(
                 rejects_table, [{"path": rstage, "base": None}], False, None
             )
@@ -1170,7 +1209,7 @@ class ManifestCatalog(_CatalogBase):
             # table with the full schema (a zero-entry manifest would
             # be unreadable), mirroring the empty-rejects case
             mstage = self._new_stage(table)
-            routed_all.limit(0).write.mode("overwrite").parquet(mstage)
+            _commit_empty_schema_file(routed_all, mstage)
             self._commit(table, [{"path": mstage, "base": None}], False, None)
         else:
             self._commit(table, main_entries, False, ["sink"])

@@ -143,13 +143,28 @@ def run_stream_pipeline_keyed(
 
     Crash safety: turns append is an atomic Catalog commit; the
     per-batch recompute runs under a ``run_incremental`` manifest
-    (``incr-sb<batch_id>``), so a replayed batch re-derives the same
-    state instead of double-merging. Scale shape: the recompute scans
+    (``incr-sb<start-uid>-<batch_id>`` — the start uid keeps manifests
+    from a reset checkpoint or a second stream from aliasing), so a
+    replayed batch re-derives the same state instead of
+    double-merging. Scale shape: the recompute scans
     only the touched conversations (semi-join; Iceberg conv-bucket
     pruning at the real target — the full-history read here is the
     parquet stand-in's cost, not the design's)."""
+    import uuid as _uuid
+
     from ..plans import pipeline as pl
     from ..sources.catalog import Catalog
+
+    # per-START identity mixed into each batch's run-manifest id:
+    # batch_id alone is NOT a global identity — a reset/relocated
+    # checkpoint (or a second stream into the same out_root) restarts
+    # ids at 0 with different contents, and a bare sb<id> manifest
+    # would make run_incremental skip the merge entirely (silent sink
+    # divergence). With the start uid, a query RESTART from the same
+    # checkpoint re-runs its replayed batch under a fresh manifest —
+    # replace_keys is idempotent, so that reconverges; only the
+    # redundant work is repeated, never correctness.
+    start_uid = _uuid.uuid4().hex[:8]
 
     def process(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -188,7 +203,9 @@ def run_stream_pipeline_keyed(
         pl.run_incremental(
             spark,
             cat.read("turns"),
-            pl.PipelineConfig(out_root=out_root, run_id=f"sb{batch_id}"),
+            pl.PipelineConfig(
+                out_root=out_root, run_id=f"sb{start_uid}-{batch_id}"
+            ),
             keys,
             tool_meta=tool_meta,
             role_meta=role_meta,

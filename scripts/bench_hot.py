@@ -121,6 +121,12 @@ def run_mode(spark, tr, tm, rm, hot_block_size):
     cfg = pipeline.PipelineConfig(hot_block_size=hot_block_size)
     t0 = time.time()
     routed = pipeline.build_single_pass(tr, tm, rm, cfg)
+    # noop SINK, not count(): a bare count() lets Catalyst column-prune
+    # the window expressions out of the pure-projection window plan
+    # while the hot plan's join survives — a structurally biased
+    # comparison (review finding). The noop write materializes every
+    # output column in BOTH modes.
+    routed.write.format("noop").mode("overwrite").save()
     n = routed.count()
     return time.time() - t0, n
 

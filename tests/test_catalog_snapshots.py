@@ -620,3 +620,33 @@ class TestReviewFindings:
         # manifest entries are relative — portable if the root moves
         man = cat_abs._load_manifest("t")
         assert all(not os.path.isabs(e["path"]) for e in man["entries"])
+
+
+class TestSecondReviewFindings:
+    """Regressions for the second review pass."""
+
+    def test_manifest_relative_root_round_trips(self, spark, tmp_path, monkeypatch):
+        """A manifest catalog constructed with a CWD-RELATIVE root must
+        read back its own writes (the relativization change once made
+        _abs double-join the root)."""
+        monkeypatch.chdir(tmp_path)
+        cat = Catalog(spark, "relcat", strategy="manifest")
+        cat.write(_df(spark, "a", 4), "t")
+        assert {r.tag for r in cat.read("t").collect()} == {"a"}
+        cat.append(_df(spark, "b", 2), "t")
+        assert cat.read("t").count() == 6
+        assert cat._table_file_stats("t")[0] > 0
+
+    def test_posix_history_versions_survive_expiry(self, spark, tmp_path):
+        """history() must label the current version with a monotonic
+        number that never collides with expired versions (posix now
+        persists a commit counter)."""
+        cat = Catalog(spark, str(tmp_path / "cat"), keep_snapshots=3,
+                      strategy="posix")
+        for tag in "abcde":
+            cat.write(_df(spark, tag), "t")
+        cur = [r for r in cat.history("t").collect() if r.is_current][0]
+        assert cur.version == 5
+        cat.expire_snapshots("t", keep=0)
+        cur2 = [r for r in cat.history("t").collect() if r.is_current][0]
+        assert cur2.version == 5  # not reset to 1 by the empty log

@@ -422,3 +422,56 @@ def test_catalog_metadata_tables(spark, tmp_path):
         f = cat.files("t").collect()
         assert len(f) == 3 and all(r.bytes > 0 for r in f)
         assert len(cat.files("t", version=prev.version).collect()) == 2
+
+
+def test_maintenance_preserves_history_by_default(spark, tmp_path):
+    """A compact-only maintenance run must NOT destroy retained
+    snapshot history (second review pass): the maintenance catalog
+    handle defaults to preserving at least the current retention."""
+    from otel2pv_spark.sources.catalog import Catalog
+
+    root = str(tmp_path / "mh")
+    cat = Catalog(spark, root, keep_snapshots=3, strategy="manifest")
+    for tag in ("a", "b", "c"):
+        cat.write(
+            spark.range(100).selectExpr("id", f"'{tag}' as tag"), "t"
+        )
+    assert len(cat.snapshots("t")) == 2
+
+    cfgp = tmp_path / "mh.json"
+    cfgp.write_text(json.dumps({
+        "job": "maintenance",
+        "root": root,
+        "tables": [{"name": "t", "compact": {}}],   # NO expiry requested
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }))
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_CATALOG"] = "manifest"
+    try:
+        job.main(["--config", str(cfgp)])
+    finally:
+        del _os.environ["SPARK_GRAFT_CATALOG"]
+    cat2 = Catalog(spark, root, keep_snapshots=3, strategy="manifest")
+    # the two retained versions survive, plus the pre-compaction state
+    assert len(cat2.snapshots("t")) == 3
+    assert {r.tag for r in cat2.read("t").collect()} == {"c"}
+
+
+def test_maintenance_rejects_bool_counts(tmp_path):
+    with pytest.raises(job.ConfigError, match="bool"):
+        job.validate_maintenance_config({
+            "job": "maintenance", "root": "/x",
+            "tables": [{"name": "t", "expire_snapshots": True}],
+        })
+    with pytest.raises(job.ConfigError, match="bool"):
+        job.validate_maintenance_config({
+            "job": "maintenance", "root": "/x", "keep_snapshots": False,
+            "tables": [{"name": "t"}],
+        })
+    with pytest.raises(job.ConfigError, match="boolean"):
+        job.validate_stream_config({
+            "job": "stream", "input": {"transcripts_dir": "/i"},
+            "out_root": "/o", "checkpoint": "/c",
+            "stream": {"keyed": "false"},
+        })

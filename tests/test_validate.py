@@ -191,3 +191,16 @@ class TestKeywordIndependence:
         out = validate_op.validate_json(df, "payload", schema)
         got = {r.id: r.schema_error for r in out.collect()}
         assert got == {1: None, 2: "$.x: enum"}
+
+
+def test_required_applies_only_to_objects(spark):
+    """required on a non-object node passes (keyword independence,
+    second review pass)."""
+    schema = {"properties": {"x": {"required": ["a"]}}}
+    df = spark.createDataFrame(
+        [(1, '{"x": "hello"}'), (2, '{"x": {"b": 1}}'), (3, '{"x": {"a": 1}}')],
+        "id int, payload string",
+    )
+    out = validate_op.validate_json(df, "payload", schema)
+    got = {r.id: r.schema_error for r in out.collect()}
+    assert got == {1: None, 2: "$.x: required:a", 3: None}
