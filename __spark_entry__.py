@@ -1724,8 +1724,8 @@ ORACLES["validate_nested"] = with_transcripts(
     WHEN json_type(payload, '$.meta.job') IS NULL THEN '$.meta: required:job'
     WHEN json_type(payload, '$.meta.n') IS NULL THEN '$.meta: required:n'
     WHEN json_type(payload, '$.meta.job') <> 'VARCHAR' THEN '$.meta.job: type'
-    WHEN NOT regexp_full_match(json_extract_string(payload, '$.meta.job'),
-                               '(?:job-[0-9]+)') THEN '$.meta.job: pattern'
+    WHEN NOT regexp_matches(json_extract_string(payload, '$.meta.job'),
+                            'job-[0-9]+') THEN '$.meta.job: pattern'
     WHEN json_type(payload, '$.meta.n') NOT IN ('BIGINT', 'UBIGINT')
          THEN '$.meta.n: type'
     WHEN json_type(payload, '$.tags') <> 'ARRAY' THEN '$.tags: type'
@@ -2583,13 +2583,13 @@ ORACLES["validate_events"] = with_transcripts(
     r"""SELECT conv_id, turn_idx,
        CASE
          WHEN event_id IS NULL OR event_id = ''
-              OR NOT regexp_full_match(event_id, '[A-Za-z0-9:_\-]+')
+              OR NOT regexp_matches(event_id, '^[A-Za-z0-9:_\-]+$')
            THEN 'invalid_event_id'
          WHEN event_type IS NULL OR event_type = ''
               OR event_type NOT IN ('view','click','purchase','error')
            THEN 'invalid_event_type'
          WHEN parent_event_id IS NOT NULL AND parent_event_id <> ''
-              AND NOT regexp_full_match(parent_event_id, '[A-Za-z0-9:_\-]+')
+              AND NOT regexp_matches(parent_event_id, '^[A-Za-z0-9:_\-]+$')
            THEN 'invalid_parent_event_id'
          WHEN job_name IS NOT NULL AND job_name <> '' AND length(job_name) > 64
            THEN 'invalid_job_name'

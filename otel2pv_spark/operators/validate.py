@@ -35,8 +35,11 @@ failing (path, keyword) is recorded exactly like the flat rules.
 
 Supported keywords: ``type`` (object/array/string/integer/number/
 boolean/null), ``required``, ``properties``, ``items`` (applied to
-every element), ``enum`` (string-form compare, documented), ``pattern``
-(full-match), ``minLength``/``maxLength``, ``minimum``/``maximum``,
+every element), ``enum`` (typed value equality via JSON-style value
+lowering — booleans compare as true/false, matching the reference's
+santhosh-tekuri/jsonschema typed equality), ``pattern`` (UNANCHORED
+partial match, per the JSON-Schema spec and the reference validator),
+``minLength``/``maxLength``, ``minimum``/``maximum``,
 ``minItems``/``maxItems``. Checks are if-present (``required`` owns
 presence), matching JSON-Schema's keyword independence.
 """
@@ -57,7 +60,11 @@ class ColumnRule:
     column: str
     required: bool = False
     enum: tuple[str, ...] = ()
-    pattern: str | None = None          # full-match (regexp anchored)
+    pattern: str | None = None          # UNANCHORED partial match (JSON-Schema
+    #                                     semantics — the reference validates via
+    #                                     santhosh-tekuri/jsonschema v5 where
+    #                                     `pattern` is a partial match; schemas
+    #                                     wanting full-match carry their own ^$)
     castable: str | None = None         # e.g. "int", "timestamp"
     min_length: int | None = None
     max_length: int | None = None
@@ -73,7 +80,7 @@ class ColumnRule:
         if self.enum:
             checks = checks & c.isin(list(self.enum))
         if self.pattern is not None:
-            checks = checks & s.rlike(f"^(?:{self.pattern})$")
+            checks = checks & s.rlike(self.pattern)
         if self.castable is not None:
             checks = checks & c.cast(self.castable).isNotNull()
         if self.min_length is not None:
@@ -111,6 +118,16 @@ def split_valid(
 
 
 # ------------------------------------------------- nested JSON Schema
+def _enum_lower(v) -> str:
+    """Lower a Python enum value to the string a variant of that value
+    casts to: booleans → 'true'/'false' (JSON form), everything else →
+    str(). Keeps enum comparison typed like the reference validator's
+    JSON equality instead of Python repr equality."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 _TYPE_PREDS = {
     "object": lambda t: t.startswith("OBJECT") | t.startswith("STRUCT"),
     "array": lambda t: t.startswith("ARRAY"),
@@ -176,15 +193,23 @@ def _schema_checks(schema: dict, path: str) -> list:
             applies=_is_obj,
         )
     if "enum" in schema:
-        # enum is value equality across ALL types (string-form compare,
-        # documented subset) — no applicability guard by design
-        vals = [str(v) for v in schema["enum"]]
+        # enum is value equality across ALL types — no applicability
+        # guard by design. Values are lowered JSON-style so the compare
+        # against the variant's string cast is typed: Python True/False
+        # become 'true'/'false' (variant BOOLEAN casts to 'true', not
+        # 'True' — the str() lowering made boolean enums unmatchable,
+        # ADVICE r3).
+        vals = [_enum_lower(v) for v in schema["enum"]]
         emit(f"{path}: enum", lambda n: n.cast("string").isin(vals))
     if "pattern" in schema:
+        # UNANCHORED partial match — JSON-Schema spec semantics, and
+        # what the reference's santhosh-tekuri/jsonschema v5 validator
+        # does ('xjob-1y' MATCHES 'job-[0-9]+'); schemas wanting a full
+        # match must carry their own ^$ (ADVICE r3).
         pat = schema["pattern"]
         emit(
             f"{path}: pattern",
-            lambda n: n.cast("string").rlike(f"^(?:{pat})$"),
+            lambda n: n.cast("string").rlike(pat),
             applies=_is_str,
         )
     if "minLength" in schema:
@@ -272,13 +297,15 @@ def validate_json(
 def default_event_rules() -> list[ColumnRule]:
     """Validation for the parsed transcript event fields (the analog of
     the deploy JSON Schemas validating extracted span fields)."""
+    # patterns carry their OWN anchors: the engine is unanchored
+    # (JSON-Schema semantics), and these rules want full-match ids
     return [
-        ColumnRule("event_id", required=True, pattern=r"[A-Za-z0-9:_\-]+"),
+        ColumnRule("event_id", required=True, pattern=r"^[A-Za-z0-9:_\-]+$"),
         ColumnRule(
             "event_type", required=True,
             enum=("view", "click", "purchase", "error"),
         ),
-        ColumnRule("parent_event_id", pattern=r"[A-Za-z0-9:_\-]+"),
+        ColumnRule("parent_event_id", pattern=r"^[A-Za-z0-9:_\-]+$"),
         ColumnRule("job_name", max_length=64),
         ColumnRule("turn_idx", required=True, castable="int"),
     ]

@@ -631,19 +631,21 @@ class PosixCatalog(_CatalogBase):
         trimmed) instead of dropped."""
         final = self.path(table)
         existed = os.path.exists(final)
+        # bump UNCONDITIONALLY (first commit seeds the counter at 1):
+        # with keep_snapshots=0 there are never snapshots to fall back
+        # on, so a counter seeded only on the second commit would label
+        # the first TWO committed states both v1 (ADVICE r3)
         if self.keep_snapshots > 0:
             self._archive_current(table)
             os.rename(new_dir, final)
-            if existed:
-                self._bump_version_counter(table)
+            self._bump_version_counter(table)
             self.expire_snapshots(table)
             return
         old = final + ".old-" + uuid.uuid4().hex[:8]
         if existed:
             os.rename(final, old)
         os.rename(new_dir, final)
-        if existed:
-            self._bump_version_counter(table)
+        self._bump_version_counter(table)
         shutil.rmtree(old, ignore_errors=True)
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:

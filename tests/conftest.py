@@ -49,10 +49,15 @@ def table_mtime_fingerprint(spark, root, tbl):
     man = cat._load_manifest(tbl)
     out = {}
     for e in man["entries"]:
-        for dp, _dirs, fs in os.walk(e["path"]):
+        # entries store root-RELATIVE paths (portable catalog); walking
+        # them raw resolves against the process CWD and silently yields
+        # {} — which made every "not rewritten" assertion vacuous under
+        # the manifest strategy (ADVICE r3).
+        for dp, _dirs, fs in os.walk(cat._abs(e["path"])):
             for f in fs:
                 p = os.path.join(dp, f)
                 out[p] = os.path.getmtime(p)
+    assert out, f"empty mtime fingerprint for committed table {tbl!r}"
     return out
 
 

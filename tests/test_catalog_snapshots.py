@@ -650,3 +650,19 @@ class TestSecondReviewFindings:
         cat.expire_snapshots("t", keep=0)
         cur2 = [r for r in cat.history("t").collect() if r.is_current][0]
         assert cur2.version == 5  # not reset to 1 by the empty log
+
+    def test_posix_history_distinct_versions_without_retention(
+        self, spark, tmp_path
+    ):
+        """keep_snapshots=0: there are never snapshots to fall back on,
+        so the counter must be seeded on the FIRST commit — otherwise
+        the first two committed states are both labeled v1 (ADVICE r3)."""
+        cat = Catalog(spark, str(tmp_path / "cat0"), keep_snapshots=0,
+                      strategy="posix")
+        versions = []
+        for tag in "abc":
+            cat.write(_df(spark, tag), "t")
+            versions.append(
+                [r for r in cat.history("t").collect() if r.is_current][0].version
+            )
+        assert versions == [1, 2, 3]

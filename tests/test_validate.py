@@ -193,6 +193,58 @@ class TestKeywordIndependence:
         assert got == {1: None, 2: "$.x: enum"}
 
 
+class TestReferenceValidatorSemantics:
+    """ADVICE r3: the reference validates with santhosh-tekuri/jsonschema
+    v5 — `pattern` is an UNANCHORED partial match and `enum` is typed
+    JSON equality. A schema ported from the reference deploy must accept
+    exactly what the reference accepts."""
+
+    def test_pattern_is_partial_match(self, spark):
+        schema = {"properties": {"j": {"pattern": "job-[0-9]+"}}}
+        df = spark.createDataFrame(
+            [(1, '{"j": "xjob-1y"}'), (2, '{"j": "nope"}'),
+             (3, '{"j": "job-7"}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        # 'xjob-1y' CONTAINS the pattern -> valid (reference semantics)
+        assert got == {1: None, 2: "$.j: pattern", 3: None}
+
+    def test_anchored_pattern_still_full_matches(self, spark):
+        schema = {"properties": {"j": {"pattern": "^job-[0-9]+$"}}}
+        df = spark.createDataFrame(
+            [(1, '{"j": "xjob-1y"}'), (2, '{"j": "job-7"}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: "$.j: pattern", 2: None}
+
+    def test_boolean_enum_matches(self, spark):
+        # str(True) == 'True' never equals the variant cast 'true'; the
+        # JSON-style lowering makes boolean enums satisfiable
+        schema = {"properties": {"b": {"enum": [True, "x"]}}}
+        df = spark.createDataFrame(
+            [(1, '{"b": true}'), (2, '{"b": false}'), (3, '{"b": "x"}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: None, 2: "$.b: enum", 3: None}
+
+    def test_flat_rule_pattern_unanchored(self, spark):
+        rules = [validate_op.ColumnRule("event_id", pattern="job-[0-9]+")]
+        df = spark.createDataFrame(
+            [("xjob-1y", "view", "", "", 0), ("nope", "view", "", "", 1)],
+            "event_id string, event_type string, parent_event_id string, "
+            "job_name string, turn_idx int",
+        )
+        out = {r.turn_idx: r.validation_error
+               for r in validate_op.validate(df, rules).collect()}
+        assert out == {0: None, 1: "invalid_event_id"}
+
+
 def test_required_applies_only_to_objects(spark):
     """required on a non-object node passes (keyword independence,
     second review pass)."""
