@@ -648,24 +648,16 @@ def q_prep_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WHOLE-conversation near-dup candidates: each conversation's
-    turns concatenated in turn order become one document, then the
-    standard MinHash-LSH candidate generation runs over conversations
-    (dedup of templated / replayed sessions — the conversation-level
-    complement of per-document dedup). Concatenation is one
-    groupBy(conv_id) on the pipeline's own shuffle key."""
+    """WHOLE-conversation near-dup candidates (templated / replayed
+    sessions) via MERGEABLE per-turn MinHash: per-turn shingle hashes
+    with a bounded n-1-turn carry for boundary shingles, conversation
+    signature = per-hash MIN in one map-side-combined groupBy(conv_id)
+    — a 10^7-turn hot conversation never materializes as one row (the
+    whole-conversation concat formulation remains the DuckDB oracle;
+    functions/dedup.py conv_minhash_wide proves the equivalence)."""
     from otel2pv_spark.functions import dedup as dd
 
-    conv = _tr(spark, sf_dir).groupBy("conv_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
-                lambda s: s["text"],
-            ),
-        ).alias("text")
-    )
-    return dd.minhash_lsh_candidates(conv, id_col="conv_id").select(
+    return dd.conv_minhash_lsh_candidates(_tr(spark, sf_dir)).select(
         F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
     )
 

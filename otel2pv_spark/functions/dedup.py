@@ -165,6 +165,15 @@ def minhash_lsh_candidates(
     Measured 1.8x on the sf0.1 bench. Pass ``materialize=False`` to
     keep the plan fully lazy (e.g. under a caller-managed cache)."""
     banded = minhash_band_table(df, id_col, text_col, n, num_hashes, bands)
+    return _candidates_from_bands(banded, id_col, materialize)
+
+
+def _candidates_from_bands(
+    banded: DataFrame, id_col: str, materialize: bool = True
+) -> DataFrame:
+    """Distinct candidate pairs from a band table via the bucket
+    self-join (see minhash_lsh_candidates for the materialize
+    rationale)."""
     if materialize:
         banded = banded.transform(snapshot)
     a = banded.alias("a")
@@ -178,6 +187,99 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+
+
+def conv_minhash_wide(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Whole-conversation MinHash signature WITHOUT ever materializing a
+    conversation as one row (r3 verdict's scale-killer fix).
+
+    The naive formulation — ``groupBy(conv_id).agg(concat_ws(
+    collect_list(text)))`` then document MinHash — builds each
+    conversation's full text as ONE row in ONE task: a 10^7-turn hot
+    conversation (the repo's own skew fixture class) is a multi-GB
+    single row, unsplittable, executor-OOM. MinHash is mergeable, so
+    none of that is necessary: the signature of a concatenation is the
+    per-hash MIN over every member's shingle hashes.
+
+    Construction (EXACTLY equivalent to shingling the turn-ordered
+    concatenation, so the concat form stays the small-scale oracle):
+
+    1. tokenize per turn; DROP token-empty turns (they contribute
+       nothing to the conversation token stream — ``concat_ws`` + the
+       ``[^a-z0-9]+`` split guarantee tokens never merge across turns).
+    2. every surviving turn has >= 1 token, so the last ``n-1`` tokens
+       of the previous token stream lie within the previous ``n-1``
+       surviving turns: carry = last n-1 of ``flatten(collect_list
+       over ROWS BETWEEN n-1 PRECEDING AND 1 PRECEDING)`` — a BOUNDED
+       window frame, per-row state <= n-1 turns of tokens at any
+       conversation length (same bounded-frame doctrine as
+       prep.sft_examples).
+    3. per-turn shingles over carry ++ tokens = exactly the global
+       shingles whose last token falls in that turn (no window of
+       length n fits inside the <= n-1 carry), so the union over turns
+       is exactly the global shingle set; duplicates are harmless
+       under MIN.
+    4. one map-side-combined groupBy(conv_id) of ``num_hashes`` MINs —
+       constant per-conversation state.
+
+    The per-conv window in step 2 puts a hot conversation's rows in one
+    window partition, but each row carries only turn-sized state and a
+    bounded frame — the same accepted shape as sequencing/sft_examples
+    (block-salting applies unchanged if needed). Nothing anywhere holds
+    a whole conversation.
+    """
+    tokd = tr.select(
+        F.col(conv_col), F.col(idx_col), tokens(text_col).alias("_w")
+    ).filter(F.size("_w") > 0)
+    wprev = (
+        Window.partitionBy(conv_col).orderBy(idx_col).rowsBetween(-(n - 1), -1)
+    )
+    prev = F.flatten(F.collect_list("_w").over(wprev))
+    carry = F.when(
+        F.size(prev) > (n - 1), F.slice(prev, -(n - 1), n - 1)
+    ).otherwise(prev)
+    ext = tokd.select(
+        F.col(conv_col), F.concat(carry, F.col("_w")).alias("_ext")
+    )
+    sh = ext.select(
+        F.col(conv_col),
+        F.explode(F.array_distinct(shingles(F.col("_ext"), n))).alias("shingle"),
+    )
+    base = sh.withColumn("h0", _hash_shingle(F.col("shingle"), F.lit(0)))
+    return base.groupBy(conv_col).agg(
+        *[F.min(_family(F.col("h0"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def conv_minhash_lsh_candidates(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Conversation-level near-dup candidates (templated / replayed
+    sessions) via the mergeable per-turn MinHash — identical output to
+    document-grain LSH over turn-ordered conversation concatenations,
+    with bounded per-row state at any conversation length (see
+    conv_minhash_wide)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash bands={bands} must divide num_hashes={num_hashes}"
+        )
+    wide = conv_minhash_wide(tr, conv_col, idx_col, text_col, n, num_hashes)
+    banded = _band_table_from_wide(wide, conv_col, num_hashes, bands)
+    return _candidates_from_bands(banded, conv_col, materialize)
 
 
 def simhash(
@@ -237,8 +339,16 @@ def minhash_band_table(
         raise ValueError(
             f"minhash bands={bands} must divide num_hashes={num_hashes}"
         )
-    rows_per_band = num_hashes // bands
     wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    return _band_table_from_wide(wide, id_col, num_hashes, bands)
+
+
+def _band_table_from_wide(
+    wide: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_key) from a wide (id, mh_0..mh_{H-1}) signature —
+    shared by document-grain and conversation-grain MinHash."""
+    rows_per_band = num_hashes // bands
     bands_arr = F.array(
         *[
             F.struct(

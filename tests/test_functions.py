@@ -35,6 +35,99 @@ def test_minhash_lsh_recall_on_exact_dups(spark, sf_dir):
     assert exact_pairs <= cand
 
 
+class TestConvMinhash:
+    """Mergeable per-turn conversation MinHash (r3 verdict scale-killer
+    fix): must equal the whole-conversation concat formulation exactly,
+    while never holding a conversation as one row."""
+
+    def _concat_form(self, tr):
+        conv = tr.groupBy("conv_id").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+        return dd.minhash_lsh_candidates(conv, id_col="conv_id")
+
+    def test_equals_concat_formulation(self, spark):
+        """Two conversations with the SAME global token stream split
+        differently across turn boundaries must produce identical
+        signatures (boundary shingles preserved), and the candidate
+        set must equal the concat form's on a replayed-session
+        fixture. Includes token-empty and short turns."""
+        rows = []
+        for c in range(8):
+            base = [
+                f"alpha beta gamma delta run {c % 2}",
+                "epsilon zeta", "", "eta",
+                f"theta iota kappa session done {c % 2}",
+            ]
+            for i, t in enumerate(base):
+                rows.append((f"conv-{c}", i, t))
+        # same stream as conv-0, re-split mid-token-run across turns
+        rows += [
+            ("resplit-0", 0, "alpha beta gamma"),
+            ("resplit-0", 1, "delta run 0 epsilon"),
+            ("resplit-0", 2, "zeta eta theta iota kappa session done 0"),
+        ]
+        tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dd.conv_minhash_lsh_candidates(tr).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b) for r in self._concat_form(tr).collect()
+        }
+        assert got == want and got  # identical and non-vacuous
+        # the re-split conversation collides with its even twins
+        assert ("conv-0", "resplit-0") in got
+
+    def test_wide_signature_matches_concat_signature(self, spark):
+        rows = [("c1", i, f"tok{i} tok{i+1} shared phrase here") for i in range(6)]
+        rows += [("c2", 0, " ".join(f"tok{i} tok{i+1} shared phrase here" for i in range(6)))]
+        tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        wide = {r.conv_id: tuple(r)[1:] for r in dd.conv_minhash_wide(tr).collect()}
+        # c2 is c1's turns pre-concatenated -> identical signature
+        assert wide["c1"] == wide["c2"]
+
+    def test_hot_conversation_no_unbounded_collect(self, spark):
+        """A 10^5-turn conversation: the plan must contain no
+        AGGREGATE-side collect_list (whole-conversation
+        materialization); the only collect_list allowed is the bounded
+        window-frame carry."""
+        n = 100_000
+        tr = (
+            spark.range(n)
+            .select(
+                F.lit("hot").alias("conv_id"),
+                F.col("id").cast("int").alias("turn_idx"),
+                F.concat(
+                    F.lit("turn text payload number "),
+                    (F.col("id") % 50).cast("string"),
+                ).alias("text"),
+            )
+            .union(
+                spark.range(20).select(
+                    F.concat(F.lit("cold-"), F.col("id").cast("string")),
+                    F.col("id").cast("int"),
+                    F.concat(F.lit("other convo text "), F.col("id").cast("string")),
+                )
+            )
+        )
+        cand = dd.conv_minhash_lsh_candidates(tr, materialize=False)
+        plan = cand._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if "collect_list" in line:
+                assert "windowspecdefinition" in line, line
+        # bounded frame, not unbounded-preceding
+        assert "unboundedpreceding" not in plan.lower().replace(" ", "").replace("$", "")
+        # and it actually runs on the hot fixture
+        assert cand.count() >= 0
+
+
 def test_jaccard_restricted_by_candidates(spark, sf_dir):
     d = docs_fixture(spark, sf_dir)
     cand = dd.minhash_lsh_candidates(d)
