@@ -180,6 +180,65 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
         assert buckets[r.neighbor_id] == buckets[r.query_id]
 
 
+def test_lsh_ivf_topk_two_level_shape(spark, sf_dir):
+    """r3 verdict wrong #2: lsh_topk/ivf_topk must rank via the shared
+    two-level top-k (partition-bounded partial + tiny final merge), not
+    a single per-query window — LSH buckets / k-means cells are
+    data-dependent, so a hot bucket would land a query's entire
+    candidate list in ONE window task."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    anchors = sim.make_anchors(emb, 4)
+    for out in (
+        sim.lsh_topk(emb, q, anchors, k=3),
+        sim.ivf_topk(emb, q, anchors, k=3, nprobe=2),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_pid" in plan  # partial level keyed by input partition
+
+
+def test_lsh_topk_hot_bucket_single_bucket_corpus(spark):
+    """Degenerate LSH: EVERY vector lands in one bucket (all-positive
+    components -> all sign bits set). The two-level ranking must
+    complete and equal brute force — the single-task candidate sort
+    this guards against would still 'pass' at this size, so the plan
+    shape test above is the real gate; this one proves correctness in
+    the hot-bucket regime."""
+    emb = spark.range(200).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(
+            *[
+                (F.col("id") % (i + 7) + 1).cast("double") / (i + 3)
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    anchors = sim.make_anchors(emb, 4)
+    buckets = sim.lsh_buckets(emb, anchors).select("bucket").distinct().collect()
+    assert len(buckets) == 1  # genuinely degenerate
+    q = emb.filter(F.col("vec_id") < 3)
+    got = sorted(map(tuple, sim.lsh_topk(emb, q, anchors, k=5).collect()))
+    brute = sorted(map(tuple, sim.cosine_topk(emb, q, k=5).collect()))
+    assert got == brute
+
+
+def test_pq_refine_rerank_join_broadcasts(spark, sf_dir):
+    """r3 verdict wrong #3: the |Q|·R shortlist must broadcast against
+    the corpus scan in the exact re-rank — no sort-merge shuffle of the
+    corpus side (pinned plan shape)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = sim.pq_train(emb, m=4, ksub=8)
+    q = emb.filter(F.col("vec_id") < 3)
+    ref = sim.pq_refine_topk(emb, q, cb, k=3, refine_r=10)
+    plan = ref._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    rerank = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "neighbor_id" in ln
+    ]
+    assert rerank and all("BroadcastHashJoin" in ln for ln in rerank)
+
+
 def test_multimodal_features_deterministic_and_batched(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.attach_fake_media(docs)
