@@ -68,6 +68,7 @@ HEADLINE = [
     "prep_chunks",
     "ann_pq_topk",
     "ann_pq_refined",
+    "ann_ivfadc_topk",
     "text_quality",
     "text_classifier",
     "classifier_auc",

@@ -522,6 +522,21 @@ def q_ann_pq_refined(spark, sf_dir):
     )
 
 
+def q_ann_ivfadc_topk(spark, sf_dir):
+    """TRUE IVFADC + refine (Jégou et al. PAMI 2011 §V — the FAISS
+    IVFADC architecture): each query probes its nprobe=2 IVF cells,
+    ADC scores PQ codes ONLY inside those cells (broadcast equi-join
+    on cell, never a full-corpus code scan), then the R=20 shortlist
+    is exactly re-ranked. The oracle restricts its ADC to the same
+    probed cells."""
+    emb = _emb(spark, sf_dir)
+    cb = sim.pq_train(emb, m=4, ksub=4, iters=2)
+    return sim.pq_refine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), cb, k=5, refine_r=20,
+        centroids=sim.make_anchors(emb, 4), nprobe=2,
+    )
+
+
 def q_embedding_pca_cov(spark, sf_dir):
     """Distributed half of PCA: the d x d covariance from one pass of
     integer-exact quantized moments (map-side-combined; only
@@ -1068,6 +1083,7 @@ QUERIES = {
     "ann_pq_codes": q_ann_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_refined": q_ann_pq_refined,
+    "ann_ivfadc_topk": q_ann_ivfadc_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_pca_cov": q_embedding_pca_cov,
     "embedding_jl_project": q_embedding_jl_project,
@@ -2947,8 +2963,9 @@ SELECT qid AS query_id, vid AS neighbor_id, round(s, 4) AS cosine, rank
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INT) AS rank FROM p)
 WHERE rank <= 5"""
 
-_IVF_CTE = f"""{_V},
-anch AS (
+# IVF parts WITHOUT the leading `v` CTE, so they compose with other
+# CTE chains that already define v (the IVFADC oracle below)
+_IVF_PARTS = """anch AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS ce
   FROM v ORDER BY vec_id LIMIT 4
 ),
@@ -2963,6 +2980,9 @@ assign AS (
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM csim)
   WHERE rn = 1
 )"""
+
+_IVF_CTE = f"""{_V},
+{_IVF_PARTS}"""
 
 ORACLES["ann_ivf_assign"] = f"""WITH {_IVF_CTE}
 SELECT vec_id, CAST(cluster AS INT) AS cluster FROM assign"""
@@ -3170,6 +3190,53 @@ ex AS (
   FROM short s
   JOIN fv q ON q.vec_id = s.qid
   JOIN fv v ON v.vec_id = s.vec_id
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, du / 1000000.0 AS dist, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY du, vec_id)
+        AS INT) AS rank FROM ex)
+WHERE rank <= 5"""
+
+# TRUE IVFADC oracle: the SAME PQ chain, but the ADC sum is restricted
+# to codes whose vector lies in one of the query's nprobe=2 probed IVF
+# cells (anch/csim/assign re-derive the coarse quantizer over the same
+# `v`), then the exact refine runs on that cell-bounded shortlist — so
+# the green row verifies the cell restriction itself, not just the
+# refine.
+ORACLES["ann_ivfadc_topk"] = f"""WITH {_PQ_CTES},
+{_IVF_PARTS},
+probes AS (
+  SELECT vec_id AS qid, cid AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM csim WHERE vec_id < 8)
+  WHERE rn <= 2
+),
+lut AS (
+{_PQ_LUT_UNION}
+),
+ad AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.du) AS BIGINT) AS su
+  FROM enc e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.cluster = a.cluster
+  JOIN lut l ON l.sub = e.sub AND l.code = e.code AND l.qid = p.qid
+  WHERE e.vec_id <> l.qid
+  GROUP BY l.qid, e.vec_id
+),
+short AS (
+  SELECT qid, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY su, vec_id)
+          AS r FROM ad)
+  WHERE r <= 20
+),
+fv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ex AS (
+  SELECT s.qid, s.vec_id,
+         CAST(round((list_dot_product(q.e, q.e)
+                     - 2 * list_dot_product(q.e, fv2.e)
+                     + list_dot_product(fv2.e, fv2.e)) * 1000000) AS BIGINT) AS du
+  FROM short s
+  JOIN fv q ON q.vec_id = s.qid
+  JOIN fv fv2 ON fv2.vec_id = s.vec_id
 )
 SELECT qid AS query_id, vec_id AS neighbor_id, du / 1000000.0 AS dist, rank
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY du, vec_id)
