@@ -223,6 +223,147 @@ def main_bench() -> None:
     spark.stop()
 
 
+# --------------------------------------------------------- scale ladder
+# `--ladder`: time the most expensive bench queries at sf0.01 / sf0.1 /
+# a GENERATED sf1 (10x sf0.1, shifted-key replication) and report each
+# query's scaling exponent alpha where t ~ sf^alpha on the 0.1 -> 1
+# rung (the 0.01 rung is fixed-overhead-dominated and reported for
+# context only). This is the cheap way to catch an accidentally
+# superlinear plan that a single-sf bench hides (the
+# dedup_conversations class of issue, r3 verdict #6): a healthy
+# data-parallel plan lands alpha ~<= 1; alpha >> 1 is a scale smell.
+# No gate — evidence, written to BENCH/LADDER.md.
+LADDER_QUERIES = [
+    "embedding_semdedup",
+    "dedup_conversations",
+    "pipeline_tree_counts",
+    "ann_pq_refined",
+    "ann_pq_topk",
+    "dedup_survivors",
+    "funnel_reach",
+    "text_lm_backoff",
+    "log_templates",
+    "prep_curate",
+]
+LADDER_SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_LADDER_SF1", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".ladder", "sf1")
+)
+
+
+def _gen_sf1(spark, src_dir: str, out_dir: str, factor: int = 10) -> None:
+    """Deterministic 10x scale-up of the ladder tables from sf0.1:
+    key-shifted replicas (new users -> new conversations of the same
+    size distribution; new doc/vec ids below the fixtures' +100000
+    offset so planted-copy ranges never collide), with per-replica text
+    tokens / small embedding perturbations so dup/ANN candidate
+    structure scales ~linearly instead of creating 10-way identical
+    clusters (which would measure a different workload)."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out_dir, "_LADDER_OK")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(factor).select(F.col("id").alias("_k"))
+
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).head()[0] + 1
+    n_us = ev.agg(F.max("user_id")).head()[0] + 1
+    ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("_k") * n_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_k") * n_us).alias("user_id"),
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    n_doc = docs.agg(F.max("doc_id")).head()[0] + 1
+    docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("_k") * n_doc).alias("doc_id"),
+        F.when(F.col("_k") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("_k").cast("string")))
+        .alias("text"),
+        "lang", "source", "n_chars",
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    n_vec = emb.agg(F.max("vec_id")).head()[0] + 1
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: (
+            x
+            + ((F.col("_k") * 31 + i) % 13 - 6).cast("float")
+            * F.lit(0.001).cast("float")
+        ).cast("float"),
+    )
+    emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("_k") * n_vec).alias("vec_id"),
+        perturbed.alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def main_ladder() -> None:
+    import math
+
+    import __spark_entry__ as entry
+    from otel2pv_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-ladder")
+    _gen_sf1(spark, "/root/testdata/sf0.1", LADDER_SF1_DIR)
+    rungs = [
+        ("sf0.01", 0.01, "/root/testdata/sf0.01"),
+        ("sf0.1", 0.1, "/root/testdata/sf0.1"),
+        ("sf1", 1.0, LADDER_SF1_DIR),
+    ]
+    qs = entry.queries()
+    times: dict[str, dict[str, float]] = {q: {} for q in LADDER_QUERIES}
+    for label, _sf, d in rungs:
+        spark.read.parquet(f"{d}/events.parquet").limit(1).count()  # warm footers
+        for q in LADDER_QUERIES:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                _force(qs[q](spark, d))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[q][label] = round(best, 3)
+    rows = []
+    for q in LADDER_QUERIES:
+        t01, t1 = times[q]["sf0.1"], times[q]["sf1"]
+        alpha = math.log(t1 / t01) / math.log(10) if t01 > 0 else float("nan")
+        rows.append((q, times[q]["sf0.01"], t01, t1, alpha))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/LADDER.md", "w") as f:
+        f.write(
+            """# BENCH/LADDER — scale-ladder exponents
+
+The 10 most expensive bench queries timed at sf0.01 / sf0.1 / a
+generated sf1 (10x sf0.1: key-shifted replicas — new users mean new
+conversations of the same size distribution; per-replica doc tokens /
+embedding perturbations keep dup/ANN candidate structure ~linear).
+alpha = log10(t_sf1 / t_sf0.1): the t ~ sf^alpha exponent on the big
+rung (the sf0.01 rung is fixed-overhead-dominated, shown for context).
+A healthy data-parallel plan lands alpha <~ 1 at these sizes (below 1
+means fixed overheads still amortizing); alpha >> 1 flags a
+superlinear plan that one-sf benching hides. min-of-2 per rung on
+local[$SPARK_GRAFT_CPUS], noop-sink forced.
+
+| query | sf0.01 s | sf0.1 s | sf1 s | alpha (0.1→1) |
+|---|---|---|---|---|
+"""
+        )
+        for q, t001, t01, t1, alpha in rows:
+            f.write(f"| {q} | {t001:.2f} | {t01:.2f} | {t1:.2f} | {alpha:.2f} |\n")
+    print(json.dumps({
+        "ladder": {q: times[q] for q in LADDER_QUERIES},
+        "alpha": {r[0]: round(r[4], 3) for r in rows},
+    }))
+    spark.stop()
+
+
 SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "2000000"))
 SCALE_PARTS = 64  # fixed input partitioning so both levels see identical splits
 SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
@@ -388,6 +529,9 @@ pipeline's efficiency relative to that same-session ceiling is
 serialization from host behavior. Both are reported; when the raw
 efficiency is below target but the relative efficiency is ~1.0, the
 gap is the host's, not the plan's.
+
+Per-query scale-ladder exponents (sf0.01 / 0.1 / generated sf1):
+see `BENCH/LADDER.md` (`python bench.py --ladder`).
 """)
     print(json.dumps({
         "levels": levels,
@@ -400,6 +544,8 @@ gap is the host's, not the plan's.
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--ladder" in sys.argv:
+        main_ladder()
     elif "--e2e-once" in sys.argv:
         main_e2e_once()
     elif "--probe-once" in sys.argv:

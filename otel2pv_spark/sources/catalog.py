@@ -55,6 +55,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Reserved reject sink partition prefix (operators/route.py assigns the
 # sinks): the single-pass plan ROUTES invalid rows here, and the commit
@@ -76,6 +77,94 @@ def _commit_empty_schema_file(df: DataFrame, d: str) -> None:
     df.limit(0).write.mode("overwrite").parquet(d)
 
 
+# --------------------------------------------- predicate / stats pruning
+# `where` specs are conjunctive lists of (column, op, value) triples —
+# a deliberately tiny predicate language: exactly the shapes manifest
+# [min, max] stats can prune on (Iceberg's InclusiveMetricsEvaluator
+# covers the same comparisons). Anything richer belongs in a normal
+# .filter() AFTER the read.
+_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "between")
+
+
+def _stat_lower(v):
+    """Lower a stats/predicate value to a JSON-storable, consistently
+    comparable primitive: datetimes → epoch micros, dates → ordinal,
+    Decimal → float. Same lowering on BOTH the stored stats and the
+    predicate literal, so comparisons are type-uniform."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _where_conjuncts(where) -> list[tuple]:
+    """Normalize a `where` spec: one (col, op, val) triple or a list of
+    them (ANDed). Fails loud on unknown ops."""
+    if where is None:
+        return []
+    conj = [where] if isinstance(where, tuple) else list(where)
+    for c in conj:
+        if len(c) != 3 or c[1] not in _WHERE_OPS:
+            raise ValueError(
+                f"where conjunct {c!r}: expected (col, op, value) with "
+                f"op in {_WHERE_OPS}"
+            )
+        if c[1] == "between" and len(c[2]) != 2:
+            raise ValueError(f"between needs a (lo, hi) pair, got {c[2]!r}")
+    return conj
+
+
+def _where_column(conjuncts: list[tuple]):
+    """The exact Spark filter for the conjuncts — applied to the pruned
+    scan so read(where=...) ≡ read().filter(...) row-for-row even if an
+    entry survives pruning (stats are inclusive bounds, not an index)."""
+    cond = F.lit(True)
+    for col, op, val in conjuncts:
+        c = F.col(col)
+        if op in ("=", "=="):
+            cond = cond & (c == val)
+        elif op == "<":
+            cond = cond & (c < val)
+        elif op == "<=":
+            cond = cond & (c <= val)
+        elif op == ">":
+            cond = cond & (c > val)
+        elif op == ">=":
+            cond = cond & (c >= val)
+        else:
+            cond = cond & c.between(val[0], val[1])
+    return cond
+
+
+def _entry_may_match(stats: dict | None, col: str, op: str, val) -> bool:
+    """Inclusive metrics check: False ONLY when the entry's [min, max]
+    proves no row can satisfy the conjunct. Missing stats (column not
+    configured, all-null entry, legacy manifest) keep the entry —
+    pruning must never be load-bearing for correctness."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    if op in ("=", "=="):
+        v = _stat_lower(val)
+        return mn <= v <= mx
+    if op == "<":
+        return mn < _stat_lower(val)
+    if op == "<=":
+        return mn <= _stat_lower(val)
+    if op == ">":
+        return mx > _stat_lower(val)
+    if op == ">=":
+        return mx >= _stat_lower(val)
+    lo, hi = _stat_lower(val[0]), _stat_lower(val[1])
+    return mx >= lo and mn <= hi
+
+
 class _CatalogBase:
     """API + strategy-independent pieces. Everything that only needs
     ``read``/``write`` (diff, keyed merge, compaction, bucketing) lives
@@ -89,13 +178,25 @@ class _CatalogBase:
         root: str,
         fmt: str = "parquet",
         keep_snapshots: int = 0,
+        stats_columns: tuple[str, ...] | list[str] | None = None,
     ):
         """``keep_snapshots``: number of previous table versions to
         retain on every commit (0 = none, the default — replaced data
         is dropped). With N > 0 each commit keeps the outgoing version
         readable (``read(version=...)`` time-travel, ``rollback``,
         ``expire_snapshots``) — the stand-in for Iceberg's snapshot
-        log."""
+        log.
+
+        ``stats_columns``: columns whose per-entry [min, max] the
+        MANIFEST strategy records at commit time (one column-pruned
+        map-side-combined agg over just the staged batch) and uses to
+        skip whole entries in ``read(where=...)`` before the scan is
+        even built — Iceberg's manifest-level file skipping. At 100 TB
+        a selective predicate otherwise pays a footer-read per file at
+        planning time; manifest stats prune files before any footer is
+        opened. The posix strategy ignores it (its reads go through
+        one directory scan; Spark's own parquet footer pruning still
+        applies there)."""
         self.spark = spark
         # the root is pinned ABSOLUTE at construction: the manifest
         # strategy stores root-relative entry paths, and a cwd-relative
@@ -106,6 +207,7 @@ class _CatalogBase:
         self.root = os.path.abspath(root)
         self.fmt = fmt
         self.keep_snapshots = keep_snapshots
+        self.stats_columns = tuple(stats_columns or ())
         os.makedirs(self.root, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -285,7 +387,9 @@ class _CatalogBase:
     def exists(self, table: str) -> bool:  # pragma: no cover - abstract
         raise NotImplementedError
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
+    def read(
+        self, table: str, version: int | None = None, where=None
+    ) -> DataFrame:
         raise NotImplementedError  # pragma: no cover - abstract
 
     def write(self, df, table, partition_by=None) -> None:
@@ -516,11 +620,16 @@ class PosixCatalog(_CatalogBase):
                 return True
         return False
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
+    def read(
+        self, table: str, version: int | None = None, where=None
+    ) -> DataFrame:
         """Read the current table, or — when snapshots are retained —
         time-travel to a specific retained ``version`` (Iceberg's
         ``VERSION AS OF``). A schema-evolved table (see ``append``)
-        reads with footer merging; unevolved tables skip that cost."""
+        reads with footer merging; unevolved tables skip that cost.
+        ``where`` (see module helpers) applies as a plain filter — the
+        posix strategy has no manifest stats to prune with; parquet
+        footer min/max pruning still applies inside the scan."""
         if version is None:
             src = self.path(table)
         else:
@@ -540,7 +649,9 @@ class PosixCatalog(_CatalogBase):
                 r = r.schema(T.StructType.fromJson(json.load(fh)))
         elif os.path.exists(os.path.join(src, "_evolved")):
             r = r.option("mergeSchema", "true")
-        return r.parquet(src)
+        out = r.parquet(src)
+        conj = _where_conjuncts(where)
+        return out.filter(_where_column(conj)) if conj else out
 
     def append(
         self, df: DataFrame, table: str, merge_schema: bool = False
@@ -1072,20 +1183,87 @@ class ManifestCatalog(_CatalogBase):
     def exists(self, table: str) -> bool:
         return self._current_version(table) is not None
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
+    # --------------------------------------------- per-entry column stats
+    def _entry_stats(self, path: str) -> dict | None:
+        """[min, max] per configured column for one staged entry — ONE
+        column-pruned, map-side-combined agg over just that entry's
+        files at commit time (an object-store deployment would harvest
+        the same numbers from the parquet footers it just wrote).
+        All-null / absent / non-atomic columns record nothing: missing
+        stats always mean "cannot prune", never "empty"."""
+        if not self.stats_columns:
+            return None
+        from pyspark.sql import types as T
+
+        atomic = (
+            T.NumericType, T.StringType, T.TimestampType,
+            T.TimestampNTZType, T.DateType, T.BooleanType,
+        )
+        df = self.spark.read.parquet(self._abs(path))
+        cols = [
+            fld.name
+            for fld in df.schema.fields
+            if fld.name in self.stats_columns
+            and isinstance(fld.dataType, atomic)
+        ]
+        if not cols:
+            return None
+        row = df.agg(
+            *[
+                x
+                for c in cols
+                for x in (F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))
+            ]
+        ).head()
+        stats = {}
+        for c in cols:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is None or mx is None:
+                continue
+            stats[c] = [_stat_lower(mn), _stat_lower(mx)]
+        return stats or None
+
+    def _attach_stats(self, entries: list[dict]) -> list[dict]:
+        """Attach stats to entries that lack them (freshly staged);
+        entries re-committed from an older manifest (append, rollback,
+        partition overwrite carry-over) keep theirs untouched."""
+        if not self.stats_columns:
+            return entries
+        out = []
+        for e in entries:
+            if "stats" in e:
+                out.append(e)
+                continue
+            st = self._entry_stats(e["path"])
+            out.append({**e, "stats": st} if st else e)
+        return out
+
+    def read(
+        self, table: str, version: int | None = None, where=None
+    ) -> DataFrame:
         """Assemble the DataFrame from the manifest's file references.
         Entries sharing a ``base`` (partitioned tables — the base is
         the staged dir, so hive partition columns survive) load in one
         multi-path scan; groups from different commits union by name.
         Evolved tables read with footer merging / missing-column
-        NULLs, exactly Iceberg's read-time projection."""
+        NULLs, exactly Iceberg's read-time projection.
+
+        ``where`` — (col, op, value) or a list of them (ANDed): entries
+        whose recorded [min, max] cannot satisfy every conjunct are
+        dropped BEFORE the scan is built (Iceberg's manifest-level file
+        skipping — at 100 TB this is the difference between a
+        planning-time footer read per file and none), and the same
+        predicate is applied as a filter on the surviving scan so the
+        result equals ``read().filter(...)`` row-for-row."""
         man = self._load_manifest(table, version)
         if not man["entries"]:
             # commits guarantee >=1 entry (empty tables get a limit(0)
             # schema file); fail loud if an external tool wrote one
             raise ValueError(f"manifest of {table!r} has no data entries")
+        conj = _where_conjuncts(where)
+        entries = self._prune_entries(man["entries"], conj)
         groups: dict[str | None, list[str]] = {}
-        for e in man["entries"]:
+        for e in entries:
             base = e.get("base")
             groups.setdefault(
                 self._abs(base) if base else None, []
@@ -1114,7 +1292,24 @@ class ManifestCatalog(_CatalogBase):
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=man["evolved"])
-        return out
+        return out.filter(_where_column(conj)) if conj else out
+
+    @staticmethod
+    def _prune_entries(entries: list[dict], conj: list[tuple]) -> list[dict]:
+        """Entries that may contain matching rows. When EVERY entry is
+        provably empty under the predicate, ONE entry is kept so the
+        scan still carries the table schema — the filter then returns
+        zero rows (a schema-only scan, not a correctness path)."""
+        if not conj:
+            return entries
+        kept = [
+            e
+            for e in entries
+            if all(
+                _entry_may_match(e.get("stats"), c, o, v) for c, o, v in conj
+            )
+        ]
+        return kept or entries[:1]
 
     def write(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
@@ -1137,7 +1332,12 @@ class ManifestCatalog(_CatalogBase):
             ]
         else:
             entries = [{"path": stage, "base": None}]
-        self._commit(table, entries, evolved=False, partition_by=partition_by)
+        self._commit(
+            table,
+            self._attach_stats(entries),
+            evolved=False,
+            partition_by=partition_by,
+        )
 
     def append(
         self, df: DataFrame, table: str, merge_schema: bool = False
@@ -1161,7 +1361,9 @@ class ManifestCatalog(_CatalogBase):
         union = _union_schema(cur_schema, df.schema)
         stage = self._new_stage(table)
         df.write.mode("overwrite").parquet(stage)
-        entries = list(man["entries"]) + [{"path": stage, "base": None}]
+        entries = list(man["entries"]) + self._attach_stats(
+            [{"path": stage, "base": None}]
+        )
         evolved = man["evolved"] or evolves
         self._commit(
             table,
@@ -1198,6 +1400,8 @@ class ManifestCatalog(_CatalogBase):
                 rej_entries.append(entry)
             else:
                 main_entries.append(entry)
+        rej_entries = self._attach_stats(rej_entries)
+        main_entries = self._attach_stats(main_entries)
         if rej_entries:
             self._commit(rejects_table, rej_entries, False, ["sink"])
         else:
@@ -1246,7 +1450,7 @@ class ManifestCatalog(_CatalogBase):
             }
         self._commit(
             table,
-            [merged[k] for k in sorted(merged)],
+            self._attach_stats([merged[k] for k in sorted(merged)]),
             man["evolved"],
             partition_by,
             schema=man.get("schema"),
@@ -1295,15 +1499,24 @@ def Catalog(
     fmt: str = "parquet",
     keep_snapshots: int = 0,
     strategy: str | None = None,
+    stats_columns: tuple[str, ...] | list[str] | None = None,
 ):
     """Factory: pick the commit strategy. ``strategy`` argument wins,
     else env ``SPARK_GRAFT_CATALOG`` (``posix`` | ``manifest``),
-    else ``posix``. Returned objects share the full table API."""
+    else ``posix``. Returned objects share the full table API.
+    ``stats_columns`` enables manifest-level [min, max] data skipping
+    in the manifest strategy (see _CatalogBase.__init__)."""
     strategy = strategy or os.environ.get("SPARK_GRAFT_CATALOG", "posix")
     if strategy == "manifest":
-        return ManifestCatalog(spark, root, fmt=fmt, keep_snapshots=keep_snapshots)
+        return ManifestCatalog(
+            spark, root, fmt=fmt, keep_snapshots=keep_snapshots,
+            stats_columns=stats_columns,
+        )
     if strategy == "posix":
-        return PosixCatalog(spark, root, fmt=fmt, keep_snapshots=keep_snapshots)
+        return PosixCatalog(
+            spark, root, fmt=fmt, keep_snapshots=keep_snapshots,
+            stats_columns=stats_columns,
+        )
     raise ValueError(
         f"unknown catalog strategy {strategy!r} (expected 'posix' or 'manifest')"
     )

@@ -666,3 +666,119 @@ class TestSecondReviewFindings:
                 [r for r in cat.history("t").collect() if r.is_current][0].version
             )
         assert versions == [1, 2, 3]
+
+
+class TestManifestStatsPruning:
+    """Per-entry [min, max] column stats in ManifestCatalog manifests +
+    stats-pruned reads (r3 verdict missing #2): Iceberg's
+    manifest-level file skipping — a selective predicate drops whole
+    entries BEFORE the scan is built, so no footer of a pruned file is
+    ever opened at planning time."""
+
+    def _cat(self, spark, tmp_path, sub="statcat"):
+        return Catalog(
+            spark, str(tmp_path / sub), strategy="manifest",
+            stats_columns=("id", "ts", "tag"),
+        )
+
+    def _batch(self, spark, lo: int, hi: int, tag: str):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.timestamp_micros(F.lit(1704067200000000) + F.col("id") * 1000000)
+            .alias("ts"),
+            F.lit(tag).alias("tag"),
+        )
+
+    def test_stats_recorded_on_commit(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.write(self._batch(spark, 0, 10, "a"), "t")
+        man = cat._load_manifest("t")
+        st = man["entries"][0]["stats"]
+        assert st["id"] == [0, 9]
+        assert st["tag"] == ["a", "a"]
+        assert isinstance(st["ts"][0], int)  # epoch-micros lowering
+
+    def test_pruned_read_scans_strictly_fewer_files(self, spark, tmp_path):
+        """Three disjoint-id append batches; a predicate selecting one
+        batch must plan a scan over strictly fewer files — and return
+        exactly read().filter(...)'s rows."""
+        cat = self._cat(spark, tmp_path)
+        cat.write(self._batch(spark, 0, 100, "a"), "t")
+        cat.append(self._batch(spark, 100, 200, "b"), "t")
+        cat.append(self._batch(spark, 200, 300, "c"), "t")
+        full_files = set(cat.read("t").inputFiles())
+        pruned = cat.read("t", where=("id", ">=", 250))
+        pruned_files = set(pruned.inputFiles())
+        assert pruned_files < full_files  # strict subset
+        want = sorted(
+            (r.id, r.tag)
+            for r in cat.read("t").filter(F.col("id") >= 250).collect()
+        )
+        got = sorted((r.id, r.tag) for r in pruned.collect())
+        assert got == want and len(got) == 50
+
+    def test_pruned_read_timestamp_and_between(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.write(self._batch(spark, 0, 100, "a"), "t")
+        cat.append(self._batch(spark, 100, 200, "b"), "t")
+        import datetime
+
+        cut = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=150)
+        pruned = cat.read("t", where=("ts", ">=", cut))
+        assert set(pruned.inputFiles()) < set(cat.read("t").inputFiles())
+        assert pruned.count() == cat.read("t").filter(F.col("ts") >= cut).count()
+        # conjunction + between
+        both = cat.read(
+            "t", where=[("id", "between", (120, 130)), ("tag", "=", "b")]
+        )
+        assert both.count() == 11
+        assert len(set(both.inputFiles())) < len(set(cat.read("t").inputFiles()))
+
+    def test_all_pruned_keeps_schema_returns_empty(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.write(self._batch(spark, 0, 10, "a"), "t")
+        out = cat.read("t", where=("id", ">", 10_000))
+        assert out.count() == 0
+        assert set(out.columns) == {"id", "ts", "tag"}
+
+    def test_stats_survive_append_and_rollback_without_recompute(
+        self, spark, tmp_path
+    ):
+        """Old entries keep their stats verbatim through append and
+        rollback (metadata-only recommits never re-read old data)."""
+        cat = Catalog(
+            spark, str(tmp_path / "rb"), strategy="manifest",
+            keep_snapshots=2, stats_columns=("id",),
+        )
+        cat.write(self._batch(spark, 0, 10, "a"), "t")
+        st0 = cat._load_manifest("t")["entries"][0]["stats"]
+        cat.append(self._batch(spark, 10, 20, "b"), "t")
+        man = cat._load_manifest("t")
+        assert man["entries"][0]["stats"] == st0
+        assert man["entries"][1]["stats"]["id"] == [10, 19]
+        cat.rollback("t", 1)
+        assert cat._load_manifest("t")["entries"][0]["stats"] == st0
+
+    def test_unconfigured_catalog_records_no_stats(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "nostat"), strategy="manifest")
+        cat.write(self._batch(spark, 0, 10, "a"), "t")
+        assert "stats" not in cat._load_manifest("t")["entries"][0]
+        # where= still works, as a plain filter
+        assert cat.read("t", where=("id", ">=", 5)).count() == 5
+
+    def test_posix_where_filters_without_stats(self, spark, tmp_path):
+        cat = Catalog(
+            spark, str(tmp_path / "px"), strategy="posix",
+            stats_columns=("id",),
+        )
+        cat.write(self._batch(spark, 0, 10, "a"), "t")
+        assert cat.read("t", where=("id", "<", 3)).count() == 3
+
+    def test_bad_where_spec_raises(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path, "bad")
+        cat.write(self._batch(spark, 0, 10, "a"), "t")
+        with pytest.raises(ValueError, match="where conjunct"):
+            cat.read("t", where=("id", "~", 3))
+        with pytest.raises(ValueError, match="between"):
+            cat.read("t", where=("id", "between", (1, 2, 3)))
+
