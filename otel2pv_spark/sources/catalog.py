@@ -150,19 +150,25 @@ def _entry_may_match(stats: dict | None, col: str, op: str, val) -> bool:
     if not stats or col not in stats:
         return True
     mn, mx = stats[col]
-    if op in ("=", "=="):
-        v = _stat_lower(val)
-        return mn <= v <= mx
-    if op == "<":
-        return mn < _stat_lower(val)
-    if op == "<=":
-        return mn <= _stat_lower(val)
-    if op == ">":
-        return mx > _stat_lower(val)
-    if op == ">=":
-        return mx >= _stat_lower(val)
-    lo, hi = _stat_lower(val[0]), _stat_lower(val[1])
-    return mx >= lo and mn <= hi
+    try:
+        if op in ("=", "=="):
+            v = _stat_lower(val)
+            return mn <= v <= mx
+        if op == "<":
+            return mn < _stat_lower(val)
+        if op == "<=":
+            return mn <= _stat_lower(val)
+        if op == ">":
+            return mx > _stat_lower(val)
+        if op == ">=":
+            return mx >= _stat_lower(val)
+        lo, hi = _stat_lower(val[0]), _stat_lower(val[1])
+        return mx >= lo and mn <= hi
+    except TypeError:
+        # cross-type predicate (e.g. a string literal against numeric
+        # stats): cannot prune — keep the entry; the Spark-side filter
+        # (whose cast semantics own this case) still applies
+        return True
 
 
 class _CatalogBase:

@@ -774,6 +774,14 @@ class TestManifestStatsPruning:
         cat.write(self._batch(spark, 0, 10, "a"), "t")
         assert cat.read("t", where=("id", "<", 3)).count() == 3
 
+    def test_cross_type_predicate_fails_open(self, spark, tmp_path):
+        """A predicate literal of the wrong type must not crash pruning
+        — the entry is kept and Spark's filter cast semantics decide."""
+        cat = self._cat(spark, tmp_path, "xtype")
+        cat.write(self._batch(spark, 0, 10, "a"), "t")
+        out = cat.read("t", where=("id", ">=", "5"))  # string vs int stats
+        assert out.count() == 5  # Spark casts and filters correctly
+
     def test_bad_where_spec_raises(self, spark, tmp_path):
         cat = self._cat(spark, tmp_path, "bad")
         cat.write(self._batch(spark, 0, 10, "a"), "t")
