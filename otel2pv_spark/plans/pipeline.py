@@ -104,6 +104,12 @@ class PipelineConfig:
     # Python invocation cost across thousands of small conversations
     tree_buckets: int | None = None
     run_id: str | None = None
+    # manifest-level data skipping (opt-in; manifest strategy only):
+    # columns whose per-entry [min, max] each sink commit records, so
+    # later selective reads via Catalog.read(where=...) prune whole
+    # entries before the scan is planned (catalog.py stats docs). Off
+    # by default — recording costs one small agg per committed batch.
+    stats_columns: tuple[str, ...] = ()
 
 
 def _apply_sequence(
@@ -390,7 +396,7 @@ def run(
     driver-side over ≤ #sinks rows) WITHOUT touching the input again.
     """
     run_id = cfg.run_id or uuid.uuid4().hex[:12]
-    cat = Catalog(spark, cfg.out_root)
+    cat = Catalog(spark, cfg.out_root, stats_columns=cfg.stats_columns or None)
     man = RunManifest(cfg.out_root, run_id)
     t0 = time.time()
 
@@ -474,7 +480,7 @@ def run_incremental(
     of conv_id strings.
     """
     run_id = cfg.run_id or uuid.uuid4().hex[:12]
-    cat = Catalog(spark, cfg.out_root)
+    cat = Catalog(spark, cfg.out_root, stats_columns=cfg.stats_columns or None)
     man = RunManifest(cfg.out_root, f"incr-{run_id}")
     t0 = time.time()
 
@@ -548,7 +554,7 @@ def replay_rejects(
     only affected conversations (semi-join pushdown / Iceberg
     snapshot-diff at the real target); the merge is replace_keys.
     """
-    cat = Catalog(spark, cfg.out_root)
+    cat = Catalog(spark, cfg.out_root, stats_columns=cfg.stats_columns or None)
     # materialize the key set BEFORE the merge: the incremental run
     # atomically replaces the rejects table these keys are derived
     # from, and a lazy plan would re-read the deleted files afterwards

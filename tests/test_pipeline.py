@@ -134,6 +134,31 @@ def test_tree_mode_run_end_to_end(spark, sf_dir, tmp_path):
     assert res["rows"] + rej.count() == 1000
 
 
+def test_pipeline_stats_columns_enable_pruned_sink_reads(
+    spark, sf_dir, tmp_path
+):
+    """Opt-in PipelineConfig.stats_columns flows to the sink commits:
+    under the manifest strategy the committed sequenced_events entries
+    carry [min, max] stats and a selective Catalog.read(where=...)
+    equals the plain filtered read (pruning exercised end-to-end)."""
+    from otel2pv_spark.sources.catalog import Catalog
+
+    out = str(tmp_path / "statsout")
+    cfg = pipeline.PipelineConfig(
+        out_root=out, run_id="stats1", stats_columns=("conv_id", "turn_idx")
+    )
+    pipeline.run_from_events(spark, sf_dir, cfg)
+    cat = Catalog(spark, out, stats_columns=("conv_id", "turn_idx"))
+    if cat.strategy == "manifest":
+        man = cat._load_manifest("sequenced_events")
+        assert any("stats" in e for e in man["entries"])
+    got = cat.read("sequenced_events", where=("turn_idx", "<=", 1)).count()
+    want = (
+        cat.read("sequenced_events").filter(F.col("turn_idx") <= 1).count()
+    )
+    assert got == want and got > 0
+
+
 def test_synth_generator_deterministic(spark):
     a = datagen.synth_transcripts(spark, n_convs=50, avg_turns=8).collect()
     b = datagen.synth_transcripts(spark, n_convs=50, avg_turns=8).collect()
