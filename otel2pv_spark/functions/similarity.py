@@ -755,6 +755,9 @@ def semantic_dedup(
     on LAION), so tasks are plentiful and each cluster's quadratic is
     tiny; the k=4 of the driver fixture (pinned by the unrolled-Lloyd
     oracle) is a correctness fixture, not the scale configuration.
+    Measured (BENCH/LADDER.md, r4): at 10x corpus, fixed k=4 cost 22x
+    (per-cluster pairs grow (n/k)^2) while k scaled 10x cost ~2x with
+    identical output — hold n/k constant as the corpus grows.
     """
     # snapshot the NARROW (id, cluster) assignment: it feeds both pair-
     # join sides AND the final flag join, and AQE does not reuse self-
