@@ -298,7 +298,12 @@ def _gen_sf1(spark, src_dir: str, out_dir: str, factor: int = 10) -> None:
     )
     emb.crossJoin(reps).select(
         (F.col("vec_id") + F.col("_k") * n_vec).alias("vec_id"),
-        perturbed.alias("embedding"),
+        # _k=0 replica stays the VERBATIM sf0.1 data (like documents),
+        # so sf1 is a strict superset and per-key outputs are
+        # comparable across rungs (review finding)
+        F.when(F.col("_k") == 0, F.col("embedding"))
+        .otherwise(perturbed)
+        .alias("embedding"),
         "label",
     ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
     with open(marker, "w") as fh:

@@ -236,10 +236,20 @@ def conv_minhash_wide(
     a whole conversation.
     """
     tokd = tr.select(
-        F.col(conv_col), F.col(idx_col), tokens(text_col).alias("_w")
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(text_col).alias("_t"),
+        tokens(text_col).alias("_w"),
     ).filter(F.size("_w") > 0)
+    # (idx, text) order — the SAME total order as the concat oracle's
+    # sort_array(struct(turn_idx, text)), so duplicate turn_idx rows
+    # (replayed ingest) carry deterministically and identically in
+    # both formulations (review finding: idx alone left dup-idx order
+    # unspecified)
     wprev = (
-        Window.partitionBy(conv_col).orderBy(idx_col).rowsBetween(-(n - 1), -1)
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col, "_t")
+        .rowsBetween(-(n - 1), -1)
     )
     prev = F.flatten(F.collect_list("_w").over(wprev))
     carry = F.when(

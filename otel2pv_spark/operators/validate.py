@@ -35,9 +35,10 @@ failing (path, keyword) is recorded exactly like the flat rules.
 
 Supported keywords: ``type`` (object/array/string/integer/number/
 boolean/null), ``required``, ``properties``, ``items`` (applied to
-every element), ``enum`` (typed value equality via JSON-style value
-lowering — booleans compare as true/false, matching the reference's
-santhosh-tekuri/jsonschema typed equality), ``pattern`` (UNANCHORED
+every element), ``enum`` (TYPED JSON equality per value — boolean true
+matches JSON true but never the string "true"; numbers compare by
+value, matching the reference's santhosh-tekuri/jsonschema typed
+equality), ``pattern`` (UNANCHORED
 partial match, per the JSON-Schema spec and the reference validator),
 ``minLength``/``maxLength``, ``minimum``/``maximum``,
 ``minItems``/``maxItems``. Checks are if-present (``required`` owns
@@ -46,6 +47,7 @@ presence), matching JSON-Schema's keyword independence.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -118,16 +120,6 @@ def split_valid(
 
 
 # ------------------------------------------------- nested JSON Schema
-def _enum_lower(v) -> str:
-    """Lower a Python enum value to the string a variant of that value
-    casts to: booleans → 'true'/'false' (JSON form), everything else →
-    str(). Keeps enum comparison typed like the reference validator's
-    JSON equality instead of Python repr equality."""
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
-
-
 _TYPE_PREDS = {
     "object": lambda t: t.startswith("OBJECT") | t.startswith("STRUCT"),
     "array": lambda t: t.startswith("ARRAY"),
@@ -193,14 +185,31 @@ def _schema_checks(schema: dict, path: str) -> list:
             applies=_is_obj,
         )
     if "enum" in schema:
-        # enum is value equality across ALL types — no applicability
-        # guard by design. Values are lowered JSON-style so the compare
-        # against the variant's string cast is typed: Python True/False
-        # become 'true'/'false' (variant BOOLEAN casts to 'true', not
-        # 'True' — the str() lowering made boolean enums unmatchable,
-        # ADVICE r3).
-        vals = [_enum_lower(v) for v in schema["enum"]]
-        emit(f"{path}: enum", lambda n: n.cast("string").isin(vals))
+        # enum is TYPED JSON equality (santhosh-tekuri v5 semantics):
+        # each enum value matches only variants of its own type family
+        # — boolean true matches JSON true but NOT the string "true"
+        # (the bare string-cast isin() accepted both, review finding);
+        # numbers compare by value (1 == 1.0, JSON-Schema numeric
+        # equality). No applicability guard: a node matching none of
+        # the values fails, whatever its type.
+        def _enum_value_pred(n, v):
+            if isinstance(v, bool):
+                return (F.schema_of_variant(n) == "BOOLEAN") & (
+                    n.cast("string") == ("true" if v else "false")
+                )
+            if v is None:
+                return F.schema_of_variant(n) == "VOID"
+            if isinstance(v, (int, float)):
+                return _is_num(n) & (n.cast("double") == float(v))
+            return _is_str(n) & (n.cast("string") == str(v))
+
+        vals = list(schema["enum"])
+        emit(
+            f"{path}: enum",
+            lambda n, _vs=vals: functools.reduce(
+                lambda a, b: a | b, [_enum_value_pred(n, v) for v in _vs]
+            ),
+        )
     if "pattern" in schema:
         # UNANCHORED partial match — JSON-Schema spec semantics, and
         # what the reference's santhosh-tekuri/jsonschema v5 validator

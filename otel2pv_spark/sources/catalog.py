@@ -86,21 +86,87 @@ def _commit_empty_schema_file(df: DataFrame, d: str) -> None:
 _WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "between")
 
 
-def _stat_lower(v):
-    """Lower a stats/predicate value to a JSON-storable, consistently
-    comparable primitive: datetimes → epoch micros, dates → ordinal,
-    Decimal → float. Same lowering on BOTH the stored stats and the
-    predicate literal, so comparisons are type-uniform."""
-    import datetime
+def _field_stat_kind(dt) -> str | None:
+    """Stats type tag for a Spark column type. Stored WITH the [min,
+    max] so pruning only ever compares predicate literals lowered under
+    the SAME interpretation — a date-ordinal never silently compares
+    against epoch micros (review finding: comparable-but-wrong
+    cross-type compares pruned matching entries)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.TimestampType):
+        return "ts"
+    if isinstance(dt, T.TimestampNTZType):
+        return "tsntz"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.NumericType):
+        return "num"
+    if isinstance(dt, T.StringType):
+        return "str"
+    return None
+
+
+def _lower_stat_value(v, kind: str):
+    """Lower a COMMITTED stat value to its JSON form for ``kind``.
+    'ts' values arrive already lowered (unix_micros in the agg — exact
+    integer epoch micros straight from the JVM, timezone-free; a naive
+    Python datetime.timestamp() would be host-TZ-dependent AND
+    float-lossy, review finding). 'tsntz' is a wall-time without zone:
+    fixed UTC-interpretation integer micros. 'date' → ordinal."""
+    import calendar
     import decimal
 
-    if isinstance(v, datetime.datetime):
-        return int(v.timestamp() * 1_000_000)
-    if isinstance(v, datetime.date):
+    if kind == "tsntz":
+        return calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+    if kind == "date":
         return v.toordinal()
-    if isinstance(v, decimal.Decimal):
+    if kind == "num" and isinstance(v, decimal.Decimal):
         return float(v)
     return v
+
+
+def _lower_pred_value(val, kind: str | None):
+    """Lower a PREDICATE literal for comparison against stats of
+    ``kind``; None = incompatible (cannot prune — the Spark filter's
+    cast semantics own cross-type predicates)."""
+    import calendar
+    import datetime
+    import decimal
+    import time as _time
+
+    if kind is None:
+        return None
+    if isinstance(val, bool):
+        return val if kind == "bool" else None
+    if isinstance(val, datetime.datetime):
+        if kind == "ts":
+            # match how the Spark filter interprets the literal: an
+            # aware datetime is absolute; a naive one is session-local
+            # (session tz == host tz here) — both to exact int micros
+            if val.tzinfo is not None:
+                return (
+                    calendar.timegm(val.utctimetuple()) * 1_000_000
+                    + val.microsecond
+                )
+            return (
+                int(_time.mktime(val.timetuple())) * 1_000_000
+                + val.microsecond
+            )
+        if kind == "tsntz" and val.tzinfo is None:
+            return calendar.timegm(val.timetuple()) * 1_000_000 + val.microsecond
+        return None
+    if isinstance(val, datetime.date):
+        return val.toordinal() if kind == "date" else None
+    if isinstance(val, decimal.Decimal):
+        return float(val) if kind == "num" else None
+    if isinstance(val, (int, float)):
+        return val if kind == "num" else None
+    if isinstance(val, str):
+        return val if kind == "str" else None
+    return None
 
 
 def _where_conjuncts(where) -> list[tuple]:
@@ -145,29 +211,37 @@ def _where_column(conjuncts: list[tuple]):
 def _entry_may_match(stats: dict | None, col: str, op: str, val) -> bool:
     """Inclusive metrics check: False ONLY when the entry's [min, max]
     proves no row can satisfy the conjunct. Missing stats (column not
-    configured, all-null entry, legacy manifest) keep the entry —
+    configured, all-null entry), kind-less records, or a predicate
+    literal whose type doesn't match the stats' kind keep the entry —
     pruning must never be load-bearing for correctness."""
     if not stats or col not in stats:
         return True
-    mn, mx = stats[col]
+    rec = stats[col]
+    if len(rec) != 3:
+        return True  # kind-less record: cannot prune safely
+    mn, mx, kind = rec
     try:
+        if op == "between":
+            lo = _lower_pred_value(val[0], kind)
+            hi = _lower_pred_value(val[1], kind)
+            if lo is None or hi is None:
+                return True
+            return mx >= lo and mn <= hi
+        v = _lower_pred_value(val, kind)
+        if v is None:
+            return True
         if op in ("=", "=="):
-            v = _stat_lower(val)
             return mn <= v <= mx
         if op == "<":
-            return mn < _stat_lower(val)
+            return mn < v
         if op == "<=":
-            return mn <= _stat_lower(val)
+            return mn <= v
         if op == ">":
-            return mx > _stat_lower(val)
-        if op == ">=":
-            return mx >= _stat_lower(val)
-        lo, hi = _stat_lower(val[0]), _stat_lower(val[1])
-        return mx >= lo and mn <= hi
+            return mx > v
+        return mx >= v  # ">="
     except TypeError:
-        # cross-type predicate (e.g. a string literal against numeric
-        # stats): cannot prune — keep the entry; the Spark-side filter
-        # (whose cast semantics own this case) still applies
+        # belt-and-braces: any residual cross-type compare keeps the
+        # entry; the Spark-side filter still applies
         return True
 
 
@@ -1190,58 +1264,132 @@ class ManifestCatalog(_CatalogBase):
         return self._current_version(table) is not None
 
     # --------------------------------------------- per-entry column stats
-    def _entry_stats(self, path: str) -> dict | None:
-        """[min, max] per configured column for one staged entry — ONE
-        column-pruned, map-side-combined agg over just that entry's
-        files at commit time (an object-store deployment would harvest
-        the same numbers from the parquet footers it just wrote).
-        All-null / absent / non-atomic columns record nothing: missing
-        stats always mean "cannot prune", never "empty"."""
-        if not self.stats_columns:
-            return None
-        from pyspark.sql import types as T
+    def _stat_cols(self, schema) -> list[tuple[str, str]]:
+        """(column, kind) pairs of the configured stats columns present
+        in ``schema`` with a supported atomic type."""
+        out = []
+        for fld in schema.fields:
+            if fld.name not in self.stats_columns:
+                continue
+            kind = _field_stat_kind(fld.dataType)
+            if kind is not None:
+                out.append((fld.name, kind))
+        return out
 
-        atomic = (
-            T.NumericType, T.StringType, T.TimestampType,
-            T.TimestampNTZType, T.DateType, T.BooleanType,
-        )
-        df = self.spark.read.parquet(self._abs(path))
-        cols = [
-            fld.name
-            for fld in df.schema.fields
-            if fld.name in self.stats_columns
-            and isinstance(fld.dataType, atomic)
-        ]
-        if not cols:
-            return None
-        row = df.agg(
-            *[
-                x
-                for c in cols
-                for x in (F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))
-            ]
-        ).head()
+    @staticmethod
+    def _stat_aggs(cols: list[tuple[str, str]]) -> list:
+        """min/max agg expressions per column; TIMESTAMP lowers to
+        exact integer epoch micros JVM-side (unix_micros) — timezone-
+        free, no float round-trip."""
+        aggs = []
+        for c, kind in cols:
+            mn, mx = F.min(c), F.max(c)
+            if kind == "ts":
+                mn, mx = F.unix_micros(mn), F.unix_micros(mx)
+            aggs += [mn.alias(f"mn_{c}"), mx.alias(f"mx_{c}")]
+        return aggs
+
+    @staticmethod
+    def _stats_from_row(row, cols: list[tuple[str, str]]) -> dict | None:
+        """[min, max, kind] per column from one agg row; all-null
+        columns record nothing (missing = cannot prune, never empty)."""
         stats = {}
-        for c in cols:
+        for c, kind in cols:
             mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
             if mn is None or mx is None:
                 continue
-            stats[c] = [_stat_lower(mn), _stat_lower(mx)]
+            if kind != "ts":  # ts already lowered JVM-side
+                mn = _lower_stat_value(mn, kind)
+                mx = _lower_stat_value(mx, kind)
+            stats[c] = [mn, mx, kind]
         return stats or None
+
+    def _entry_stats(self, path: str) -> dict | None:
+        """[min, max, kind] per configured column for one staged entry
+        — ONE column-pruned, map-side-combined agg over just that
+        entry's files at commit time (an object-store deployment would
+        harvest the same numbers from the parquet footers it just
+        wrote)."""
+        if not self.stats_columns:
+            return None
+        df = self.spark.read.parquet(self._abs(path))
+        cols = self._stat_cols(df.schema)
+        if not cols:
+            return None
+        return self._stats_from_row(df.agg(*self._stat_aggs(cols)).head(), cols)
+
+    def _leaf_stats(
+        self, base: str, leaves: list[str]
+    ) -> dict[str, dict | None]:
+        """Stats for MANY partition leaves of one staged dir in ONE
+        grouped agg job (a per-entry loop would launch one Spark job
+        per sink partition, review finding). Leaf keys are rebuilt from
+        the grouped partition values; a leaf that doesn't round-trip
+        (exotic hive escaping) falls back to the per-entry path."""
+        df = self.spark.read.option("basePath", self._abs(base)).parquet(
+            *[os.path.join(self._abs(base), leaf) for leaf in leaves]
+        )
+        part_cols = [seg.split("=", 1)[0] for seg in leaves[0].split("/")]
+        cols = [
+            (c, k) for c, k in self._stat_cols(df.schema)
+            if c not in part_cols
+        ]
+        # partition columns in stats_columns get min = max = the leaf
+        # value implicitly via the group key
+        part_stat_cols = [
+            (c, k)
+            for c, k in self._stat_cols(df.schema)
+            if c in part_cols
+        ]
+        if not cols and not part_stat_cols:
+            return {leaf: None for leaf in leaves}
+        rows = (
+            df.groupBy(*part_cols).agg(*self._stat_aggs(cols)).collect()
+            if cols
+            else df.select(*part_cols).distinct().collect()
+        )
+        out: dict[str, dict | None] = {}
+        for row in rows:
+            leaf = "/".join(f"{c}={row[c]}" for c in part_cols)
+            if leaf not in leaves:
+                continue  # didn't round-trip; caller falls back
+            st = self._stats_from_row(row, cols) if cols else {}
+            for c, k in part_stat_cols:
+                v = _lower_stat_value(row[c], k)
+                st = dict(st or {})
+                st[c] = [v, v, k]
+            out[leaf] = st or None
+        return out
 
     def _attach_stats(self, entries: list[dict]) -> list[dict]:
         """Attach stats to entries that lack them (freshly staged);
         entries re-committed from an older manifest (append, rollback,
-        partition overwrite carry-over) keep theirs untouched."""
+        partition overwrite carry-over) keep theirs untouched and are
+        never re-read. Leaves sharing a staged base dir are aggregated
+        in one grouped job."""
         if not self.stats_columns:
             return entries
-        out = []
-        for e in entries:
-            if "stats" in e:
-                out.append(e)
-                continue
-            st = self._entry_stats(e["path"])
-            out.append({**e, "stats": st} if st else e)
+        out = list(entries)
+        todo = [i for i, e in enumerate(out) if "stats" not in e]
+        by_base: dict[str | None, list[int]] = {}
+        for i in todo:
+            by_base.setdefault(out[i].get("base"), []).append(i)
+        for base, idxs in by_base.items():
+            grouped: dict[str, dict | None] = {}
+            if base is not None and len(idxs) > 1 and all(
+                out[i].get("leaf") for i in idxs
+            ):
+                grouped = self._leaf_stats(
+                    base, [out[i]["leaf"] for i in idxs]
+                )
+            for i in idxs:
+                leaf = out[i].get("leaf")
+                if leaf in grouped:
+                    st = grouped[leaf]
+                else:
+                    st = self._entry_stats(out[i]["path"])
+                if st:
+                    out[i] = {**out[i], "stats": st}
         return out
 
     def read(
@@ -1448,15 +1596,21 @@ class ManifestCatalog(_CatalogBase):
         stage = self._new_stage(table)
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(stage)
         merged = {e["leaf"]: e for e in man["entries"]}
-        for leaf in _leaf_partitions(stage, len(partition_by)):
-            merged[leaf] = {
-                "path": os.path.join(stage, leaf),
-                "base": stage,
-                "leaf": leaf,
-            }
+        # stats only for the NEW staged leaves: carried-over entries
+        # (with or without stats) are metadata-only recommits and must
+        # never be re-read at commit time (review finding — a legacy
+        # stats-less history would otherwise be fully rescanned here)
+        new_entries = self._attach_stats(
+            [
+                {"path": os.path.join(stage, leaf), "base": stage, "leaf": leaf}
+                for leaf in _leaf_partitions(stage, len(partition_by))
+            ]
+        )
+        for e in new_entries:
+            merged[e["leaf"]] = e
         self._commit(
             table,
-            self._attach_stats([merged[k] for k in sorted(merged)]),
+            [merged[k] for k in sorted(merged)],
             man["evolved"],
             partition_by,
             schema=man.get("schema"),

@@ -81,8 +81,14 @@ def main() -> None:
         datagen.tool_meta(spark), datagen.role_meta(spark),
         stream_out, os.path.join(work, "ckpt"), available_now=True,
     )
-    q.awaitTermination(3600)
+    drained = q.awaitTermination(3600)
     stream_wall = time.time() - t0
+    if not drained:
+        q.stop()
+        raise RuntimeError(
+            "keyed stream did not drain within 1h — refusing to record a "
+            "half-drained measurement"
+        )
 
     cat = Catalog(spark, stream_out)
     turns_rows = cat.read("turns").count()

@@ -694,9 +694,12 @@ class TestManifestStatsPruning:
         cat.write(self._batch(spark, 0, 10, "a"), "t")
         man = cat._load_manifest("t")
         st = man["entries"][0]["stats"]
-        assert st["id"] == [0, 9]
-        assert st["tag"] == ["a", "a"]
-        assert isinstance(st["ts"][0], int)  # epoch-micros lowering
+        assert st["id"] == [0, 9, "num"]
+        assert st["tag"] == ["a", "a", "str"]
+        # timestamps lower to exact integer epoch micros JVM-side
+        # (unix_micros), tagged so only datetime predicates compare
+        assert st["ts"][2] == "ts" and isinstance(st["ts"][0], int)
+        assert st["ts"][0] == 1704067200000000
 
     def test_pruned_read_scans_strictly_fewer_files(self, spark, tmp_path):
         """Three disjoint-id append batches; a predicate selecting one
@@ -755,7 +758,7 @@ class TestManifestStatsPruning:
         cat.append(self._batch(spark, 10, 20, "b"), "t")
         man = cat._load_manifest("t")
         assert man["entries"][0]["stats"] == st0
-        assert man["entries"][1]["stats"]["id"] == [10, 19]
+        assert man["entries"][1]["stats"]["id"] == [10, 19, "num"]
         cat.rollback("t", 1)
         assert cat._load_manifest("t")["entries"][0]["stats"] == st0
 
@@ -773,6 +776,100 @@ class TestManifestStatsPruning:
         )
         cat.write(self._batch(spark, 0, 10, "a"), "t")
         assert cat.read("t", where=("id", "<", 3)).count() == 3
+
+    def test_kind_mismatch_never_misprunes(self, spark, tmp_path):
+        """Review finding: comparable-but-wrong lowered types (date
+        ordinal vs datetime epoch-micros) must NOT prune — the result
+        must equal read().filter() even when the predicate literal's
+        type doesn't match the column's stats kind."""
+        import datetime
+
+        cat = Catalog(
+            spark, str(tmp_path / "kinds"), strategy="manifest",
+            stats_columns=("d", "ts"),
+        )
+        df = spark.range(0, 10).select(
+            F.col("id"),
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+            .alias("d"),
+            F.timestamp_micros(F.lit(1704067200000000) + F.col("id") * 1000000)
+            .alias("ts"),
+        )
+        cat.write(df, "t")
+        st = cat._load_manifest("t")["entries"][0]["stats"]
+        assert st["d"][2] == "date"
+        # datetime literal against DATE stats: ordinal (~7e5) is tiny
+        # vs epoch micros (~1.7e15) — naive lowering would prune ALL
+        # entries; kind tagging must keep them and let the filter run
+        cut = datetime.datetime(2024, 1, 5)
+        got = cat.read("t", where=("d", ">=", cut)).count()
+        want = cat.read("t").filter(F.col("d") >= cut).count()
+        assert got == want and got > 0
+        # and a matching date literal still prunes correct rows
+        got2 = cat.read("t", where=("d", ">=", datetime.date(2024, 1, 5))).count()
+        assert got2 == want
+        # int literal against TIMESTAMP stats: NOT pruned (kind
+        # mismatch); Spark's own filter then rejects the comparison —
+        # exactly what read().filter() does, never a silent empty result
+        from pyspark.errors import AnalysisException
+
+        with pytest.raises(AnalysisException):
+            cat.read("t", where=("ts", ">", 0)).count()
+
+    def test_fanout_leaf_stats_grouped_and_partition_col(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """commit_fanout_split records stats for every sink entry via
+        ONE grouped agg (incl. min=max stats on the partition column
+        itself), enabling sink-selective pruned reads."""
+        import conftest as _cf
+        from otel2pv_spark.plans import pipeline as pl
+
+        monkeypatch.setenv("SPARK_GRAFT_CATALOG", "manifest")
+        out = str(tmp_path / "fanstats")
+        cfg = pl.PipelineConfig(
+            out_root=out, run_id="fs1", stats_columns=("sink", "turn_idx")
+        )
+        pl.run_from_events(spark, _cf.SF_DIR, cfg)
+        cat = Catalog(
+            spark, out, strategy="manifest",
+            stats_columns=("sink", "turn_idx"),
+        )
+        man = cat._load_manifest("sequenced_events")
+        assert all("stats" in e for e in man["entries"])
+        for e in man["entries"]:
+            sv = e["leaf"].split("=", 1)[1]
+            assert e["stats"]["sink"] == [sv, sv, "str"]
+        one = cat.read("sequenced_events", where=("sink", "=", "sink_user"))
+        assert len(set(one.inputFiles())) < len(
+            set(cat.read("sequenced_events").inputFiles())
+        )
+        assert one.count() == (
+            cat.read("sequenced_events").filter(F.col("sink") == "sink_user").count()
+        )
+
+    def test_overwrite_partitions_never_rereads_legacy_entries(
+        self, spark, tmp_path
+    ):
+        """A table written BEFORE stats were enabled keeps its old
+        entries stats-less (metadata-only recommit, no data re-read)
+        while freshly staged leaves gain stats."""
+        root = str(tmp_path / "legacy")
+        old = Catalog(spark, root, strategy="manifest")
+        df = spark.range(0, 20).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("p"),
+        )
+        old.write(df, "t", partition_by=["p"])
+        cat = Catalog(spark, root, strategy="manifest", stats_columns=("id",))
+        newdf = spark.range(100, 110).select(
+            F.col("id"), F.lit("1").alias("p")
+        )
+        cat.overwrite_partitions(newdf, "t", ["p"])
+        man = cat._load_manifest("t")
+        by_leaf = {e["leaf"]: e for e in man["entries"]}
+        assert "stats" not in by_leaf["p=0"]  # legacy: untouched
+        assert by_leaf["p=1"]["stats"]["id"] == [100, 109, "num"]
 
     def test_cross_type_predicate_fails_open(self, spark, tmp_path):
         """A predicate literal of the wrong type must not crash pruning

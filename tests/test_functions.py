@@ -93,6 +93,35 @@ class TestConvMinhash:
         # c2 is c1's turns pre-concatenated -> identical signature
         assert wide["c1"] == wide["c2"]
 
+    def test_duplicate_turn_idx_deterministic_and_equal(self, spark):
+        """Replayed ingest: rows sharing a turn_idx must carry in the
+        SAME total order as the concat oracle's sort_array(struct(
+        turn_idx, text)) — (idx, text) window order (review finding:
+        idx alone left dup order unspecified)."""
+        rows = [
+            ("dup", 0, "zeta yoke xray"),
+            ("dup", 1, "beta alpha gamma run"),
+            ("dup", 1, "alpha beta gamma run"),  # same idx, differs in text
+            ("dup", 2, "omega psi chi closing words"),
+            ("other", 0, "totally different conversation text here"),
+        ]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        wides = [
+            {r.conv_id: tuple(r)[1:] for r in dd.conv_minhash_wide(tr).collect()}
+            for _ in range(3)
+        ]
+        assert wides[0] == wides[1] == wides[2]  # run-to-run stable
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dd.conv_minhash_lsh_candidates(tr).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b) for r in self._concat_form(tr).collect()
+        }
+        assert got == want
+
     def test_hot_conversation_no_unbounded_collect(self, spark):
         """A 10^5-turn conversation: the plan must contain no
         AGGREGATE-side collect_list (whole-conversation

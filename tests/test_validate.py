@@ -222,16 +222,30 @@ class TestReferenceValidatorSemantics:
         assert got == {1: "$.j: pattern", 2: None}
 
     def test_boolean_enum_matches(self, spark):
-        # str(True) == 'True' never equals the variant cast 'true'; the
-        # JSON-style lowering makes boolean enums satisfiable
+        # typed JSON equality: boolean true matches JSON true, never
+        # the STRING "true" (and str(True)=='True' never matched
+        # anything before the fix)
         schema = {"properties": {"b": {"enum": [True, "x"]}}}
         df = spark.createDataFrame(
-            [(1, '{"b": true}'), (2, '{"b": false}'), (3, '{"b": "x"}')],
+            [(1, '{"b": true}'), (2, '{"b": false}'), (3, '{"b": "x"}'),
+             (4, '{"b": "true"}')],
             "id int, payload string",
         )
         out = validate_op.validate_json(df, "payload", schema)
         got = {r.id: r.schema_error for r in out.collect()}
-        assert got == {1: None, 2: "$.b: enum", 3: None}
+        assert got == {1: None, 2: "$.b: enum", 3: None, 4: "$.b: enum"}
+
+    def test_numeric_enum_by_value(self, spark):
+        # JSON numeric equality: 1 == 1.0; the string "1" never matches
+        schema = {"properties": {"n": {"enum": [1, "a"]}}}
+        df = spark.createDataFrame(
+            [(1, '{"n": 1}'), (2, '{"n": 1.0}'), (3, '{"n": "1"}'),
+             (4, '{"n": 2}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: None, 2: None, 3: "$.n: enum", 4: "$.n: enum"}
 
     def test_flat_rule_pattern_unanchored(self, spark):
         rules = [validate_op.ColumnRule("event_id", pattern="job-[0-9]+")]
