@@ -363,27 +363,15 @@ local[$SPARK_GRAFT_CPUS], noop-sink forced.
         for q, t001, t01, t1, alpha in rows:
             f.write(f"| {q} | {t001:.2f} | {t01:.2f} | {t1:.2f} | {alpha:.2f} |\n")
         f.write(
-            """
-## Analysis of the alpha > 1 rows (investigated round 4)
-
-- **embedding_semdedup** — output is exactly LINEAR (2,377 -> 23,762
-  dup rows at 10x input) but cost was ~22x: the driver query pins the
-  SemDeDup cluster count at k=4 for its static unrolled-Lloyd DuckDB
-  oracle, so per-cluster pair work grows (N/k)^2. This is a CONFIG
-  artifact, not a plan defect: measured at sf1, k=4 took 95.7 s while
-  k=40 (k scaled with N, per-cluster size held constant) took 4.9 s
-  with identical output — alpha ~0.28. Production doctrine (also in
-  semantic_dedup's docstring): scale k ∝ N, as the SemDeDup paper
-  does; the plan shape needs no change.
-- **dedup_conversations** — the candidate-pair OUTPUT itself is
-  superlinear on this templated corpus (946,590 -> 39,119,589 pairs,
-  41x at 10x input): near-identical conversations genuinely share
-  band buckets, and LSH candidate generation is output-bound by
-  definition. Wall grew 14x — SLOWER than output — so the plan is
-  fine; at real scale the consumer is dedup_clusters /
-  dedup_survivors (connected components, ~linear output), not a
-  materialized all-pairs list.
-"""
+            "\nInvestigate every alpha > 1 row before accepting it —"
+            " measure whether the OUTPUT grew superlinearly (LSH"
+            " candidate pairs on duplicate-heavy data legitimately do)"
+            " or a fixed config stopped fitting the corpus (cluster"
+            " counts that must scale with N). The round-4 investigation"
+            " of embedding_semdedup and dedup_conversations lives in"
+            " BENCH/LADDER_ANALYSIS.md — dated evidence, kept out of"
+            " this generated file so fresh numbers never pair with"
+            " stale prose.\n"
         )
     print(json.dumps({
         "ladder": {q: times[q] for q in LADDER_QUERIES},

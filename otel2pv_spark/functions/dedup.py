@@ -283,10 +283,6 @@ def conv_minhash_lsh_candidates(
     document-grain LSH over turn-ordered conversation concatenations,
     with bounded per-row state at any conversation length (see
     conv_minhash_wide)."""
-    if bands <= 0 or num_hashes % bands != 0:
-        raise ValueError(
-            f"minhash bands={bands} must divide num_hashes={num_hashes}"
-        )
     wide = conv_minhash_wide(tr, conv_col, idx_col, text_col, n, num_hashes)
     banded = _band_table_from_wide(wide, conv_col, num_hashes, bands)
     return _candidates_from_bands(banded, conv_col, materialize)
@@ -340,15 +336,6 @@ def minhash_band_table(
     band_key): appending a batch means hashing only the batch and
     joining its bands against this table, never re-reading the corpus
     text."""
-    if bands <= 0 or num_hashes % bands != 0:
-        # bands > num_hashes would give rows_per_band=0 and a CONSTANT
-        # band key (md5 of '') — the band self-join degenerates into a
-        # full corpus cross-product; a non-dividing bands silently
-        # ignores the trailing hashes. Same fail-loudly contract as
-        # pq_train's dim % m check.
-        raise ValueError(
-            f"minhash bands={bands} must divide num_hashes={num_hashes}"
-        )
     wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
     return _band_table_from_wide(wide, id_col, num_hashes, bands)
 
@@ -357,7 +344,18 @@ def _band_table_from_wide(
     wide: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     """(id, band, band_key) from a wide (id, mh_0..mh_{H-1}) signature —
-    shared by document-grain and conversation-grain MinHash."""
+    shared by document-grain and conversation-grain MinHash. Guards the
+    bands contract HERE, where rows_per_band is computed, so every
+    entry point fails loudly (review finding: the check was duplicated
+    per caller): bands > num_hashes would give rows_per_band=0 and a
+    CONSTANT band key (md5 of '') — the band self-join degenerates into
+    a full corpus cross-product; a non-dividing bands silently ignores
+    the trailing hashes. Same fail-loudly contract as pq_train's
+    dim % m check."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash bands={bands} must divide num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     bands_arr = F.array(
         *[

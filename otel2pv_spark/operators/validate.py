@@ -204,10 +204,14 @@ def _schema_checks(schema: dict, path: str) -> list:
             return _is_str(n) & (n.cast("string") == str(v))
 
         vals = list(schema["enum"])
+        # seed False: an empty enum rejects every instance (JSON-Schema
+        # semantics) instead of crashing reduce() at compile time
         emit(
             f"{path}: enum",
             lambda n, _vs=vals: functools.reduce(
-                lambda a, b: a | b, [_enum_value_pred(n, v) for v in _vs]
+                lambda a, b: a | b,
+                [_enum_value_pred(n, v) for v in _vs],
+                F.lit(False),
             ),
         )
     if "pattern" in schema:

@@ -128,14 +128,18 @@ def _lower_stat_value(v, kind: str):
     return v
 
 
-def _lower_pred_value(val, kind: str | None):
+def _lower_pred_value(val, kind: str | None, session_tz: str | None = None):
     """Lower a PREDICATE literal for comparison against stats of
     ``kind``; None = incompatible (cannot prune — the Spark filter's
-    cast semantics own cross-type predicates)."""
+    cast semantics own cross-type predicates). ``session_tz`` is the
+    SPARK SESSION timezone: a naive datetime literal must be
+    interpreted exactly as the Spark filter will interpret it (the
+    repo's get_spark pins spark.sql.session.timeZone=UTC, which is NOT
+    necessarily the host tz — review finding: mktime lowered in host
+    local time and mis-pruned on non-UTC hosts)."""
     import calendar
     import datetime
     import decimal
-    import time as _time
 
     if kind is None:
         return None
@@ -143,16 +147,17 @@ def _lower_pred_value(val, kind: str | None):
         return val if kind == "bool" else None
     if isinstance(val, datetime.datetime):
         if kind == "ts":
-            # match how the Spark filter interprets the literal: an
-            # aware datetime is absolute; a naive one is session-local
-            # (session tz == host tz here) — both to exact int micros
-            if val.tzinfo is not None:
-                return (
-                    calendar.timegm(val.utctimetuple()) * 1_000_000
-                    + val.microsecond
-                )
+            if val.tzinfo is None:
+                if not session_tz:
+                    return None  # cannot know the filter's reading
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    val = val.replace(tzinfo=ZoneInfo(session_tz))
+                except Exception:
+                    return None  # unparseable tz: fail open, no prune
             return (
-                int(_time.mktime(val.timetuple())) * 1_000_000
+                calendar.timegm(val.utctimetuple()) * 1_000_000
                 + val.microsecond
             )
         if kind == "tsntz" and val.tzinfo is None:
@@ -163,7 +168,9 @@ def _lower_pred_value(val, kind: str | None):
     if isinstance(val, decimal.Decimal):
         return float(val) if kind == "num" else None
     if isinstance(val, (int, float)):
-        return val if kind == "num" else None
+        if kind != "num":
+            return None
+        return None if isinstance(val, float) and val != val else val
     if isinstance(val, str):
         return val if kind == "str" else None
     return None
@@ -208,26 +215,61 @@ def _where_column(conjuncts: list[tuple]):
     return cond
 
 
-def _entry_may_match(stats: dict | None, col: str, op: str, val) -> bool:
+def _parse_partition_value(raw: str | None, kind: str):
+    """Typed lowering of a hive leaf-dir value ("sink=sink_user" →
+    "sink_user") for min=max partition-column stats — no Spark job
+    needed, the directory name IS the value. Unparseable/exotic values
+    return None (no stat recorded, cannot prune — never wrong)."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        if kind == "str":
+            from urllib.parse import unquote
+
+            return unquote(raw)  # hive percent-escapes special chars
+        if kind == "num":
+            try:
+                return int(raw)
+            except ValueError:
+                return float(raw)
+        if kind == "bool":
+            return {"true": True, "false": False}[raw.lower()]
+        if kind == "date":
+            import datetime
+
+            return datetime.date.fromisoformat(raw).toordinal()
+    except (ValueError, KeyError):
+        return None
+    return None  # ts/tsntz partition values: skip (tz-laden parsing)
+
+
+def _entry_may_match(
+    stats: dict | None, col: str, op: str, val, session_tz: str | None = None
+) -> bool:
     """Inclusive metrics check: False ONLY when the entry's [min, max]
     proves no row can satisfy the conjunct. Missing stats (column not
-    configured, all-null entry), kind-less records, or a predicate
-    literal whose type doesn't match the stats' kind keep the entry —
-    pruning must never be load-bearing for correctness."""
+    configured, all-null entry), kind-less records, NaN bounds, or a
+    predicate literal whose type doesn't match the stats' kind keep the
+    entry — pruning must never be load-bearing for correctness."""
     if not stats or col not in stats:
         return True
     rec = stats[col]
     if len(rec) != 3:
         return True  # kind-less record: cannot prune safely
     mn, mx, kind = rec
+    # NaN bounds make every comparison False in Python — which would
+    # PRUNE entries that hold matching rows (review finding: Spark's
+    # max() returns NaN if any value is NaN, and json round-trips it)
+    if any(isinstance(b, float) and b != b for b in (mn, mx)):
+        return True
     try:
         if op == "between":
-            lo = _lower_pred_value(val[0], kind)
-            hi = _lower_pred_value(val[1], kind)
+            lo = _lower_pred_value(val[0], kind, session_tz)
+            hi = _lower_pred_value(val[1], kind, session_tz)
             if lo is None or hi is None:
                 return True
             return mx >= lo and mn <= hi
-        v = _lower_pred_value(val, kind)
+        v = _lower_pred_value(val, kind, session_tz)
         if v is None:
             return True
         if op in ("=", "=="):
@@ -1301,6 +1343,10 @@ class ManifestCatalog(_CatalogBase):
             if kind != "ts":  # ts already lowered JVM-side
                 mn = _lower_stat_value(mn, kind)
                 mx = _lower_stat_value(mx, kind)
+            if any(isinstance(b, float) and b != b for b in (mn, mx)):
+                continue  # NaN bound: record nothing (Spark max() is
+                #           NaN if ANY value is — a poisoned bound
+                #           would mis-prune, review finding)
             stats[c] = [mn, mx, kind]
         return stats or None
 
@@ -1335,29 +1381,36 @@ class ManifestCatalog(_CatalogBase):
             if c not in part_cols
         ]
         # partition columns in stats_columns get min = max = the leaf
-        # value implicitly via the group key
+        # value — read off the LEAF NAMES, zero Spark jobs (review
+        # finding: a distinct() scan re-derived values the caller
+        # already holds)
         part_stat_cols = [
             (c, k)
             for c, k in self._stat_cols(df.schema)
             if c in part_cols
         ]
-        if not cols and not part_stat_cols:
-            return {leaf: None for leaf in leaves}
-        rows = (
-            df.groupBy(*part_cols).agg(*self._stat_aggs(cols)).collect()
-            if cols
-            else df.select(*part_cols).distinct().collect()
-        )
+
+        def leaf_part_stats(leaf: str) -> dict:
+            segs = dict(seg.split("=", 1) for seg in leaf.split("/"))
+            st = {}
+            for c, k in part_stat_cols:
+                v = _parse_partition_value(segs.get(c), k)
+                if v is not None:
+                    st[c] = [v, v, k]
+            return st
+
         out: dict[str, dict | None] = {}
+        if not cols:
+            for leaf in leaves:
+                out[leaf] = leaf_part_stats(leaf) or None
+            return out
+        rows = df.groupBy(*part_cols).agg(*self._stat_aggs(cols)).collect()
         for row in rows:
             leaf = "/".join(f"{c}={row[c]}" for c in part_cols)
             if leaf not in leaves:
                 continue  # didn't round-trip; caller falls back
-            st = self._stats_from_row(row, cols) if cols else {}
-            for c, k in part_stat_cols:
-                v = _lower_stat_value(row[c], k)
-                st = dict(st or {})
-                st[c] = [v, v, k]
+            st = dict(self._stats_from_row(row, cols) or {})
+            st.update(leaf_part_stats(leaf))
             out[leaf] = st or None
         return out
 
@@ -1376,9 +1429,13 @@ class ManifestCatalog(_CatalogBase):
             by_base.setdefault(out[i].get("base"), []).append(i)
         for base, idxs in by_base.items():
             grouped: dict[str, dict | None] = {}
-            if base is not None and len(idxs) > 1 and all(
-                out[i].get("leaf") for i in idxs
-            ):
+            # route ALL base+leaf entries through _leaf_stats — even a
+            # single leaf: _entry_stats reads the leaf dir without
+            # basePath, so the partition column is absent from its
+            # schema and its min=max stat would silently go missing
+            # (review finding: stats capability depended on how many
+            # sinks a run happened to produce)
+            if base is not None and all(out[i].get("leaf") for i in idxs):
                 grouped = self._leaf_stats(
                     base, [out[i]["leaf"] for i in idxs]
                 )
@@ -1415,7 +1472,11 @@ class ManifestCatalog(_CatalogBase):
             # schema file); fail loud if an external tool wrote one
             raise ValueError(f"manifest of {table!r} has no data entries")
         conj = _where_conjuncts(where)
-        entries = self._prune_entries(man["entries"], conj)
+        entries = self._prune_entries(
+            man["entries"],
+            conj,
+            self.spark.conf.get("spark.sql.session.timeZone", None),
+        )
         groups: dict[str | None, list[str]] = {}
         for e in entries:
             base = e.get("base")
@@ -1449,7 +1510,9 @@ class ManifestCatalog(_CatalogBase):
         return out.filter(_where_column(conj)) if conj else out
 
     @staticmethod
-    def _prune_entries(entries: list[dict], conj: list[tuple]) -> list[dict]:
+    def _prune_entries(
+        entries: list[dict], conj: list[tuple], session_tz: str | None = None
+    ) -> list[dict]:
         """Entries that may contain matching rows. When EVERY entry is
         provably empty under the predicate, ONE entry is kept so the
         scan still carries the table schema — the filter then returns
@@ -1460,7 +1523,8 @@ class ManifestCatalog(_CatalogBase):
             e
             for e in entries
             if all(
-                _entry_may_match(e.get("stats"), c, o, v) for c, o, v in conj
+                _entry_may_match(e.get("stats"), c, o, v, session_tz)
+                for c, o, v in conj
             )
         ]
         return kept or entries[:1]

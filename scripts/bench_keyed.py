@@ -42,8 +42,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # turn ranges per micro-batch file: every conversation splits across
 # ALL batches — the adversarial shape for a cross-batch keyed pipeline
 # (each batch touches every conversation and recomputes it over its
-# full accumulated history)
-SLICES = [(0, 3), (3, 5), (5, 7), (7, 9), (9, 12)]
+# full accumulated history). The last slice is OPEN-ENDED so an input
+# with longer conversations can never silently lose turns from the
+# stream side (review finding: a hard cap only surfaced as a
+# 'twin diverged' assert after the full drain).
+SLICES = [(0, 3), (3, 5), (5, 7), (7, 9), (9, None)]
 
 
 def main() -> None:
@@ -58,7 +61,9 @@ def main() -> None:
     os.makedirs(src, exist_ok=True)
     slice_rows = []
     for i, (lo, hi) in enumerate(SLICES):
-        sl = tr.filter((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi))
+        sl = tr.filter(F.col("turn_idx") >= lo)
+        if hi is not None:
+            sl = sl.filter(F.col("turn_idx") < hi)
         slice_rows.append(sl.count())
         sl.toPandas().to_parquet(
             f"{src}/part_{i}.parquet", index=False,

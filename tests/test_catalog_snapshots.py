@@ -871,6 +871,63 @@ class TestManifestStatsPruning:
         assert "stats" not in by_leaf["p=0"]  # legacy: untouched
         assert by_leaf["p=1"]["stats"]["id"] == [100, 109, "num"]
 
+    def test_nan_bounds_never_misprune(self, spark, tmp_path):
+        """Review finding: Spark's max() over a double column with any
+        NaN returns NaN; every Python comparison with NaN is False, so
+        an unguarded bound would PRUNE entries holding matching rows.
+        NaN bounds must record nothing (missing = cannot prune)."""
+        cat = Catalog(
+            spark, str(tmp_path / "nan"), strategy="manifest",
+            stats_columns=("score",),
+        )
+        df = spark.range(0, 10).select(
+            F.col("id"),
+            F.when(F.col("id") == 7, F.lit(float("nan")))
+            .otherwise(F.col("id") / 10.0)
+            .alias("score"),
+        )
+        cat.write(df, "t")
+        st = cat._load_manifest("t")["entries"][0].get("stats") or {}
+        assert "score" not in st  # NaN bound recorded nothing
+        got = cat.read("t", where=("score", ">", 0.5)).count()
+        want = cat.read("t").filter(F.col("score") > 0.5).count()
+        assert got == want and got > 0
+
+    def test_single_leaf_partition_stats_recorded(self, spark, tmp_path):
+        """Review finding: a single-leaf partitioned commit previously
+        fell back to a basePath-less read that lost the partition
+        column — its min=max stat must be recorded regardless of leaf
+        count (derived from the leaf NAME, zero extra jobs)."""
+        cat = Catalog(
+            spark, str(tmp_path / "oneleaf"), strategy="manifest",
+            stats_columns=("p", "id"),
+        )
+        df = spark.range(0, 5).select(F.col("id"), F.lit("only").alias("p"))
+        cat.write(df, "t", partition_by=["p"])
+        man = cat._load_manifest("t")
+        assert len(man["entries"]) == 1
+        st = man["entries"][0]["stats"]
+        assert st["p"] == ["only", "only", "str"]
+        assert st["id"] == [0, 4, "num"]
+
+    def test_naive_ts_predicate_lowers_in_session_tz(self):
+        """Review finding: naive datetime predicates must lower in the
+        SPARK SESSION timezone (get_spark pins UTC), not the host's —
+        unit-level check of the helper across zones."""
+        import datetime
+
+        from otel2pv_spark.sources.catalog import _lower_pred_value
+
+        naive = datetime.datetime(2024, 1, 1)
+        utc = _lower_pred_value(naive, "ts", "UTC")
+        ny = _lower_pred_value(naive, "ts", "America/New_York")
+        assert utc == 1704067200000000
+        assert ny == utc + 5 * 3600 * 1_000_000  # EST is UTC-5 in Jan
+        assert _lower_pred_value(naive, "ts", None) is None  # unknown tz
+        assert _lower_pred_value(naive, "ts", "bogus/zone") is None
+        # NaN predicate can never prune
+        assert _lower_pred_value(float("nan"), "num", "UTC") is None
+
     def test_cross_type_predicate_fails_open(self, spark, tmp_path):
         """A predicate literal of the wrong type must not crash pruning
         — the entry is kept and Spark's filter cast semantics decide."""

@@ -235,6 +235,19 @@ class TestReferenceValidatorSemantics:
         got = {r.id: r.schema_error for r in out.collect()}
         assert got == {1: None, 2: "$.b: enum", 3: None, 4: "$.b: enum"}
 
+    def test_empty_enum_rejects_all_present(self, spark):
+        """enum: [] rejects every instance (JSON-Schema) — and must
+        compile instead of crashing reduce() (review finding); absent
+        nodes still pass (keyword independence)."""
+        schema = {"properties": {"x": {"enum": []}}}
+        df = spark.createDataFrame(
+            [(1, '{"x": 1}'), (2, '{"x": "a"}'), (3, "{}")],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: "$.x: enum", 2: "$.x: enum", 3: None}
+
     def test_numeric_enum_by_value(self, spark):
         # JSON numeric equality: 1 == 1.0; the string "1" never matches
         schema = {"properties": {"n": {"enum": [1, "a"]}}}
