@@ -196,6 +196,7 @@ def conv_minhash_wide(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 12,
+    block_size: int | None = None,
 ) -> DataFrame:
     """Whole-conversation MinHash signature WITHOUT ever materializing a
     conversation as one row (r3 verdict's scale-killer fix).
@@ -229,11 +230,19 @@ def conv_minhash_wide(
     4. one map-side-combined groupBy(conv_id) of ``num_hashes`` MINs —
        constant per-conversation state.
 
-    The per-conv window in step 2 puts a hot conversation's rows in one
-    window partition, but each row carries only turn-sized state and a
-    bounded frame — the same accepted shape as sequencing/sft_examples
-    (block-salting applies unchanged if needed). Nothing anywhere holds
-    a whole conversation.
+    The default per-conv window in step 2 puts a hot conversation's
+    rows in one window partition (each row turn-sized, bounded frame —
+    the same accepted shape as sequencing/sft_examples). For the
+    pathological tail, ``block_size`` switches to the BLOCK-SALTED
+    carry (the sequence_window_salted doctrine applied here): windows
+    partition on (conv, turn_idx div B), and the cross-block carry
+    chains over per-block (n-1)-token TAIL SUMMARIES — exact, because
+    last_{n-1}(T_1 ⊕ … ⊕ T_k) = last_{n-1}(tail_{n-1}(T_1) ⊕ … ⊕
+    tail_{n-1}(T_k)) (only the final n-1 tokens of each block can ever
+    reach a later carry). The one per-conv-ordered step then holds
+    ceil(len/B) tiny summary rows, never the turns: a 10^7-turn
+    conversation at B=65536 is 153 summary rows in that task. Nothing
+    anywhere holds a whole conversation.
     """
     tokd = tr.select(
         F.col(conv_col),
@@ -241,23 +250,90 @@ def conv_minhash_wide(
         F.col(text_col).alias("_t"),
         tokens(text_col).alias("_w"),
     ).filter(F.size("_w") > 0)
-    # (idx, text) order — the SAME total order as the concat oracle's
-    # sort_array(struct(turn_idx, text)), so duplicate turn_idx rows
-    # (replayed ingest) carry deterministically and identically in
-    # both formulations (review finding: idx alone left dup-idx order
-    # unspecified)
-    wprev = (
-        Window.partitionBy(conv_col)
-        .orderBy(idx_col, "_t")
-        .rowsBetween(-(n - 1), -1)
-    )
-    prev = F.flatten(F.collect_list("_w").over(wprev))
-    carry = F.when(
-        F.size(prev) > (n - 1), F.slice(prev, -(n - 1), n - 1)
-    ).otherwise(prev)
-    ext = tokd.select(
-        F.col(conv_col), F.concat(carry, F.col("_w")).alias("_ext")
-    )
+
+    def last_n1(arr):
+        return F.when(
+            F.size(arr) > (n - 1), F.slice(arr, -(n - 1), n - 1)
+        ).otherwise(arr)
+
+    if block_size is None:
+        # (idx, text) order — the SAME total order as the concat
+        # oracle's sort_array(struct(turn_idx, text)), so duplicate
+        # turn_idx rows (replayed ingest) carry deterministically and
+        # identically in both formulations
+        wprev = (
+            Window.partitionBy(conv_col)
+            .orderBy(idx_col, "_t")
+            .rowsBetween(-(n - 1), -1)
+        )
+        carry = last_n1(F.flatten(F.collect_list("_w").over(wprev)))
+        ext = tokd.select(
+            F.col(conv_col), F.concat(carry, F.col("_w")).alias("_ext")
+        )
+    else:
+        blocked = tokd.withColumn(
+            "_blk", (F.col(idx_col) / F.lit(block_size)).cast("bigint")
+        )
+        # in-block carry: same bounded frame, block-bounded partition.
+        # For the first n-1 surviving turns of a block the frame covers
+        # ALL in-block predecessors, so prepending the cross-block
+        # carry-in and re-slicing yields exactly the global carry; for
+        # later turns the in-block tokens alone already fill n-1 and
+        # the slice drops the carry-in — one unconditional expression.
+        w_in = (
+            Window.partitionBy(conv_col, "_blk")
+            .orderBy(idx_col, "_t")
+            .rowsBetween(-(n - 1), -1)
+        )
+        inprev = F.flatten(F.collect_list("_w").over(w_in))
+        # per-block tail summary: last n-1 tokens of the block, built
+        # from its last n-1 surviving turns (each turn >= 1 token)
+        w_desc = Window.partitionBy(conv_col, "_blk").orderBy(
+            F.desc(idx_col), F.desc("_t")
+        )
+        btails = (
+            blocked.withColumn("_rd", F.row_number().over(w_desc))
+            .filter(F.col("_rd") <= (n - 1))
+            .groupBy(conv_col, "_blk")
+            .agg(
+                last_n1(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(idx_col, "_t", "_w")
+                                )
+                            ),
+                            lambda s: s["_w"],
+                        )
+                    )
+                ).alias("_btail")
+            )
+        )
+        # cross-block carry-in: fold the previous blocks' tails in
+        # block order — the ONLY per-conv-ordered step, over ceil(L/B)
+        # summary rows of <= n-1 tokens each, never over turns
+        w_blkseq = (
+            Window.partitionBy(conv_col)
+            .orderBy("_blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = btails.select(
+            F.col(conv_col),
+            F.col("_blk"),
+            last_n1(
+                F.flatten(F.collect_list("_btail").over(w_blkseq))
+            ).alias("_carry_in"),
+        )
+        joined = blocked.withColumn("_inprev", inprev).join(
+            carries, [conv_col, "_blk"]
+        )
+        carry = last_n1(
+            F.concat(F.col("_carry_in"), F.col("_inprev"))
+        )
+        ext = joined.select(
+            F.col(conv_col), F.concat(carry, F.col("_w")).alias("_ext")
+        )
     sh = ext.select(
         F.col(conv_col),
         F.explode(F.array_distinct(shingles(F.col("_ext"), n))).alias("shingle"),
@@ -277,13 +353,17 @@ def conv_minhash_lsh_candidates(
     num_hashes: int = 12,
     bands: int = 3,
     materialize: bool = True,
+    block_size: int | None = None,
 ) -> DataFrame:
     """Conversation-level near-dup candidates (templated / replayed
     sessions) via the mergeable per-turn MinHash — identical output to
     document-grain LSH over turn-ordered conversation concatenations,
     with bounded per-row state at any conversation length (see
-    conv_minhash_wide)."""
-    wide = conv_minhash_wide(tr, conv_col, idx_col, text_col, n, num_hashes)
+    conv_minhash_wide; ``block_size`` enables the block-salted carry
+    for pathological hot-conversation tails)."""
+    wide = conv_minhash_wide(
+        tr, conv_col, idx_col, text_col, n, num_hashes, block_size
+    )
     banded = _band_table_from_wide(wide, conv_col, num_hashes, bands)
     return _candidates_from_bands(banded, conv_col, materialize)
 

@@ -122,6 +122,53 @@ class TestConvMinhash:
         }
         assert got == want
 
+    def test_block_salted_equals_unsalted(self, spark):
+        """block_size carry (per-block tail summaries chained in block
+        order) must produce IDENTICAL signatures to the per-conv window
+        — across block boundaries, blocks with a single surviving turn,
+        all-empty blocks, duplicate turn_idx, and gapped indices. Tiny
+        B=2/B=3 so every boundary case fires."""
+        rows = []
+        for c in range(4):
+            texts = [
+                f"alpha bravo charlie {c}", "delta", "", "echo foxtrot",
+                "golf", "", "", "hotel india juliett kilo",
+                f"lima mike {c % 2}", "november",
+            ]
+            for i, t in enumerate(texts):
+                rows.append((f"c{c}", i * 3, t))  # gapped indices
+        rows.append(("c0", 3, "dup turn text here"))  # dup idx vs 'delta'? idx 3 = i=1*3
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        base = {
+            r.conv_id: tuple(r)[1:]
+            for r in dd.conv_minhash_wide(tr).collect()
+        }
+        for B in (2, 3, 7):
+            salted = {
+                r.conv_id: tuple(r)[1:]
+                for r in dd.conv_minhash_wide(tr, block_size=B).collect()
+            }
+            assert salted == base, B
+
+    def test_block_salted_plan_has_no_per_conv_turn_window(self, spark):
+        """The salted plan's only per-conv-ordered window runs over
+        BLOCK SUMMARIES: every window partitioning on conv_id alone
+        must consume the block-tail fold, and turn-row windows must be
+        keyed by (conv, block)."""
+        tr = spark.createDataFrame(
+            [("c", i, f"some text {i}") for i in range(50)],
+            "conv_id string, turn_idx int, text string",
+        )
+        wide = dd.conv_minhash_wide(tr, block_size=8)
+        plan = wide._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition(conv_id" in line and "_blk" not in line:
+                # conv-only window: must be the block-summary fold
+                # (collects _btail), never turn tokens (_w)
+                assert "_btail" in line, line
+
     def test_hot_conversation_no_unbounded_collect(self, spark):
         """A 10^5-turn conversation: the plan must contain no
         AGGREGATE-side collect_list (whole-conversation
