@@ -871,6 +871,43 @@ class TestManifestStatsPruning:
         assert "stats" not in by_leaf["p=0"]  # legacy: untouched
         assert by_leaf["p=1"]["stats"]["id"] == [100, 109, "num"]
 
+    def test_multi_level_leaf_stats(self, spark, tmp_path):
+        """Two-level hive leaves ('a=…/b=…'): grouped leaf stats key
+        rebuild, partition-value stats for BOTH levels, and pruned
+        reads all work at leaf grain."""
+        cat = Catalog(
+            spark, str(tmp_path / "ml"), strategy="manifest",
+            stats_columns=("a", "b", "id"),
+        )
+        df = spark.range(0, 40).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("a"),
+            (F.col("id") % 4 < 2).cast("string").alias("b"),
+        )
+        cat.write(df, "t", partition_by=["a", "b"])
+        man = cat._load_manifest("t")
+        assert len(man["entries"]) == 4
+        for e in man["entries"]:
+            segs = dict(s.split("=", 1) for s in e["leaf"].split("/"))
+            # stats follow the READ schema: Spark's partition-value
+            # type inference reads 'a=0' back as INTEGER, so the stat
+            # is numeric — which keeps pruning comparisons consistent
+            # with what the filter actually sees; 'b' (true/false) is
+            # not inferred and stays string
+            assert e["stats"]["a"] == [int(segs["a"]), int(segs["a"]), "num"]
+            assert e["stats"]["b"] == [segs["b"], segs["b"], "str"]
+            assert e["stats"]["id"][2] == "num"
+        pruned = cat.read("t", where=[("a", "=", 1), ("b", "=", "true")])
+        assert len(set(pruned.inputFiles())) < len(
+            set(cat.read("t").inputFiles())
+        )
+        want = (
+            cat.read("t")
+            .filter((F.col("a") == 1) & (F.col("b") == "true"))
+            .count()
+        )
+        assert pruned.count() == want and want > 0
+
     def test_nan_bounds_never_misprune(self, spark, tmp_path):
         """Review finding: Spark's max() over a double column with any
         NaN returns NaN; every Python comparison with NaN is False, so
