@@ -725,14 +725,33 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup_k(n: int, target_cell_size: int = 32, min_k: int = 4) -> int:
+    """Cluster count for :func:`semantic_dedup` when the caller does not
+    supply centroids: k = max(min_k, ceil(n / target_cell_size)), i.e.
+    hold the EXPECTED cluster population (n/k) constant as the corpus
+    grows. This is the SemDeDup paper's own scaling doctrine (Abbas et
+    al. 2023 run 10^5 clusters on LAION-scale data, k ∝ n): per-cluster
+    pairwise work is (n/k)^2, so a FIXED k makes total work n^2/k —
+    quadratic again — while k ∝ n keeps it n · target_cell_size.
+    Measured on the scale ladder (BENCH/LADDER_ANALYSIS.md): fixed k=4
+    cost 24x at 10x input (alpha 1.39); k scaled 10x cost ~2x with
+    identical output (alpha ≈ 0.28)."""
+    if n <= 0:
+        raise ValueError("semdedup_k: empty corpus")
+    return max(min_k, -(-n // target_cell_size))
+
+
 def semantic_dedup(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
     pair_blocks: int = 8,
+    target_cell_size: int = 32,
+    min_k: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -753,12 +772,26 @@ def semantic_dedup(
     Join parallelism equals the number of distinct clusters — in
     production SemDeDup runs with k ≈ √n (the paper uses 10^5 clusters
     on LAION), so tasks are plentiful and each cluster's quadratic is
-    tiny; the k=4 of the driver fixture (pinned by the unrolled-Lloyd
-    oracle) is a correctness fixture, not the scale configuration.
-    Measured (BENCH/LADDER.md, r4): at 10x corpus, fixed k=4 cost 22x
-    (per-cluster pairs grow (n/k)^2) while k scaled 10x cost ~2x with
-    identical output — hold n/k constant as the corpus grows.
+    tiny.
+
+    ``centroids=None`` (the default) DERIVES the cluster count from the
+    corpus: k = :func:`semdedup_k`(count, target_cell_size, min_k) and
+    trains via :func:`ivf_train` — so the quadratic term stays bounded
+    by target_cell_size whatever the corpus size. Passing explicit
+    ``centroids`` (any (anchor_rank, vec) table) pins the clustering —
+    a correctness-fixture configuration, not the scale one: the r4
+    scale ladder measured fixed k=4 at 24x cost for 10x input (per-
+    cluster pairs grow (n/k)^2) while k scaled 10x cost ~2x with
+    identical output (BENCH/LADDER_ANALYSIS.md) — hold n/k constant as
+    the corpus grows. The one extra count() job the derivation costs is
+    a rounding error next to the train pass it parameterizes.
     """
+    if centroids is None:
+        k = semdedup_k(df.count(), target_cell_size, min_k)
+        centroids = ivf_train(
+            df, k=k, iters=train_iters, id_col=id_col, vec_col=vec_col,
+            round_to=round_to,
+        )
     # snapshot the NARROW (id, cluster) assignment: it feeds both pair-
     # join sides AND the final flag join, and AQE does not reuse self-
     # join exchanges (see dedup.minhash_lsh_candidates) — without this

@@ -181,6 +181,42 @@ def test_semantic_dedup_flags_within_cluster(spark):
     }
 
 
+def test_semdedup_k_scales_with_corpus():
+    # the r4 scale defect: a FIXED k makes total pair work n^2/k. The
+    # derivation must hold n/k constant — k grows linearly with n.
+    assert sim.semdedup_k(1) == 4          # min_k floor
+    assert sim.semdedup_k(128) == 4        # 128/32 = 4
+    assert sim.semdedup_k(595) == 19       # the sf0.01 fixture count
+    assert sim.semdedup_k(5950) == 186     # 10x corpus -> ~10x clusters
+    assert sim.semdedup_k(595_000) == 18594
+    # expected cluster population stays bounded by target_cell_size
+    for n in (640, 10_000, 1_000_000):
+        k = sim.semdedup_k(n)
+        assert n / k <= 32
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sim.semdedup_k(0)
+
+
+def test_semantic_dedup_derived_k_matches_explicit(spark):
+    # centroids=None derives k from the corpus count and trains; must
+    # equal the explicit ivf_train(semdedup_k(n)) composition row-for-row
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 + 0.1 for j in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    derived = sim.semantic_dedup(df, threshold=0.9)
+    k = sim.semdedup_k(40)
+    explicit = sim.semantic_dedup(
+        df, sim.ivf_train(df, k=k, iters=2), threshold=0.9
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
 # ------------------------------------------------------------- classifier
 def test_classifier_weight_table_path(spark):
     import math
