@@ -662,6 +662,36 @@ def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_conv_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED terminal artifact of conversation dedup: candidate
+    pairs are superlinear by design on dup-heavy corpora (41x at 10x
+    input on the templated fixture), so the pipeline terminates on the
+    transitive CLUSTER labeling instead — one row per conversation,
+    large-star/small-star CC over the LSH pairs, singletons included
+    (functions/dedup.conv_dedup_clusters)."""
+    from otel2pv_spark.functions import dedup as dd
+
+    return dd.conv_dedup_clusters(_tr(spark, sf_dir))
+
+
+def q_dedup_conv_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor per conversation cluster: keep the
+    longest conversation (chars_total, exact integer), ties broken by
+    lowest conv_id — cluster argmax via one map-side-combined groupBy
+    MAX(struct), never a per-cluster sort (a viral template's million
+    near-copies stay distributed)."""
+    from otel2pv_spark.functions import dedup as dd
+
+    tr = _tr(spark, sf_dir)
+    clusters = dd.conv_dedup_clusters(tr)
+    qual = tr.groupBy("conv_id").agg(
+        F.sum(F.length("text")).cast("bigint").alias("quality")
+    )
+    return dd.cluster_survivors(
+        clusters, qual, id_col="conv_id", cluster_col="cluster_id"
+    )
+
+
 def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate maintenance: rollup + distinct-user state
     built from the even-event_id half, then the odd half MERGED in
@@ -2475,6 +2505,58 @@ ORACLES["dedup_conversations"] = with_transcripts(
     [_CONV_DOCS_CTE, _SHINGLE_CTE, _LSH_CTES],
 )
 
+# conversation-grain transitive closure over the LSH candidate pairs —
+# the same independent min-label reachability construction as the
+# doc-grain dedup_clusters oracle (entry_queries), over string conv ids
+# (min() on VARCHAR is lexicographic in both engines)
+_CONV_CC_CTES = [
+    """sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+)""",
+    """reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN sym e ON e.u = r.node
+)""",
+    """lab AS (SELECT node AS conv_id, min(comp) AS cluster_id FROM reach GROUP BY node)""",
+]
+
+ORACLES["dedup_conv_clusters"] = with_transcripts(
+    """SELECT l.conv_id, l.cluster_id, sz.cluster_size,
+       l.conv_id = l.cluster_id AS is_canonical
+FROM lab l JOIN sz USING (cluster_id)""",
+    [_CONV_DOCS_CTE, _SHINGLE_CTE, _LSH_CTES]
+    + _CONV_CC_CTES
+    + ["sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)"],
+    recursive=True,
+)
+
+ORACLES["dedup_conv_survivors"] = with_transcripts(
+    """SELECT jq.conv_id, jq.cluster_id, jq.quality,
+       jq.conv_id = bid.keep_id AS keep
+FROM jq JOIN bid USING (cluster_id)""",
+    [_CONV_DOCS_CTE, _SHINGLE_CTE, _LSH_CTES]
+    + _CONV_CC_CTES
+    + [
+        """jq AS (
+  SELECT lab.conv_id, lab.cluster_id, q.quality
+  FROM lab JOIN (
+    SELECT conv_id, CAST(sum(length(text)) AS BIGINT) AS quality
+    FROM transcripts GROUP BY conv_id
+  ) q USING (conv_id)
+)""",
+        """best AS (SELECT cluster_id, max(quality) AS bq FROM jq GROUP BY cluster_id)""",
+        """bid AS (
+  SELECT jq.cluster_id, min(jq.conv_id) AS keep_id
+  FROM jq JOIN best ON jq.cluster_id = best.cluster_id
+                   AND jq.quality = best.bq
+  GROUP BY jq.cluster_id
+)""",
+    ],
+    recursive=True,
+)
+
 # hopping 2h/1h: each event belongs to the windows starting at its
 # truncated hour and one hour before (start <= ts < start + 2h)
 ORACLES["events_rollup_sliding"] = """WITH h AS (
@@ -2712,6 +2794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_features": q_conv_features,
         "prep_sft_examples": q_prep_sft_examples,
         "dedup_conversations": q_dedup_conversations,
+        "dedup_conv_clusters": q_dedup_conv_clusters,
+        "dedup_conv_survivors": q_dedup_conv_survivors,
         "route_counts": q_route_counts,
         "sequence_prev": q_sequence_prev,
         "sequence_prev_salted": q_sequence_prev_salted,

@@ -465,6 +465,55 @@ def test_cluster_survivors_golden(spark):
     assert out2 == {1: (False, None), 2: (True, 7), 5: (True, None), 6: (False, None)}
 
 
+def test_cluster_survivors_string_ids(spark):
+    """Conversation-grain ids are strings: the MIN(struct(-s,-q,id))
+    argmax must break ties by LEXICOGRAPHIC lowest id and never negate
+    the id column (the r4 form negated it, silently nulling strings)."""
+    from otel2pv_spark.functions import dedup as ddp
+
+    clusters = spark.createDataFrame(
+        [("conv-b", "conv-a"), ("conv-a", "conv-a"), ("conv-c", "conv-a"),
+         ("conv-z", "conv-z")],
+        ["conv_id", "cluster_id"],
+    )
+    quality = spark.createDataFrame(
+        [("conv-a", 5), ("conv-b", 9), ("conv-c", 9), ("conv-z", 1)],
+        ["conv_id", "quality"],
+    )
+    out = {
+        r["conv_id"]: r["keep"]
+        for r in ddp.cluster_survivors(
+            clusters, quality, id_col="conv_id"
+        ).collect()
+    }
+    # b and c tie at 9 -> lexicographic lowest (conv-b) wins; singleton keeps
+    assert out == {"conv-a": False, "conv-b": True, "conv-c": False, "conv-z": True}
+
+
+def test_conv_dedup_clusters_golden(spark):
+    """Templated conversations collapse to one cluster (min conv_id
+    label, transitive through shared bands); unique conversations stay
+    singletons. The bounded terminal artifact: one row per conv."""
+    from otel2pv_spark.functions import dedup as ddp
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = []
+    for c in ["conv-a", "conv-b", "conv-c"]:  # identical template trio
+        for i, w in enumerate(base.split()):
+            rows.append((c, i, w + " " + w))
+    for i in range(12):  # a genuinely different conversation
+        rows.append(("conv-x", i, f"unique{i} totally different terms {i}"))
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {
+        r["conv_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in ddp.conv_dedup_clusters(tr).collect()
+    }
+    assert out["conv-a"] == ("conv-a", 3, True)
+    assert out["conv-b"] == ("conv-a", 3, False)
+    assert out["conv-c"] == ("conv-a", 3, False)
+    assert out["conv-x"] == ("conv-x", 1, True)
+
+
 def test_sft_examples_golden(spark):
     """Context is the previous K turns as 'role: text' lines, bounded
     by the frame; opening-turn targets get empty context."""
