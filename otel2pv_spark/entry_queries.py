@@ -538,6 +538,26 @@ def q_ann_ivfadc_topk(spark, sf_dir):
     )
 
 
+def q_ann_index_served(spark, sf_dir):
+    """IVFADC served from a COMMITTED index (plans/ann_index.py): the
+    build trains/encodes and commits centroids, codebooks, codes and
+    vectors partitioned by cell through Catalog+RunManifest; serving
+    partition-prunes to the probed cells and never re-encodes the
+    corpus. Same config as ann_ivfadc_topk, so it shares that oracle —
+    the green row proves the committed-serving path equals the from-
+    scratch computation value-for-value."""
+    import tempfile
+
+    from .plans import ann_index as aidx
+
+    cfg = aidx.AnnIndexConfig(
+        out_root=tempfile.mkdtemp(prefix="annidx-q-"), run_id="q1"
+    )
+    emb = _emb(spark, sf_dir)
+    aidx.run_index(spark, emb, cfg)
+    return aidx.query_index(spark, cfg, emb.filter(F.col("vec_id") < 8))
+
+
 def q_embedding_pca_cov(spark, sf_dir):
     """Distributed half of PCA: the d x d covariance from one pass of
     integer-exact quantized moments (map-side-combined; only
@@ -1085,6 +1105,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_refined": q_ann_pq_refined,
     "ann_ivfadc_topk": q_ann_ivfadc_topk,
+    "ann_index_served": q_ann_index_served,
     "embedding_neardup": q_embedding_neardup,
     "embedding_pca_cov": q_embedding_pca_cov,
     "embedding_jl_project": q_embedding_jl_project,
@@ -3243,6 +3264,10 @@ SELECT qid AS query_id, vec_id AS neighbor_id, du / 1000000.0 AS dist, rank
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY du, vec_id)
         AS INT) AS rank FROM ex)
 WHERE rank <= 5"""
+
+# committed-index serving must equal the from-scratch IVFADC+R
+# computation value-for-value — same oracle by construction
+ORACLES["ann_index_served"] = ORACLES["ann_ivfadc_topk"]
 
 # near-dup runs over the seeded fixture (scaled/shifted copies), not
 # the raw corpus — see emb_fixture.

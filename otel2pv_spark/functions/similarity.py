@@ -505,6 +505,54 @@ def pq_encode(
     return _pq_assign(sv, codebooks, id_col)
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cluster): each query's nprobe nearest IVF cells —
+    the public probe-set entry point for committed-index serving
+    (``plans/ann_index.py`` collects the distinct cells to partition-
+    prune the stored codes/vectors tables). Config-sized: |Q|×nprobe
+    rows."""
+    return _ivf_probes(queries, centroids, nprobe, id_col, vec_col).select(
+        "query_id", "cluster"
+    )
+
+
+def pq_codes_table(
+    df: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ index ARTIFACT: one row per vector with its m-byte code
+    word as an array — (id, codes) or, with ``centroids``, (id, codes,
+    cluster) where cluster is the vector's IVF cell. This is the table
+    a real deployment COMMITS partitioned by ``cluster`` (see
+    ``plans/ann_index.py``): index build is the expensive corpus pass,
+    serving probes only the stored cells. Building the cell column is
+    one equi-join co-locating each vector's codes with its assignment
+    — both sides corpus-sized but NARROW (id, codes, cluster; the raw
+    vectors are in neither input)."""
+    enc = (
+        pq_encode(df, codebooks, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    if centroids is not None:
+        enc = enc.join(ivf_assign(df, centroids, id_col, vec_col), id_col)
+    return enc
+
+
 def pq_adc_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -529,8 +577,11 @@ def pq_adc_topk(
     ``cluster`` instead of the flat crossJoin, cutting the scan from
     |corpus|×|Q| LUT-sum rows to the probed fraction (~nprobe/|C|). At
     10^12 vectors the cell-bounded code scan is the difference between
-    feasible and not; the code+cell table built here is what a real
-    deployment stores partitioned by cell.
+    feasible and not. This entry point (re)builds the code+cell table
+    lazily per run — the committed-index serving path is
+    ``plans/ann_index.py``, which stores :func:`pq_codes_table`
+    partitioned by cell and serves via
+    :func:`pq_adc_topk_from_codes` (row-identical, pytest-pinned).
 
     Parity/scale notes: LUT entries are micro-unit BIGINTs
     (round(d·1e6)) so the per-vector sum is integer-exact and
@@ -539,22 +590,35 @@ def pq_adc_topk(
     (broadcast); the scan is a map-side zip_with over the code arrays;
     top-k uses the same two-level partial/merge shape as cosine_topk,
     so no per-query partition ever holds the whole corpus."""
-    enc = (
-        pq_encode(df, codebooks, id_col, vec_col)
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"],
-            ).alias("codes")
-        )
+    enc = pq_codes_table(df, codebooks, centroids, id_col, vec_col)
+    return pq_adc_topk_from_codes(
+        enc, queries, codebooks, k, id_col, vec_col, centroids, nprobe
     )
-    if centroids is not None:
-        # index build: one equi-join co-locating each vector's codes
-        # with its cell (both sides corpus-sized but NARROW — id,
-        # codes, cluster; the raw vectors are not in either input)
-        enc = enc.join(ivf_assign(df, centroids, id_col, vec_col), id_col)
 
+
+def pq_adc_topk_from_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ADC top-k SERVED from an existing codes table (the output shape
+    of :func:`pq_codes_table`, stored or lazy) — the corpus raw vectors
+    are never touched: queries bring their own LUTs, the scan reads
+    (id, codes[, cluster]) only. With ``centroids``, ``codes`` must
+    carry the ``cluster`` column (the committed layout) and each query
+    scores only its nprobe probed cells."""
+    enc = codes
+    if centroids is not None and "cluster" not in enc.columns:
+        raise ValueError(
+            "pq_adc_topk_from_codes: centroids given but the codes table"
+            " has no 'cluster' column — build it with"
+            " pq_codes_table(df, codebooks, centroids)"
+        )
     mrow = codebooks.agg(
         F.max("sub").alias("ms"), F.max(F.size("subvec")).alias("d")
     ).head()
@@ -659,6 +723,50 @@ def pq_refine_topk(
         df, queries, codebooks, k=refine_r, id_col=id_col, vec_col=vec_col,
         centroids=centroids, nprobe=nprobe,
     )
+    return _exact_refine(short, df, queries, k, id_col, vec_col)
+
+
+def pq_refine_topk_from_index(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    refine_r: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVFADC+R SERVED from stored index tables: the ADC shortlist
+    comes from ``codes`` (:func:`pq_codes_table` layout — committed
+    partitioned by cell, see ``plans/ann_index.py``) and the exact
+    re-rank fetches true vectors from ``vectors`` (id, vec) — the raw
+    corpus is read only for the |Q|·R shortlist rows. Row-identical to
+    :func:`pq_refine_topk` over the same corpus (pytest-pinned); the
+    difference is WHERE the code table comes from — serving never
+    re-trains or re-encodes."""
+    if refine_r < k:
+        raise ValueError(f"refine_r ({refine_r}) must be >= k ({k})")
+    short = pq_adc_topk_from_codes(
+        codes, queries, codebooks, k=refine_r, id_col=id_col,
+        vec_col=vec_col, centroids=centroids, nprobe=nprobe,
+    )
+    return _exact_refine(short, vectors, queries, k, id_col, vec_col)
+
+
+def _exact_refine(
+    short: DataFrame,
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact squared-L2 re-rank of a (query_id, neighbor_id) shortlist
+    against the true vectors in ``df`` — shared by the lazy
+    (:func:`pq_refine_topk`) and committed-index
+    (:func:`pq_refine_topk_from_index`) paths."""
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double.alias("_qv")

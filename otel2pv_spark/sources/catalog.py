@@ -81,9 +81,17 @@ def _commit_empty_schema_file(df: DataFrame, d: str) -> None:
 # `where` specs are conjunctive lists of (column, op, value) triples —
 # a deliberately tiny predicate language: exactly the shapes manifest
 # [min, max] stats can prune on (Iceberg's InclusiveMetricsEvaluator
-# covers the same comparisons). Anything richer belongs in a normal
-# .filter() AFTER the read.
-_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "between")
+# covers the same comparisons). `in` takes a list/tuple/set of values
+# (an entry survives if ANY value can fall in its [min, max] — the
+# committed-ANN-index probed-cell read shape). Anything richer belongs
+# in a normal .filter() AFTER the read.
+_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "between", "in")
+
+# float predicates cannot prune against integer bounds at or beyond
+# 2^53: Spark's filter compares after casting the bigint column to
+# double (lossy there), while pruning would compare Python-exact —
+# read(where=) could lose rows vs read().filter() (advice finding)
+_FLOAT_EXACT_INT = 2**53
 
 
 def _field_stat_kind(dt) -> str | None:
@@ -109,13 +117,15 @@ def _field_stat_kind(dt) -> str | None:
     return None
 
 
-def _lower_stat_value(v, kind: str):
+def _lower_stat_value(v, kind: str, direction: str | None = None):
     """Lower a COMMITTED stat value to its JSON form for ``kind``.
     'ts' values arrive already lowered (unix_micros in the agg — exact
     integer epoch micros straight from the JVM, timezone-free; a naive
     Python datetime.timestamp() would be host-TZ-dependent AND
     float-lossy, review finding). 'tsntz' is a wall-time without zone:
-    fixed UTC-interpretation integer micros. 'date' → ordinal."""
+    fixed UTC-interpretation integer micros. 'date' → ordinal.
+    ``direction`` ('min'/'max') widens lossy decimal→float conversions
+    conservatively outward."""
     import calendar
     import decimal
 
@@ -124,7 +134,20 @@ def _lower_stat_value(v, kind: str):
     if kind == "date":
         return v.toordinal()
     if kind == "num" and isinstance(v, decimal.Decimal):
-        return float(v)
+        # float() is lossy for high-precision decimals: a bound rounded
+        # TOWARD the predicate could prune an entry whose rows satisfy
+        # the exact decimal comparison Spark's filter performs (advice
+        # finding). Widen inexact conversions one ulp OUTWARD per
+        # ``direction`` ('min' → down, 'max' → up) — inclusive bounds
+        # may only ever grow.
+        f = float(v)
+        if direction and decimal.Decimal(f) != v:
+            import math
+
+            f = math.nextafter(
+                f, -math.inf if direction == "min" else math.inf
+            )
+        return f
     return v
 
 
@@ -166,7 +189,12 @@ def _lower_pred_value(val, kind: str | None, session_tz: str | None = None):
     if isinstance(val, datetime.date):
         return val.toordinal() if kind == "date" else None
     if isinstance(val, decimal.Decimal):
-        return float(val) if kind == "num" else None
+        if kind != "num":
+            return None
+        f = float(val)
+        # an INEXACT decimal literal could round across a stat bound in
+        # either direction — cannot prune safely, fail open
+        return f if decimal.Decimal(f) == val else None
     if isinstance(val, (int, float)):
         if kind != "num":
             return None
@@ -190,6 +218,13 @@ def _where_conjuncts(where) -> list[tuple]:
             )
         if c[1] == "between" and len(c[2]) != 2:
             raise ValueError(f"between needs a (lo, hi) pair, got {c[2]!r}")
+        if c[1] == "in" and (
+            isinstance(c[2], (str, bytes))
+            or not isinstance(c[2], (list, tuple, set, frozenset))
+        ):
+            raise ValueError(
+                f"in needs a list/tuple/set of values, got {c[2]!r}"
+            )
     return conj
 
 
@@ -210,6 +245,10 @@ def _where_column(conjuncts: list[tuple]):
             cond = cond & (c > val)
         elif op == ">=":
             cond = cond & (c >= val)
+        elif op == "in":
+            vals = sorted(val) if isinstance(val, (set, frozenset)) else list(val)
+            # empty list matches nothing (c.isin() with no args errors)
+            cond = cond & (c.isin(vals) if vals else F.lit(False))
         else:
             cond = cond & c.between(val[0], val[1])
     return cond
@@ -262,15 +301,37 @@ def _entry_may_match(
     # max() returns NaN if any value is NaN, and json round-trips it)
     if any(isinstance(b, float) and b != b for b in (mn, mx)):
         return True
+
+    def _lossy(v) -> bool:
+        # float predicate vs huge-integer bounds: Spark's filter casts
+        # the bigint COLUMN to double (lossy at >= 2^53) while this
+        # check compares Python-exact — pruning here could drop entries
+        # whose rows pass the double-cast filter (advice finding). Keep.
+        return isinstance(v, float) and any(
+            isinstance(b, int) and not isinstance(b, bool)
+            and abs(b) >= _FLOAT_EXACT_INT
+            for b in (mn, mx)
+        )
+
     try:
         if op == "between":
             lo = _lower_pred_value(val[0], kind, session_tz)
             hi = _lower_pred_value(val[1], kind, session_tz)
-            if lo is None or hi is None:
+            if lo is None or hi is None or _lossy(lo) or _lossy(hi):
                 return True
             return mx >= lo and mn <= hi
+        if op == "in":
+            lowered = []
+            for item in val:
+                v = _lower_pred_value(item, kind, session_tz)
+                if v is None or _lossy(v):
+                    return True  # any unprunable member keeps the entry
+                lowered.append(v)
+            # empty list: the filter matches nothing — prune (the
+            # surviving-entry floor in _prune_entries keeps the schema)
+            return any(mn <= v <= mx for v in lowered)
         v = _lower_pred_value(val, kind, session_tz)
-        if v is None:
+        if v is None or _lossy(v):
             return True
         if op in ("=", "=="):
             return mn <= v <= mx
@@ -504,6 +565,16 @@ class _CatalogBase:
                 "pass merge_schema=True to evolve"
             )
         return evolves, cur_schema
+
+    def count_rows(
+        self, table: str, where=None, version: int | None = None
+    ) -> int:
+        """COUNT(*) of a (possibly predicated) read. Strategy-generic
+        fallback: run the scan and count. The manifest strategy
+        short-circuits the unpredicated case from committed per-entry
+        row counts — zero Spark jobs (Iceberg answers SELECT COUNT(*)
+        from manifest record counts the same way)."""
+        return self.read(table, version=version, where=where).count()
 
     # ------------------------------------------------- strategy hooks
     def exists(self, table: str) -> bool:  # pragma: no cover - abstract
@@ -1320,10 +1391,11 @@ class ManifestCatalog(_CatalogBase):
 
     @staticmethod
     def _stat_aggs(cols: list[tuple[str, str]]) -> list:
-        """min/max agg expressions per column; TIMESTAMP lowers to
-        exact integer epoch micros JVM-side (unix_micros) — timezone-
-        free, no float round-trip."""
-        aggs = []
+        """min/max agg expressions per column plus the entry row count
+        (count-star short-circuit fuel — same one pass, no extra job);
+        TIMESTAMP lowers to exact integer epoch micros JVM-side
+        (unix_micros) — timezone-free, no float round-trip."""
+        aggs = [F.count(F.lit(1)).alias("_stat_rows")]
         for c, kind in cols:
             mn, mx = F.min(c), F.max(c)
             if kind == "ts":
@@ -1341,8 +1413,8 @@ class ManifestCatalog(_CatalogBase):
             if mn is None or mx is None:
                 continue
             if kind != "ts":  # ts already lowered JVM-side
-                mn = _lower_stat_value(mn, kind)
-                mx = _lower_stat_value(mx, kind)
+                mn = _lower_stat_value(mn, kind, "min")
+                mx = _lower_stat_value(mx, kind, "max")
             if any(isinstance(b, float) and b != b for b in (mn, mx)):
                 continue  # NaN bound: record nothing (Spark max() is
                 #           NaN if ANY value is — a poisoned bound
@@ -1350,19 +1422,20 @@ class ManifestCatalog(_CatalogBase):
             stats[c] = [mn, mx, kind]
         return stats or None
 
-    def _entry_stats(self, path: str) -> dict | None:
-        """[min, max, kind] per configured column for one staged entry
-        — ONE column-pruned, map-side-combined agg over just that
-        entry's files at commit time (an object-store deployment would
-        harvest the same numbers from the parquet footers it just
-        wrote)."""
+    def _entry_stats(self, path: str) -> tuple[dict | None, int | None]:
+        """([min, max, kind] per configured column, row count) for one
+        staged entry — ONE column-pruned, map-side-combined agg over
+        just that entry's files at commit time (an object-store
+        deployment would harvest the same numbers from the parquet
+        footers it just wrote)."""
         if not self.stats_columns:
-            return None
+            return None, None
         df = self.spark.read.parquet(self._abs(path))
         cols = self._stat_cols(df.schema)
         if not cols:
-            return None
-        return self._stats_from_row(df.agg(*self._stat_aggs(cols)).head(), cols)
+            return None, None
+        row = df.agg(*self._stat_aggs(cols)).head()
+        return self._stats_from_row(row, cols), row["_stat_rows"]
 
     def _leaf_stats(
         self, base: str, leaves: list[str]
@@ -1399,10 +1472,22 @@ class ManifestCatalog(_CatalogBase):
                     st[c] = [v, v, k]
             return st
 
-        out: dict[str, dict | None] = {}
+        out: dict[str, tuple[dict | None, int | None]] = {}
         if not cols:
+            # partition-only stats need zero data jobs, but the row
+            # count is one zero-data-column grouped count (answered
+            # from parquet row-group metadata by the scan)
+            counts: dict[str, int] = {}
+            for row in (
+                df.groupBy(*part_cols)
+                .agg(F.count(F.lit(1)).alias("_stat_rows"))
+                .collect()
+            ):
+                counts["/".join(f"{c}={row[c]}" for c in part_cols)] = row[
+                    "_stat_rows"
+                ]
             for leaf in leaves:
-                out[leaf] = leaf_part_stats(leaf) or None
+                out[leaf] = (leaf_part_stats(leaf) or None, counts.get(leaf))
             return out
         rows = df.groupBy(*part_cols).agg(*self._stat_aggs(cols)).collect()
         for row in rows:
@@ -1411,7 +1496,7 @@ class ManifestCatalog(_CatalogBase):
                 continue  # didn't round-trip; caller falls back
             st = dict(self._stats_from_row(row, cols) or {})
             st.update(leaf_part_stats(leaf))
-            out[leaf] = st or None
+            out[leaf] = (st or None, row["_stat_rows"])
         return out
 
     def _attach_stats(self, entries: list[dict]) -> list[dict]:
@@ -1442,11 +1527,16 @@ class ManifestCatalog(_CatalogBase):
             for i in idxs:
                 leaf = out[i].get("leaf")
                 if leaf in grouped:
-                    st = grouped[leaf]
+                    st, nrows = grouped[leaf]
                 else:
-                    st = self._entry_stats(out[i]["path"])
+                    st, nrows = self._entry_stats(out[i]["path"])
+                extra = {}
                 if st:
-                    out[i] = {**out[i], "stats": st}
+                    extra["stats"] = st
+                if nrows is not None:
+                    extra["rows"] = nrows
+                if extra:
+                    out[i] = {**out[i], **extra}
         return out
 
     def read(
@@ -1528,6 +1618,20 @@ class ManifestCatalog(_CatalogBase):
             )
         ]
         return kept or entries[:1]
+
+    def count_rows(
+        self, table: str, where=None, version: int | None = None
+    ) -> int:
+        """COUNT(*) short-circuit: an unpredicated count is the sum of
+        the committed per-entry row counts — pure metadata, zero Spark
+        jobs. Falls back to the scan when a predicate is given or any
+        entry predates row-count recording (fail open, never guess)."""
+        if where is None:
+            man = self._load_manifest(table, version)
+            rows = [e.get("rows") for e in man["entries"]]
+            if rows and all(r is not None for r in rows):
+                return sum(rows)
+        return super().count_rows(table, where, version)
 
     def write(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None

@@ -980,4 +980,108 @@ class TestManifestStatsPruning:
             cat.read("t", where=("id", "~", 3))
         with pytest.raises(ValueError, match="between"):
             cat.read("t", where=("id", "between", (1, 2, 3)))
+        with pytest.raises(ValueError, match="in needs"):
+            cat.read("t", where=("tag", "in", "abc"))  # string is not a list
+
+    def test_pruned_read_in_predicate(self, spark, tmp_path):
+        """IN over disjoint batches prunes to the touched entries only
+        — the committed-ANN-index probed-cell read shape — and returns
+        exactly read().filter(isin)'s rows. An empty list matches
+        nothing (schema-only scan)."""
+        cat = self._cat(spark, tmp_path, "incat")
+        cat.write(self._batch(spark, 0, 100, "a"), "t")
+        cat.append(self._batch(spark, 100, 200, "b"), "t")
+        cat.append(self._batch(spark, 200, 300, "c"), "t")
+        pruned = cat.read("t", where=("id", "in", [5, 250]))
+        assert set(pruned.inputFiles()) < set(cat.read("t").inputFiles())
+        got = sorted(r.id for r in pruned.collect())
+        assert got == [5, 250]
+        # string-typed IN on the tag column prunes to one batch
+        one = cat.read("t", where=("tag", "in", ["b"]))
+        assert set(one.inputFiles()) < set(cat.read("t").inputFiles())
+        assert one.count() == 100
+        assert cat.read("t", where=("id", "in", [])).count() == 0
+        # a set also works (order-free) and the result is identical
+        assert cat.read("t", where=("id", "in", {250, 5})).count() == 2
+
+    def test_pruned_read_and_of_ranges(self, spark, tmp_path):
+        """AND of two range conjuncts on the same column prunes to the
+        one entry whose [min, max] intersects the window."""
+        cat = self._cat(spark, tmp_path, "rngcat")
+        cat.write(self._batch(spark, 0, 100, "a"), "t")
+        cat.append(self._batch(spark, 100, 200, "b"), "t")
+        cat.append(self._batch(spark, 200, 300, "c"), "t")
+        pruned = cat.read("t", where=[("id", ">=", 120), ("id", "<=", 180)])
+        assert set(pruned.inputFiles()) < set(cat.read("t").inputFiles())
+        assert pruned.count() == 61
+        # window straddling two batches keeps both, drops the third
+        two = cat.read("t", where=[("id", ">", 150), ("id", "<", 250)])
+        full = set(cat.read("t").inputFiles())
+        assert len(set(two.inputFiles())) < len(full)
+        assert two.count() == 99
+
+    def test_count_rows_short_circuit(self, spark, tmp_path):
+        """Unpredicated count comes from committed per-entry row counts
+        (metadata only); predicated counts fall back to the scan; both
+        equal read().count()."""
+        cat = self._cat(spark, tmp_path, "cnt")
+        cat.write(self._batch(spark, 0, 100, "a"), "t")
+        cat.append(self._batch(spark, 100, 250, "b"), "t")
+        man = cat._load_manifest("t")
+        assert [e.get("rows") for e in man["entries"]] == [100, 150]
+        assert cat.count_rows("t") == 250
+        assert cat.count_rows("t", where=("id", "<", 120)) == 120
+        # an entry without a recorded count (stats not configured)
+        # falls back to the scan instead of guessing
+        legacy = Catalog(spark, str(tmp_path / "cnt_legacy"), strategy="manifest")
+        legacy.write(self._batch(spark, 0, 30, "a"), "t")
+        man2 = legacy._load_manifest("t")
+        assert all("rows" not in e for e in man2["entries"])
+        assert legacy.count_rows("t") == 30  # scan fallback
+
+    def test_float_predicate_vs_huge_int_bounds_fails_open(self):
+        """Advice finding: Spark's filter compares bigint columns to a
+        float literal after a double cast (lossy at >= 2^53), so exact
+        Python pruning must keep such entries or read(where=) loses
+        rows vs read().filter()."""
+        from otel2pv_spark.sources.catalog import _entry_may_match
+
+        stats = {"id": [2**60 + 1, 2**60 + 1, "num"]}
+        # double(2^60) == double(2^60+1): the Spark filter would MATCH,
+        # so pruning must keep the entry despite exact inequality
+        assert _entry_may_match(stats, "id", "=", float(2**60))
+        assert _entry_may_match(stats, "id", "in", [float(2**60)])
+        assert _entry_may_match(
+            stats, "id", "between", (float(2**60), float(2**60))
+        )
+        # small-integer bounds still prune float predicates exactly
+        small = {"id": [10, 20, "num"]}
+        assert not _entry_may_match(small, "id", "=", 5.0)
+        assert _entry_may_match(small, "id", "=", 15.0)
+
+    def test_decimal_stat_bounds_widen_conservatively(self):
+        """Advice finding: decimal→float stat lowering is lossy; an
+        inexact conversion must widen OUTWARD (min down, max up) so the
+        inclusive bounds never exclude a row the exact comparison
+        keeps. Inexact decimal PREDICATES cannot prune at all."""
+        import decimal
+        import math
+
+        from otel2pv_spark.sources.catalog import (
+            _lower_pred_value,
+            _lower_stat_value,
+        )
+
+        exact = decimal.Decimal("2.5")
+        assert _lower_stat_value(exact, "num", "min") == 2.5
+        assert _lower_stat_value(exact, "num", "max") == 2.5
+        inexact = decimal.Decimal("0.1000000000000000000000001")
+        lo = _lower_stat_value(inexact, "num", "min")
+        hi = _lower_stat_value(inexact, "num", "max")
+        assert lo < hi
+        assert decimal.Decimal(lo) < inexact < decimal.Decimal(hi)
+        assert hi <= math.nextafter(math.nextafter(lo, math.inf), math.inf)
+        # predicate side: inexact decimal fails open (None = keep)
+        assert _lower_pred_value(inexact, "num") is None
+        assert _lower_pred_value(exact, "num") == 2.5
 
