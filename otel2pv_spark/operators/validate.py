@@ -192,28 +192,76 @@ def _schema_checks(schema: dict, path: str) -> list:
         # numbers compare by value (1 == 1.0, JSON-Schema numeric
         # equality). No applicability guard: a node matching none of
         # the values fails, whatever its type.
-        def _enum_value_pred(n, v):
-            if isinstance(v, bool):
-                return (F.schema_of_variant(n) == "BOOLEAN") & (
-                    n.cast("string") == ("true" if v else "false")
-                )
-            if v is None:
-                return F.schema_of_variant(n) == "VOID"
-            if isinstance(v, (int, float)):
-                return _is_num(n) & (n.cast("double") == float(v))
-            return _is_str(n) & (n.cast("string") == str(v))
-
+        #
+        # Values are BUCKETED BY TYPE FAMILY at compile time — one
+        # schema_of_variant comparison + one isin() per family instead
+        # of a full typed predicate per enum value (the r4 per-value
+        # form evaluated schema_of_variant |enum| times per node —
+        # bench-visible on wide enums). Numeric equality is EXACT:
+        # BIGINT instances compare as int64 against integral enum
+        # values (the double path wrongly equated distinct ints beyond
+        # 2^53 — advice finding), and DOUBLE/DECIMAL instances compare
+        # as double only against exactly-double-representable values.
         vals = list(schema["enum"])
-        # seed False: an empty enum rejects every instance (JSON-Schema
-        # semantics) instead of crashing reduce() at compile time
-        emit(
-            f"{path}: enum",
-            lambda n, _vs=vals: functools.reduce(
-                lambda a, b: a | b,
-                [_enum_value_pred(n, v) for v in _vs],
-                F.lit(False),
-            ),
-        )
+        for v in vals:
+            if isinstance(v, (list, dict)):
+                # fail loudly at compile time: the string branch would
+                # silently reject every instance, including exact
+                # matches (advice finding)
+                raise ValueError(
+                    f"{path}: enum value {v!r}: array/object enum"
+                    " values are not supported"
+                )
+        strs = [str(v) for v in vals if isinstance(v, str)]
+        bools = [
+            "true" if v else "false" for v in vals if isinstance(v, bool)
+        ]
+        has_null = any(v is None for v in vals)
+        ints: list[int] = []  # int64-exact match set for BIGINT nodes
+        dbls: list[float] = []  # double-exact match set for DOUBLE/DECIMAL
+        for v in vals:
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            vi = (
+                int(v)
+                if isinstance(v, float) and v.is_integer()
+                else (v if isinstance(v, int) else None)
+            )
+            if vi is not None and -(2**63) <= vi < 2**63:
+                ints.append(vi)
+            try:
+                fv = float(v)
+                exact = fv == v if isinstance(v, float) else int(fv) == v
+            except OverflowError:
+                exact = False
+            if exact:
+                dbls.append(fv)
+
+        def _enum_pred(
+            n, _s=strs, _b=bools, _n=has_null, _i=ints, _d=dbls
+        ):
+            t = F.schema_of_variant(n)
+            branches = []
+            if _s:
+                branches.append((t == "STRING") & n.cast("string").isin(_s))
+            if _b:
+                branches.append((t == "BOOLEAN") & n.cast("string").isin(_b))
+            if _n:
+                branches.append(t == "VOID")
+            if _i:
+                branches.append((t == "BIGINT") & n.cast("long").isin(_i))
+            if _d:
+                branches.append(
+                    ((t == "DOUBLE") | t.startswith("DECIMAL"))
+                    & n.cast("double").isin(_d)
+                )
+            # seed False: an empty enum rejects every instance
+            # (JSON-Schema semantics) instead of crashing reduce()
+            return functools.reduce(
+                lambda a, b: a | b, branches, F.lit(False)
+            )
+
+        emit(f"{path}: enum", _enum_pred)
     if "pattern" in schema:
         # UNANCHORED partial match — JSON-Schema spec semantics, and
         # what the reference's santhosh-tekuri/jsonschema v5 validator

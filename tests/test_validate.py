@@ -260,6 +260,50 @@ class TestReferenceValidatorSemantics:
         got = {r.id: r.schema_error for r in out.collect()}
         assert got == {1: None, 2: None, 3: "$.n: enum", 4: "$.n: enum"}
 
+    def test_large_int_enum_exact(self, spark):
+        """Advice finding: int64 enum equality must be EXACT beyond
+        2^53 — the double path wrongly equated 9007199254740992 and
+        ...993. BIGINT instances now compare as int64."""
+        big = 2**53  # 9007199254740992
+        schema = {"properties": {"n": {"enum": [big]}}}
+        df = spark.createDataFrame(
+            [(1, '{"n": %d}' % big), (2, '{"n": %d}' % (big + 1)),
+             (3, '{"n": %d}' % (big - 1))],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: None, 2: "$.n: enum", 3: "$.n: enum"}
+
+    def test_non_integral_double_enum_never_matches_bigint(self, spark):
+        """2.5 matches the JSON number 2.5 but no integer instance;
+        and a DOUBLE instance 2.0 still matches the int enum value 2."""
+        schema = {"properties": {"n": {"enum": [2.5, 2]}}}
+        df = spark.createDataFrame(
+            [(1, '{"n": 2.5}'), (2, '{"n": 2}'), (3, '{"n": 2.0}'),
+             (4, '{"n": 3}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: None, 2: None, 3: None, 4: "$.n: enum"}
+
+    def test_container_enum_value_raises_at_compile(self, spark):
+        """Advice finding: array/object enum values fell into the
+        string branch and silently rejected everything — now a loud
+        compile-time error (the repo's fail-loudly contract)."""
+        import pytest
+
+        df = spark.createDataFrame([(1, '{"x": [1]}')], "id int, payload string")
+        with pytest.raises(ValueError, match="enum value"):
+            validate_op.validate_json(
+                df, "payload", {"properties": {"x": {"enum": [[1, 2]]}}}
+            )
+        with pytest.raises(ValueError, match="enum value"):
+            validate_op.validate_json(
+                df, "payload", {"properties": {"x": {"enum": [{"a": 1}]}}}
+            )
+
     def test_flat_rule_pattern_unanchored(self, spark):
         rules = [validate_op.ColumnRule("event_id", pattern="job-[0-9]+")]
         df = spark.createDataFrame(
