@@ -653,11 +653,31 @@ class _CatalogBase:
         restores the layout contract, so downstream joins/groupBys on
         the bucket key stay shuffle-free across restarts (Iceberg's
         bucket transform makes this durable without the re-attach).
-        No-op if the table is already registered."""
+        No-op if the table is already registered AT THIS LOCATION; a
+        stale registration left by another Catalog root in the same
+        session (the ident is derived from the table name alone) is
+        dropped and re-created — silently reading another root's state
+        table would be state corruption, not a layout detail."""
         ident = "o2pv_" + "".join(
             ch if ch.isalnum() else "_" for ch in table
         )
         path = self.path(table + ".bucketed")
+        if self.spark.catalog.tableExists(ident):
+            loc = next(
+                (
+                    r["data_type"]
+                    for r in self.spark.sql(
+                        f"DESCRIBE FORMATTED {ident}"
+                    ).collect()
+                    if r["col_name"] == "Location"
+                ),
+                None,
+            )
+            if loc is not None and loc.removeprefix("file:") == os.path.abspath(
+                path
+            ):
+                return ident
+            self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
         schema = self.spark.read.format(self.fmt).load(path).schema
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
@@ -673,6 +693,47 @@ class _CatalogBase:
             f"LOCATION '{path}'"
         )
         return ident
+
+    def append_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: str,
+        n_buckets: int,
+        sort_by: tuple[str, ...] | None = None,
+    ) -> str:
+        """Append a batch to a ``write_bucketed`` table, preserving the
+        bucket layout (each new file lands in its hash bucket, sorted
+        within itself) — the accumulating-state shape: a keyed stream's
+        ``turns`` accumulator appends each trigger's novel rows and
+        every later equi-join / groupBy on the bucket key stays
+        exchange-free (per-bucket file sets merge-sort at read, no
+        re-shuffle). The spec MUST match the existing table's; Spark
+        rejects a mismatch loudly. Commit protocol is the Spark file
+        committer's (task-temp + job commit) rather than the Catalog
+        swap — an interrupted append can surface a PREFIX of the batch,
+        so appenders must be key-idempotent (the keyed stream's
+        anti-join re-derives exactly the missing keys on replay).
+        Iceberg analog: a fanout append into a bucket(N, key)
+        partition spec."""
+        ident = "o2pv_" + "".join(
+            ch if ch.isalnum() else "_" for ch in table
+        )
+        w = (
+            df.write.format(self.fmt)
+            .mode("append")
+            .bucketBy(int(n_buckets), bucket_by)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.saveAsTable(ident)
+        return ident
+
+    def bucketed_exists(self, table: str) -> bool:
+        """True when the bucketed layout's data directory exists (the
+        session-catalog registration may still need ``register_bucketed``
+        after a restart)."""
+        return os.path.isdir(self.path(table + ".bucketed"))
 
     def read_bucketed(self, table: str) -> DataFrame:
         """Read a table written by ``write_bucketed`` WITH its bucket

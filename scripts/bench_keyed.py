@@ -102,6 +102,27 @@ def main() -> None:
     assert seq_rows == bcat.read("sequenced_events").count(), "twin diverged"
     state_after = [sum(slice_rows[: i + 1]) for i in range(len(slice_rows))]
 
+    # bucketed-state mode (r4 verdict next #5): same drain, turns
+    # accumulator hash-bucketed on conv_id so the recompute runs
+    # exchange-free over the stored layout
+    bk_out = os.path.join(work, "stream_bk_out")
+    t0 = time.time()
+    qb = run_stream_pipeline_keyed(
+        read_transcripts_stream(spark, src, max_files_per_trigger=1),
+        datagen.tool_meta(spark), datagen.role_meta(spark),
+        bk_out, os.path.join(work, "ckpt_bk"), available_now=True,
+        bucket_state=32,
+    )
+    drained = qb.awaitTermination(3600)
+    bk_wall = time.time() - t0
+    if not drained:
+        qb.stop()
+        raise RuntimeError("bucketed keyed stream did not drain within 1h")
+    bkcat = Catalog(spark, bk_out)
+    assert (
+        bkcat.read("sequenced_events").count() == seq_rows
+    ), "bucketed twin diverged"
+
     res = {
         "sf_dir": SF_DIR,
         "rows": n_rows,
@@ -111,6 +132,9 @@ def main() -> None:
         "stream_wall_sec": round(stream_wall, 2),
         "stream_turns_per_sec": round(n_rows / stream_wall, 1),
         "stream_vs_batch": round(stream_wall / batch_wall, 2),
+        "stream_bucketed_wall_sec": round(bk_wall, 2),
+        "stream_bucketed_turns_per_sec": round(n_rows / bk_wall, 1),
+        "bucketed_vs_plain": round(bk_wall / stream_wall, 2),
         "turns_state_rows_final": turns_rows,
         "turns_state_rows_after_batch": state_after,
         "sequenced_rows": seq_rows,
@@ -132,6 +156,19 @@ session, batch run first (doubles as codegen/JIT warmup).
 |---|---|---|
 | batch `run()` (one shot) | {batch_wall:.2f} | {n_rows / batch_wall:,.0f} |
 | keyed stream ({len(SLICES)} batches) | {stream_wall:.2f} | {n_rows / stream_wall:,.0f} |
+| keyed stream, bucketed state (bucket_state=32) | {bk_wall:.2f} | {n_rows / bk_wall:,.0f} |
+
+**Bucketed state** (`bucket_state=`): the `turns` accumulator is a
+conv_id-hash-bucketed table (appended per trigger, sorted by
+(conv_id, turn_idx)), so the per-batch recompute's conv_id
+joins/groupBys/windows read the stored layout exchange-free (zero-
+Exchange plan asserted in test_streaming) — the conv_id shuffle is
+paid once per trigger's NOVEL rows, never again over the whole
+accumulated history. Bucketed/plain wall ratio this run:
+**{bk_wall / stream_wall:.2f}x** (it ran second, so it gets the warmer
+JIT; the structural win grows with accumulated-history size — at this
+corpus the history is small, so expect flat-to-improved, not
+dramatic).
 
 Streaming paid **{stream_wall / batch_wall:.1f}x** the batch wall here
 — the expected price of this worst case: every batch re-derives every
