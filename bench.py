@@ -236,6 +236,7 @@ def main_bench() -> None:
 LADDER_QUERIES = [
     "embedding_semdedup",
     "dedup_conversations",
+    "dedup_conv_clusters",
     "pipeline_tree_counts",
     "ann_pq_refined",
     "ann_pq_topk",
@@ -425,6 +426,48 @@ def main_e2e_once() -> None:
     spark.stop()
 
 
+def main_curation_once() -> None:
+    """Subprocess worker for --curation-scaling: one curation-DAG e2e
+    run (scrub → curate → LSH+CC near-dup clustering → decontaminate →
+    pack → committed audit/clean/stats tables) over the generated-sf1
+    documents at $SPARK_GRAFT_CPUS. Same protocol as main_e2e_once:
+    warmup run first, min of 2 timed runs, outputs deleted per rep."""
+    from otel2pv_spark.entry_queries import eval_fixture
+    from otel2pv_spark.plans import curation
+    from otel2pv_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-cur-{os.environ.get('SPARK_GRAFT_CPUS')}"
+    )
+    _gen_sf1(spark, "/root/testdata/sf0.1", LADDER_SF1_DIR)
+    docs = spark.read.parquet(f"{LADDER_SF1_DIR}/documents.parquet")
+    eval_df = eval_fixture(spark, LADDER_SF1_DIR)
+    n_docs = docs.count()
+
+    def once(run_id: str) -> dict:
+        root = f"/tmp/otel2pv_curscale_{os.getpid()}_{run_id}"
+        res = curation.run_curation(
+            spark, docs, eval_df,
+            curation.CurationConfig(out_root=root, run_id=run_id),
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        return res
+
+    once("warm")
+    best = None
+    for rep in range(2):
+        res = once(f"r{rep}")
+        if best is None or res["wall_sec"] < best["wall_sec"]:
+            best = res
+    print("CUR_RESULT " + json.dumps({
+        "docs": n_docs,
+        "kept": best["n_kept"],
+        "wall_sec": best["wall_sec"],
+        "docs_per_sec": n_docs / best["wall_sec"],
+    }))
+    spark.stop()
+
+
 def main_probe_once() -> None:
     """Subprocess worker for --scaling: the pure-CPU guest-ceiling
     probe at $SPARK_GRAFT_CPUS — 24B-row xxhash64 max, zero shuffle,
@@ -547,7 +590,9 @@ efficiency is below target but the relative efficiency is ~1.0, the
 gap is the host's, not the plan's.
 
 Per-query scale-ladder exponents (sf0.01 / 0.1 / generated sf1):
-see `BENCH/LADDER.md` (`python bench.py --ladder`).
+see `BENCH/LADDER.md` (`python bench.py --ladder`). Curation-DAG
+(LLM-pipeline flagship) N→4N scaling under the same protocol:
+see `BENCH/CURATION.md` (`python bench.py --curation-scaling`).
 """)
     print(json.dumps({
         "levels": levels,
@@ -557,11 +602,80 @@ see `BENCH/LADDER.md` (`python bench.py --ladder`).
     }))
 
 
+def main_curation_scaling() -> None:
+    """N→4N scaling evidence for the CURATION DAG (the LLM-pipeline
+    flagship carries its own scaling number instead of inheriting the
+    transcript pipeline's): same interleaved-subprocess min-of-rounds
+    protocol as --scaling, over the generated-sf1 documents corpus.
+    Writes BENCH/CURATION.md. No gate — evidence."""
+    def _sub(cpus: int) -> dict:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--curation-once"],
+            env=env, capture_output=True, text=True, timeout=7200,
+        )
+        line = next(
+            (ln for ln in p.stdout.splitlines()
+             if ln.startswith("CUR_RESULT ")), None)
+        if line is None:
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+            raise RuntimeError(f"curation run at local[{cpus}] failed")
+        return json.loads(line[len("CUR_RESULT "):])
+
+    levels: dict[int, dict] = {}
+    for _ in range(SCALE_ROUNDS):
+        for cpus in SCALE_LEVELS:
+            res = _sub(cpus)
+            if cpus not in levels or res["wall_sec"] < levels[cpus]["wall_sec"]:
+                levels[cpus] = res
+    n1, n4 = SCALE_LEVELS
+    tp1 = levels[n1]["docs_per_sec"]
+    tp4 = levels[n4]["docs_per_sec"]
+    eff = (tp4 / tp1) / (n4 / n1) if tp1 > 0 else 0.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/CURATION.md", "w") as f:
+        f.write(f"""# BENCH/CURATION — curation-DAG scaling evidence
+
+The curation plan (`plans/curation.py`: scrub → quality/lang/exact-dup
+curate → MinHash-LSH + connected-components near-dup clustering →
+broadcast decontamination → per-split sequence packing → committed
+audit / clean_docs / _corpus_stats tables) run end-to-end over the
+generated-sf1 documents corpus ({levels[n1]['docs']:,} docs, the
+`bench.py --ladder` 10x key-shifted replication of sf0.1), at
+local[{n1}] (N) vs local[{n4}] (4N) — the same two-parallelism-level
+protocol as the transcript pipeline's BENCH/BASELINE.md: warmup run
+per subprocess, min of 2 timed runs, best of {SCALE_ROUNDS}
+interleaved rounds, outputs deleted per rep.
+
+| parallelism | docs | kept | wall sec | docs/sec |
+|---|---|---|---|---|
+| local[{n1}]  (N)  | {levels[n1]['docs']:,} | {levels[n1]['kept']:,} | {levels[n1]['wall_sec']:.2f} | {tp1:,.0f} |
+| local[{n4}] (4N) | {levels[n4]['docs']:,} | {levels[n4]['kept']:,} | {levels[n4]['wall_sec']:.2f} | {tp4:,.0f} |
+
+**Scaling efficiency (throughput_4N / throughput_N) / {n4 // n1} =
+{eff:.3f}.** Evidence, not a gate (the ≥0.8 BASELINE.json gate is the
+transcript pipeline's); the guest-ceiling caveat of BENCH/BASELINE.md
+applies identically — on this host few-core turbo makes local[{n1}]
+disproportionately fast, so raw efficiency UNDERSTATES the plan's
+cluster scaling. The CC fixpoint loop (driver-paced rounds of two
+aggs + two joins) and the two count() actions in sampling/stats are
+the serial fractions; everything else is exchange-parallel.
+""")
+    print(json.dumps({
+        "levels": levels,
+        "efficiency": round(eff, 3),
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--ladder" in sys.argv:
         main_ladder()
+    elif "--curation-scaling" in sys.argv:
+        main_curation_scaling()
+    elif "--curation-once" in sys.argv:
+        main_curation_once()
     elif "--e2e-once" in sys.argv:
         main_e2e_once()
     elif "--probe-once" in sys.argv:
