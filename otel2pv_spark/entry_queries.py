@@ -546,13 +546,18 @@ def q_ann_index_served(spark, sf_dir):
     corpus. Same config as ann_ivfadc_topk, so it shares that oracle —
     the green row proves the committed-serving path equals the from-
     scratch computation value-for-value."""
+    import atexit
+    import shutil
     import tempfile
 
     from .plans import ann_index as aidx
 
-    cfg = aidx.AnnIndexConfig(
-        out_root=tempfile.mkdtemp(prefix="annidx-q-"), run_id="q1"
-    )
+    # fresh root per call, removed at interpreter exit (after every
+    # lazy read of the committed tables has been consumed) — a bare
+    # mkdtemp leaked a corpus-sized index copy per invocation
+    root = tempfile.mkdtemp(prefix="annidx-q-")
+    atexit.register(shutil.rmtree, root, True)
+    cfg = aidx.AnnIndexConfig(out_root=root, run_id="q1")
     emb = _emb(spark, sf_dir)
     aidx.run_index(spark, emb, cfg)
     return aidx.query_index(spark, cfg, emb.filter(F.col("vec_id") < 8))

@@ -237,8 +237,19 @@ def _schema_checks(schema: dict, path: str) -> list:
             if exact:
                 dbls.append(fv)
 
+        # DECIMAL instances vs integral enum values must compare
+        # EXACTLY too (review finding: a DECIMAL 9007199254740993.0
+        # double-matched enum 2^53, and an exactly-equal DECIMAL
+        # 10000000000000001.0 missed a non-double-exact int): the
+        # DECIMAL branch compares as decimal(38,18) against integral
+        # values and falls back to the double path only for FRACTIONAL
+        # values, where the enum literal itself round-tripped through
+        # a double and double equality is the faithful semantics.
+        dbls_frac = [fv for fv in dbls if not fv.is_integer()]
+
         def _enum_pred(
-            n, _s=strs, _b=bools, _n=has_null, _i=ints, _d=dbls
+            n, _s=strs, _b=bools, _n=has_null, _i=ints, _d=dbls,
+            _df=dbls_frac,
         ):
             t = F.schema_of_variant(n)
             branches = []
@@ -250,10 +261,25 @@ def _schema_checks(schema: dict, path: str) -> list:
                 branches.append(t == "VOID")
             if _i:
                 branches.append((t == "BIGINT") & n.cast("long").isin(_i))
+                dec = n.cast("decimal(38,18)")
+                branches.append(
+                    t.startswith("DECIMAL")
+                    & functools.reduce(
+                        lambda a, b: a | b,
+                        [
+                            dec == F.lit(v).cast("decimal(38,18)")
+                            for v in _i
+                        ],
+                        F.lit(False),
+                    )
+                )
             if _d:
                 branches.append(
-                    ((t == "DOUBLE") | t.startswith("DECIMAL"))
-                    & n.cast("double").isin(_d)
+                    (t == "DOUBLE") & n.cast("double").isin(_d)
+                )
+            if _df:
+                branches.append(
+                    t.startswith("DECIMAL") & n.cast("double").isin(_df)
                 )
             # seed False: an empty enum rejects every instance
             # (JSON-Schema semantics) instead of crashing reduce()

@@ -129,8 +129,11 @@ def run_index(spark: SparkSession, vectors: DataFrame, cfg: AnnIndexConfig) -> d
         man.commit("vectors")
     return {
         "run_id": run_id,
-        "cells": cat.read("centroids").count(),
-        "codes": cat.read("codes").count(),
+        # count_rows: manifest metadata when recorded, scan fallback —
+        # a fully-resumed invocation must not re-scan the corpus-sized
+        # codes table just to build this summary (review finding)
+        "cells": cat.count_rows("centroids"),
+        "codes": cat.count_rows("codes"),
         "wall_sec": time.time() - t0,
         "committed": man.committed_steps(),
     }

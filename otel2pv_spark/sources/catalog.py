@@ -63,6 +63,14 @@ from pyspark.sql import functions as F
 from ..operators.route import REJECT_SINK_PREFIX
 
 
+def _bucketed_ident(table: str) -> str:
+    """Session-catalog identifier for a ``write_bucketed`` table — ONE
+    definition shared by write/append/register/read so the
+    sanitization can never drift between them (a mismatch silently
+    reads/writes a differently-named session table)."""
+    return "o2pv_" + "".join(ch if ch.isalnum() else "_" for ch in table)
+
+
 def _has_parquet(d: str) -> bool:
     return any(
         f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
@@ -303,15 +311,25 @@ def _entry_may_match(
         return True
 
     def _lossy(v) -> bool:
-        # float predicate vs huge-integer bounds: Spark's filter casts
-        # the bigint COLUMN to double (lossy at >= 2^53) while this
-        # check compares Python-exact — pruning here could drop entries
-        # whose rows pass the double-cast filter (advice finding). Keep.
-        return isinstance(v, float) and any(
-            isinstance(b, int) and not isinstance(b, bool)
-            and abs(b) >= _FLOAT_EXACT_INT
-            for b in (mn, mx)
-        )
+        # Cross-representation compares where a double cast rounds are
+        # unprunable in BOTH directions (advice + review finding):
+        # Spark's filter compares int-vs-double operands after a lossy
+        # double cast at >= 2^53 while this check compares Python-exact
+        # — pruning could drop entries whose rows pass the filter.
+        # (a) float predicate vs huge-int bounds (bigint column stats);
+        # (b) huge-int predicate vs float bounds (double column stats).
+        def _big_int(x) -> bool:
+            return (
+                isinstance(x, int)
+                and not isinstance(x, bool)
+                and abs(x) >= _FLOAT_EXACT_INT
+            )
+
+        if isinstance(v, float):
+            return any(_big_int(b) for b in (mn, mx))
+        if _big_int(v):
+            return any(isinstance(b, float) for b in (mn, mx))
+        return False
 
     try:
         if op == "between":
@@ -621,9 +639,7 @@ class _CatalogBase:
 
         Returns the registered table identifier.
         """
-        ident = "o2pv_" + "".join(
-            ch if ch.isalnum() else "_" for ch in table
-        )
+        ident = _bucketed_ident(table)
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
         path = self.path(table + ".bucketed")
         shutil.rmtree(path, ignore_errors=True)
@@ -658,9 +674,7 @@ class _CatalogBase:
         session (the ident is derived from the table name alone) is
         dropped and re-created — silently reading another root's state
         table would be state corruption, not a layout detail."""
-        ident = "o2pv_" + "".join(
-            ch if ch.isalnum() else "_" for ch in table
-        )
+        ident = _bucketed_ident(table)
         path = self.path(table + ".bucketed")
         if self.spark.catalog.tableExists(ident):
             loc = next(
@@ -716,9 +730,7 @@ class _CatalogBase:
         anti-join re-derives exactly the missing keys on replay).
         Iceberg analog: a fanout append into a bucket(N, key)
         partition spec."""
-        ident = "o2pv_" + "".join(
-            ch if ch.isalnum() else "_" for ch in table
-        )
+        ident = _bucketed_ident(table)
         w = (
             df.write.format(self.fmt)
             .mode("append")
@@ -730,18 +742,30 @@ class _CatalogBase:
         return ident
 
     def bucketed_exists(self, table: str) -> bool:
-        """True when the bucketed layout's data directory exists (the
-        session-catalog registration may still need ``register_bucketed``
-        after a restart)."""
-        return os.path.isdir(self.path(table + ".bucketed"))
+        """True when the bucketed layout holds COMMITTED data files —
+        part files outside the committer's ``_temporary`` staging dir.
+        A bare isdir() would be wedged forever by a crash during the
+        first write (the dir exists with only _temporary inside: the
+        append path then fails schema inference on every restart,
+        review finding), while a crash during a LATER append keeps the
+        committed files and correctly resumes down the append path.
+        The session-catalog registration may still need
+        ``register_bucketed`` after a restart."""
+        base = self.path(table + ".bucketed")
+        if not os.path.isdir(base):
+            return False
+        for _root, dirs, files in os.walk(base):
+            if "_temporary" in dirs:
+                dirs.remove("_temporary")
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read_bucketed(self, table: str) -> DataFrame:
         """Read a table written by ``write_bucketed`` WITH its bucket
         metadata (a plain parquet read of the same files would lose the
         layout and reintroduce the shuffle)."""
-        ident = "o2pv_" + "".join(
-            ch if ch.isalnum() else "_" for ch in table
-        )
+        ident = _bucketed_ident(table)
         return self.spark.table(ident)
 
 

@@ -1039,6 +1039,23 @@ class TestManifestStatsPruning:
         assert all("rows" not in e for e in man2["entries"])
         assert legacy.count_rows("t") == 30  # scan fallback
 
+    def test_huge_int_predicate_vs_float_bounds_fails_open(self):
+        """Review finding (the symmetric hole): a >= 2^53 INTEGER
+        predicate against FLOAT stat bounds (double-column stats) must
+        keep the entry — Spark's filter casts the int literal to double
+        and can match rows the exact compare says are outside."""
+        from otel2pv_spark.sources.catalog import _entry_may_match
+
+        stats = {"x": [float(2**60), float(2**60), "num"]}
+        # double(2^60+1) == double(2^60): the filter WOULD match
+        assert _entry_may_match(stats, "x", "=", 2**60 + 1)
+        assert _entry_may_match(stats, "x", "in", [2**60 + 1])
+        assert _entry_may_match(stats, "x", "between", (2**60 + 1, 2**60 + 2))
+        # small ints against float bounds still prune exactly
+        small = {"x": [10.0, 20.0, "num"]}
+        assert not _entry_may_match(small, "x", "=", 5)
+        assert _entry_may_match(small, "x", "=", 15)
+
     def test_float_predicate_vs_huge_int_bounds_fails_open(self):
         """Advice finding: Spark's filter compares bigint columns to a
         float literal after a double cast (lossy at >= 2^53), so exact

@@ -288,6 +288,41 @@ class TestReferenceValidatorSemantics:
         got = {r.id: r.schema_error for r in out.collect()}
         assert got == {1: None, 2: None, 3: None, 4: "$.n: enum"}
 
+    def test_decimal_instance_enum_exact(self, spark):
+        """Review findings: a DECIMAL instance must not double-match a
+        different integer enum value (9007199254740993.0 vs enum 2^53),
+        and must exactly match an equal non-double-exact integer
+        (10000000000000001.0 vs enum 10000000000000001). Fractional
+        decimals still match their double-round-tripped enum literal."""
+        schema = {"properties": {"n": {"enum": [9007199254740992]}}}
+        df = spark.createDataFrame(
+            [(1, '{"n": 9007199254740993.0}'), (2, '{"n": 9007199254740992.0}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: "$.n: enum", 2: None}
+
+        schema2 = {"properties": {"n": {"enum": [10000000000000001]}}}
+        df2 = spark.createDataFrame(
+            [(1, '{"n": 10000000000000001.0}'), (2, '{"n": 10000000000000001}'),
+             (3, '{"n": 10000000000000000.0}')],
+            "id int, payload string",
+        )
+        out2 = validate_op.validate_json(df2, "payload", schema2)
+        got2 = {r.id: r.schema_error for r in out2.collect()}
+        assert got2 == {1: None, 2: None, 3: "$.n: enum"}
+
+        # fractional decimal instances keep matching float enum values
+        schema3 = {"properties": {"n": {"enum": [0.1]}}}
+        df3 = spark.createDataFrame(
+            [(1, '{"n": 0.1}'), (2, '{"n": 0.2}')],
+            "id int, payload string",
+        )
+        out3 = validate_op.validate_json(df3, "payload", schema3)
+        got3 = {r.id: r.schema_error for r in out3.collect()}
+        assert got3 == {1: None, 2: "$.n: enum"}
+
     def test_container_enum_value_raises_at_compile(self, spark):
         """Advice finding: array/object enum values fell into the
         string branch and silently rejected everything — now a loud
