@@ -605,13 +605,18 @@ def pq_adc_topk_from_codes(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     nprobe: int = 2,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k SERVED from an existing codes table (the output shape
     of :func:`pq_codes_table`, stored or lazy) — the corpus raw vectors
     are never touched: queries bring their own LUTs, the scan reads
     (id, codes[, cluster]) only. With ``centroids``, ``codes`` must
     carry the ``cluster`` column (the committed layout) and each query
-    scores only its nprobe probed cells."""
+    scores only its nprobe probed cells. ``probes`` lets a caller that
+    already computed the (query_id, cluster) probe set (e.g.
+    ``plans/ann_index.query_index``, which collects it to partition-
+    prune the stored tables) pass it in instead of paying the probe
+    job twice."""
     enc = codes
     if centroids is not None and "cluster" not in enc.columns:
         raise ValueError(
@@ -646,7 +651,8 @@ def pq_adc_topk_from_codes(
     )
 
     if centroids is not None:
-        probes = _ivf_probes(queries, centroids, nprobe, id_col, vec_col)
+        if probes is None:
+            probes = _ivf_probes(queries, centroids, nprobe, id_col, vec_col)
         # probes ⋈ lut is |Q|·nprobe rows of config-sized LUT arrays —
         # broadcast; the corpus-side code scan joins on its OWN cell
         # key, touching only probed cells
@@ -737,6 +743,7 @@ def pq_refine_topk_from_index(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     nprobe: int = 2,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC+R SERVED from stored index tables: the ADC shortlist
     comes from ``codes`` (:func:`pq_codes_table` layout — committed
@@ -751,6 +758,7 @@ def pq_refine_topk_from_index(
     short = pq_adc_topk_from_codes(
         codes, queries, codebooks, k=refine_r, id_col=id_col,
         vec_col=vec_col, centroids=centroids, nprobe=nprobe,
+        probes=probes,
     )
     return _exact_refine(short, vectors, queries, k, id_col, vec_col)
 

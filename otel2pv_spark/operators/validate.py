@@ -218,7 +218,8 @@ def _schema_checks(schema: dict, path: str) -> list:
         ]
         has_null = any(v is None for v in vals)
         ints: list[int] = []  # int64-exact match set for BIGINT nodes
-        dbls: list[float] = []  # double-exact match set for DOUBLE/DECIMAL
+        dec_ints: list[int] = []  # decimal-exact integral set (DECIMAL nodes)
+        dbls: list[float] = []  # double-exact match set for DOUBLE nodes
         for v in vals:
             if isinstance(v, bool) or not isinstance(v, (int, float)):
                 continue
@@ -227,8 +228,20 @@ def _schema_checks(schema: dict, path: str) -> list:
                 if isinstance(v, float) and v.is_integer()
                 else (v if isinstance(v, int) else None)
             )
-            if vi is not None and -(2**63) <= vi < 2**63:
-                ints.append(vi)
+            if vi is not None:
+                # decimal(38,18) holds 20 integer digits — enough for
+                # every int64 AND the (2^63, 10^20) band a DECIMAL
+                # instance can exactly equal (review finding: uint64-
+                # scale values fell out of every exact branch). Beyond
+                # that, fail loudly rather than silently never-match.
+                if abs(vi) >= 10**20:
+                    raise ValueError(
+                        f"{path}: enum value {vi!r} exceeds the exact"
+                        " comparison range (|v| < 1e20)"
+                    )
+                dec_ints.append(vi)
+                if -(2**63) <= vi < 2**63:
+                    ints.append(vi)
             try:
                 fv = float(v)
                 exact = fv == v if isinstance(v, float) else int(fv) == v
@@ -248,8 +261,8 @@ def _schema_checks(schema: dict, path: str) -> list:
         dbls_frac = [fv for fv in dbls if not fv.is_integer()]
 
         def _enum_pred(
-            n, _s=strs, _b=bools, _n=has_null, _i=ints, _d=dbls,
-            _df=dbls_frac,
+            n, _s=strs, _b=bools, _n=has_null, _i=ints, _di=dec_ints,
+            _d=dbls, _df=dbls_frac,
         ):
             t = F.schema_of_variant(n)
             branches = []
@@ -259,27 +272,39 @@ def _schema_checks(schema: dict, path: str) -> list:
                 branches.append((t == "BOOLEAN") & n.cast("string").isin(_b))
             if _n:
                 branches.append(t == "VOID")
+            # try_cast throughout the numeric branches: SQL & does not
+            # short-circuit, so a plain cast would evaluate on nodes of
+            # the WRONG family too — a 30-digit JSON integer crashed
+            # the whole job with INVALID_VARIANT_CAST instead of just
+            # failing the row (review finding). try_cast → NULL →
+            # branch false → the row is rejected, never the job.
             if _i:
-                branches.append((t == "BIGINT") & n.cast("long").isin(_i))
-                dec = n.cast("decimal(38,18)")
+                branches.append(
+                    (t == "BIGINT") & n.try_cast("long").isin(_i)
+                )
+            if _di:
+                dec = n.try_cast("decimal(38,18)")
+                # string literals: F.lit cannot hold ints beyond int64,
+                # and a string→decimal cast is exact for every value
+                # the compile-time 1e20 guard admits
                 branches.append(
                     t.startswith("DECIMAL")
                     & functools.reduce(
                         lambda a, b: a | b,
                         [
-                            dec == F.lit(v).cast("decimal(38,18)")
-                            for v in _i
+                            dec == F.lit(str(v)).cast("decimal(38,18)")
+                            for v in _di
                         ],
                         F.lit(False),
                     )
                 )
             if _d:
                 branches.append(
-                    (t == "DOUBLE") & n.cast("double").isin(_d)
+                    (t == "DOUBLE") & n.try_cast("double").isin(_d)
                 )
             if _df:
                 branches.append(
-                    t.startswith("DECIMAL") & n.cast("double").isin(_df)
+                    t.startswith("DECIMAL") & n.try_cast("double").isin(_df)
                 )
             # seed False: an empty enum rejects every instance
             # (JSON-Schema semantics) instead of crashing reduce()

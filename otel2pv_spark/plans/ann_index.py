@@ -158,15 +158,17 @@ def query_index(
     cat = Catalog(spark, cfg.out_root, stats_columns=("cluster",))
     centroids = cat.read("centroids")
     codebooks = cat.read("codebooks")
-    probed = sorted(
-        r["cluster"]
-        for r in sim.ivf_probe_cells(
-            queries, centroids, cfg.nprobe, cfg.id_col, cfg.vec_col
-        )
-        .select("cluster")
-        .distinct()
-        .collect()
+    # ONE probe job: the collected (query_id, cluster) rows feed both
+    # the partition-pruning cell set AND (re-created as a driver-local
+    # DataFrame, zero extra jobs) the ADC scorer's probe table — the
+    # scorer would otherwise recompute the same crossJoin+window
+    # (review finding)
+    probes_df = sim.ivf_probe_cells(
+        queries, centroids, cfg.nprobe, cfg.id_col, cfg.vec_col
     )
+    probe_rows = probes_df.collect()
+    probed = sorted({r["cluster"] for r in probe_rows})
+    probes_local = spark.createDataFrame(probe_rows, probes_df.schema)
     # read(where=in): manifest-level entry pruning (only probed cell
     # files enter the scan) + the literal isin filter, which Spark's
     # hive-partition pruning also applies under the posix strategy
@@ -185,4 +187,5 @@ def query_index(
         vec_col=cfg.vec_col,
         centroids=centroids,
         nprobe=cfg.nprobe,
+        probes=probes_local,
     )

@@ -63,12 +63,20 @@ from pyspark.sql import functions as F
 from ..operators.route import REJECT_SINK_PREFIX
 
 
-def _bucketed_ident(table: str) -> str:
+def _bucketed_ident(table: str, root: str) -> str:
     """Session-catalog identifier for a ``write_bucketed`` table — ONE
     definition shared by write/append/register/read so the
     sanitization can never drift between them (a mismatch silently
-    reads/writes a differently-named session table)."""
-    return "o2pv_" + "".join(ch if ch.isalnum() else "_" for ch in table)
+    reads/writes a differently-named session table). The catalog ROOT
+    is hashed into the name: a table-name-only ident made two
+    concurrent keyed streams over different out_roots race on one
+    global identifier, cross-appending each other's state (review
+    finding) — per-root idents make them disjoint by construction."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
+    safe = "".join(ch if ch.isalnum() else "_" for ch in table)
+    return f"o2pv_{h}_{safe}"
 
 
 def _has_parquet(d: str) -> bool:
@@ -639,7 +647,7 @@ class _CatalogBase:
 
         Returns the registered table identifier.
         """
-        ident = _bucketed_ident(table)
+        ident = _bucketed_ident(table, self.root)
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
         path = self.path(table + ".bucketed")
         shutil.rmtree(path, ignore_errors=True)
@@ -674,7 +682,7 @@ class _CatalogBase:
         session (the ident is derived from the table name alone) is
         dropped and re-created — silently reading another root's state
         table would be state corruption, not a layout detail."""
-        ident = _bucketed_ident(table)
+        ident = _bucketed_ident(table, self.root)
         path = self.path(table + ".bucketed")
         if self.spark.catalog.tableExists(ident):
             loc = next(
@@ -730,7 +738,7 @@ class _CatalogBase:
         anti-join re-derives exactly the missing keys on replay).
         Iceberg analog: a fanout append into a bucket(N, key)
         partition spec."""
-        ident = _bucketed_ident(table)
+        ident = _bucketed_ident(table, self.root)
         w = (
             df.write.format(self.fmt)
             .mode("append")
@@ -765,7 +773,7 @@ class _CatalogBase:
         """Read a table written by ``write_bucketed`` WITH its bucket
         metadata (a plain parquet read of the same files would lose the
         layout and reintroduce the shuffle)."""
-        ident = _bucketed_ident(table)
+        ident = _bucketed_ident(table, self.root)
         return self.spark.table(ident)
 
 

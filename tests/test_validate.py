@@ -323,6 +323,32 @@ class TestReferenceValidatorSemantics:
         got3 = {r.id: r.schema_error for r in out3.collect()}
         assert got3 == {1: None, 2: "$.n: enum"}
 
+    def test_enum_beyond_int64_and_giant_instances(self, spark):
+        """Second review pass: (1) an integral enum value ABOVE int64
+        (2^64) must still exactly match an equal DECIMAL instance —
+        it fell out of every exact branch; (2) a 30-digit JSON integer
+        instance must FAIL the row, not crash the job with
+        INVALID_VARIANT_CAST (SQL & does not short-circuit, so the
+        numeric branches must try_cast); (3) enum values at or beyond
+        1e20 exceed the exact range and fail loudly at compile."""
+        import pytest
+
+        big = 2**64  # 18446744073709551616 — DECIMAL(20,0) instance
+        schema = {"properties": {"n": {"enum": [big]}}}
+        df = spark.createDataFrame(
+            [(1, '{"n": %d}' % big), (2, '{"n": %d}' % (big + 1)),
+             (3, '{"n": 123456789012345678901234567890}')],
+            "id int, payload string",
+        )
+        out = validate_op.validate_json(df, "payload", schema)
+        got = {r.id: r.schema_error for r in out.collect()}
+        assert got == {1: None, 2: "$.n: enum", 3: "$.n: enum"}
+
+        with pytest.raises(ValueError, match="exact comparison range"):
+            validate_op.validate_json(
+                df, "payload", {"properties": {"n": {"enum": [10**20]}}}
+            )
+
     def test_container_enum_value_raises_at_compile(self, spark):
         """Advice finding: array/object enum values fell into the
         string branch and silently rejected everything — now a loud
