@@ -177,10 +177,11 @@ def q_embedding_semdedup(spark, sf_dir):
     """SemDeDup: k-means clusters bound the pairwise search; a vector is
     a semantic dup iff a lower-id same-cluster vector has cosine ≥ 0.95
     (catches the seeded ×1.01 and +0.05 copies, keeps the originals).
-    The cluster count is DERIVED from the corpus (k = ceil(N/32), the
-    semdedup_k rule) so n/k — and with it the per-cluster quadratic —
-    stays constant as the corpus scales; the oracle derives the same k
-    from the same count at runtime."""
+    The cluster count is DERIVED from the corpus (k = ceil(sqrt(N)),
+    the balanced semdedup_k rule: n·k assignment and n²/k pair search
+    equalize at n^1.5) so neither term goes quadratic as the corpus
+    scales; the oracle derives the same k from the same count at
+    runtime."""
     return sim.semantic_dedup(emb_fixture(spark, sf_dir), threshold=0.95)
 
 
@@ -3356,13 +3357,15 @@ FROM proj GROUP BY vec_id"""
 
 # SemDeDup: k-means (same unrolled Lloyd CTEs as ann_ivf_train but with
 # the cluster count DERIVED from the corpus count at runtime — the
-# semdedup_k rule, k = greatest(4, ceil(N/32)) — over the seeded-near-
-# dup fixture), assign to trained centroids, then within-cluster
-# pairwise cosine — dup iff a lower-id neighbor scores ≥ 0.95. DuckDB
-# evaluates the scalar-subquery LIMIT, so the oracle scales its k with
-# the fixture exactly as semantic_dedup does.
+# balanced semdedup_k rule, k = greatest(4, ceil(sqrt(N))) — over the
+# seeded-near-dup fixture), assign to trained centroids, then within-
+# cluster pairwise cosine — dup iff a lower-id neighbor scores ≥ 0.95.
+# DuckDB evaluates the scalar-subquery LIMIT, so the oracle scales its
+# k with the fixture exactly as semantic_dedup does. (ceil(sqrt()) on
+# a float is integer-safe here: fixture counts are far below the 2^52
+# band where double sqrt could misround an exact square.)
 _KMEANS_DERIVED_CTES = f"""{_V},
-kk AS (SELECT GREATEST(4, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS k FROM v),
+kk AS (SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM v),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS ce
   FROM v ORDER BY vec_id LIMIT (SELECT k FROM kk)

@@ -841,20 +841,30 @@ def embedding_neardup_pairs(
     )
 
 
-def semdedup_k(n: int, target_cell_size: int = 32, min_k: int = 4) -> int:
-    """Cluster count for :func:`semantic_dedup` when the caller does not
-    supply centroids: k = max(min_k, ceil(n / target_cell_size)), i.e.
-    hold the EXPECTED cluster population (n/k) constant as the corpus
-    grows. This is the SemDeDup paper's own scaling doctrine (Abbas et
-    al. 2023 run 10^5 clusters on LAION-scale data, k ∝ n): per-cluster
-    pairwise work is (n/k)^2, so a FIXED k makes total work n^2/k —
-    quadratic again — while k ∝ n keeps it n · target_cell_size.
-    Measured on the scale ladder (BENCH/LADDER_ANALYSIS.md): fixed k=4
-    cost 24x at 10x input (alpha 1.39); k scaled 10x cost ~2x with
-    identical output (alpha ≈ 0.28)."""
+def semdedup_k(
+    n: int, target_cell_size: int | None = None, min_k: int = 4
+) -> int:
+    """Cluster count for :func:`semantic_dedup` when the caller does
+    not supply centroids. Default: k = max(min_k, ceil(sqrt(n))) — the
+    BALANCED rule: k-means assignment costs n·k while within-cluster
+    pair search costs k·(n/k)² = n²/k, and k = sqrt(n) equalizes them
+    at n^1.5 total (any fixed k leaves the pair term quadratic — the
+    r4 ladder measured alpha 1.39 — while any FIXED cell size n/k
+    makes the assignment term n²/cell quadratic instead). This is the
+    standard IVF sizing doctrine (FAISS trains k ≈ sqrt(n) cells; the
+    SemDeDup paper's 10^5 clusters on LAION-scale data is the same
+    order). ``target_cell_size`` overrides with k = ceil(n/cell) for
+    callers that bound the quadratic differently (e.g. pre-trained or
+    sampled-training centroids, where assignment is not n·k).
+    Integer-exact ceil(sqrt) via isqrt — no float boundary surprises."""
     if n <= 0:
         raise ValueError("semdedup_k: empty corpus")
-    return max(min_k, -(-n // target_cell_size))
+    if target_cell_size is not None:
+        return max(min_k, -(-n // target_cell_size))
+    import math
+
+    s = math.isqrt(n)
+    return max(min_k, s if s * s == n else s + 1)
 
 
 def semantic_dedup(
@@ -865,7 +875,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     round_to: int = 6,
     pair_blocks: int = 8,
-    target_cell_size: int = 32,
+    target_cell_size: int | None = None,
     min_k: int = 4,
     train_iters: int = 2,
 ) -> DataFrame:
@@ -891,16 +901,16 @@ def semantic_dedup(
     tiny.
 
     ``centroids=None`` (the default) DERIVES the cluster count from the
-    corpus: k = :func:`semdedup_k`(count, target_cell_size, min_k) and
-    trains via :func:`ivf_train` — so the quadratic term stays bounded
-    by target_cell_size whatever the corpus size. Passing explicit
+    corpus: k = :func:`semdedup_k`(count) — the balanced k = ceil(√n)
+    rule that holds TOTAL cost (n·k train/assign + n²/k pair search)
+    at n^1.5 — and trains via :func:`ivf_train`. Passing explicit
     ``centroids`` (any (anchor_rank, vec) table) pins the clustering —
     a correctness-fixture configuration, not the scale one: the r4
     scale ladder measured fixed k=4 at 24x cost for 10x input (per-
-    cluster pairs grow (n/k)^2) while k scaled 10x cost ~2x with
-    identical output (BENCH/LADDER_ANALYSIS.md) — hold n/k constant as
-    the corpus grows. The one extra count() job the derivation costs is
-    a rounding error next to the train pass it parameterizes.
+    cluster pairs grow (n/k)^2) while scaled k cost ~2x with identical
+    output (BENCH/LADDER_ANALYSIS.md). The one extra count() job the
+    derivation costs is a rounding error next to the train pass it
+    parameterizes.
     """
     if centroids is None:
         k = semdedup_k(df.count(), target_cell_size, min_k)

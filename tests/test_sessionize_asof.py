@@ -182,17 +182,21 @@ def test_semantic_dedup_flags_within_cluster(spark):
 
 
 def test_semdedup_k_scales_with_corpus():
-    # the r4 scale defect: a FIXED k makes total pair work n^2/k. The
-    # derivation must hold n/k constant — k grows linearly with n.
+    # the r4 scale defect: a FIXED k makes pair work n^2/k quadratic,
+    # while a fixed CELL SIZE makes the n*k assignment quadratic. The
+    # balanced default k = ceil(sqrt(n)) holds both terms at n^1.5.
     assert sim.semdedup_k(1) == 4          # min_k floor
-    assert sim.semdedup_k(128) == 4        # 128/32 = 4
-    assert sim.semdedup_k(595) == 19       # the sf0.01 fixture count
-    assert sim.semdedup_k(5950) == 186     # 10x corpus -> ~10x clusters
-    assert sim.semdedup_k(595_000) == 18594
-    # expected cluster population stays bounded by target_cell_size
+    assert sim.semdedup_k(16) == 4         # exact square at the floor
+    assert sim.semdedup_k(595) == 25       # the sf0.01 fixture count
+    assert sim.semdedup_k(2377) == 49      # the sf0.1 fixture count
+    assert sim.semdedup_k(59500) == 244    # 100x corpus -> 10x clusters
+    assert sim.semdedup_k(1 << 52) == 1 << 26  # isqrt: no float misround
+    # both cost terms stay balanced: n*k == n^1.5 == k * (n/k)^2 shape
     for n in (640, 10_000, 1_000_000):
         k = sim.semdedup_k(n)
-        assert n / k <= 32
+        assert k * k >= n and (k - 1) * (k - 1) < n
+    # explicit cell-size override keeps the old rule
+    assert sim.semdedup_k(595, target_cell_size=32) == 19
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
