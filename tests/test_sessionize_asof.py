@@ -203,6 +203,41 @@ def test_semdedup_k_scales_with_corpus():
         sim.semdedup_k(0)
 
 
+def test_ivf_assign_vectorized_bit_identical(spark):
+    """The Arrow/numpy assignment fast path must be BIT-identical to
+    the expression path: same left-to-right fold roundings, same
+    first-maximum (lowest-cid) tie-break — across float32 inputs,
+    exact cosine ties (scaled copies), and a deliberately adversarial
+    irrational-ish value mix."""
+    import math
+
+    rows = [
+        (
+            i,
+            [
+                float(math.sin(i * 7 + j) * 0.37 + 0.1)
+                if j == 0
+                else float((i * 13 + j * 5) % 11) / 7.0
+                if j == 1
+                else float(math.cos(j + 1) * (i % 5 + 1))
+                for j in range(4)
+            ],
+        )
+        for i in range(300)
+    ]
+    # exact-tie pair: vec 1000 is a scaled copy of vec 0
+    rows.append((1000, [x * 3.0 for x in rows[0][1]]))
+    df32 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df64 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for df in (df32, df64):
+        cents = sim.ivf_train(df, k=7, iters=2)
+        slow = sim.ivf_assign(df, cents)
+        fast = sim.ivf_assign(df, cents, vectorized=True)
+        assert sorted(map(tuple, slow.collect())) == sorted(
+            map(tuple, fast.collect())
+        )
+
+
 def test_semantic_dedup_derived_k_matches_explicit(spark):
     # centroids=None derives k from the corpus count and trains; must
     # equal the explicit ivf_train(semdedup_k(n)) composition row-for-row
