@@ -426,12 +426,22 @@ def main_e2e_once() -> None:
     spark.stop()
 
 
+CURATION_FACTOR = int(os.environ.get("SPARK_GRAFT_CURATION_FACTOR", "10"))
+
+
 def main_curation_once() -> None:
     """Subprocess worker for --curation-scaling: one curation-DAG e2e
     run (scrub → curate → LSH+CC near-dup clustering → decontaminate →
     pack → committed audit/clean/stats tables) over the generated-sf1
-    documents at $SPARK_GRAFT_CPUS. Same protocol as main_e2e_once:
-    warmup run first, min of 2 timed runs, outputs deleted per rep."""
+    documents scaled a further CURATION_FACTOR x at $SPARK_GRAFT_CPUS.
+    The extra replication matters: at sf1's 50k docs the DAG is
+    fixed-overhead-dominated (driver-paced CC rounds, ~hundreds of
+    tiny jobs) and local[16] measured SLOWER than local[4] — the same
+    reason the transcript protocol runs ~3M-turn inputs. Key-shifted
+    replicas with per-replica token perturbation (the _gen_sf1 rule)
+    keep dup/candidate structure ~linear. Same protocol as
+    main_e2e_once: warmup run first, min of 2 timed runs, outputs
+    deleted per rep."""
     from otel2pv_spark.entry_queries import eval_fixture
     from otel2pv_spark.plans import curation
     from otel2pv_spark.session import get_spark
@@ -440,7 +450,28 @@ def main_curation_once() -> None:
         app_name=f"bench-cur-{os.environ.get('SPARK_GRAFT_CPUS')}"
     )
     _gen_sf1(spark, "/root/testdata/sf0.1", LADDER_SF1_DIR)
-    docs = spark.read.parquet(f"{LADDER_SF1_DIR}/documents.parquet")
+    cur_dir = os.path.join(
+        os.path.dirname(LADDER_SF1_DIR), f"cur_x{CURATION_FACTOR}"
+    )
+    marker = os.path.join(cur_dir, "_CUR_OK")
+    if not os.path.exists(marker):
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(f"{LADDER_SF1_DIR}/documents.parquet")
+        n_doc = base.agg(F.max("doc_id")).head()[0] + 1
+        reps = spark.range(CURATION_FACTOR).select(F.col("id").alias("_k"))
+        base.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_k") * n_doc).alias("doc_id"),
+            F.when(F.col("_k") == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" repc"), F.col("_k").cast("string"))
+            )
+            .alias("text"),
+            "lang", "source", "n_chars",
+        ).write.mode("overwrite").parquet(f"{cur_dir}/documents.parquet")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    docs = spark.read.parquet(f"{cur_dir}/documents.parquet")
     eval_df = eval_fixture(spark, LADDER_SF1_DIR)
     n_docs = docs.count()
 
@@ -640,8 +671,11 @@ The curation plan (`plans/curation.py`: scrub → quality/lang/exact-dup
 curate → MinHash-LSH + connected-components near-dup clustering →
 broadcast decontamination → per-split sequence packing → committed
 audit / clean_docs / _corpus_stats tables) run end-to-end over the
-generated-sf1 documents corpus ({levels[n1]['docs']:,} docs, the
-`bench.py --ladder` 10x key-shifted replication of sf0.1), at
+generated-sf1 documents corpus replicated a further
+{CURATION_FACTOR}x ({levels[n1]['docs']:,} docs — sized so parallel
+work dominates the driver-paced CC rounds, exactly why the transcript
+protocol uses ~3M-turn inputs; at sf1's 50k docs local[{n4}] measured
+SLOWER than local[{n1}]), at
 local[{n1}] (N) vs local[{n4}] (4N) — the same two-parallelism-level
 protocol as the transcript pipeline's BENCH/BASELINE.md: warmup run
 per subprocess, min of 2 timed runs, best of {SCALE_ROUNDS}
